@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+All real logic lives in ``labelspark_spark`` (see SURVEY.md §2.9 for
+the declared-query contract; queries + oracles in
+``labelspark_spark/queries.py``).
 """
 
 from __future__ import annotations
@@ -13,26 +16,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from labelspark_spark import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q3-style 3-way join + agg + top-10) on
+    /root/testdata/sf0.001; driver checks rows>0."""
+    return Q.q_q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2.9."""
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI-SQL twin for every hash-checkable query.
+
+    Approximate operators (approx_distinct, dedup_minhash_lsh,
+    dedup_simhash, similarity_lsh, similarity_ivf) are intentionally
+    omitted -> driver records the weaker rows-only check; their
+    recall/error bounds are asserted in tests/test_approx_recall.py.
     """
-    return {}
+    return Q.oracle_sql()

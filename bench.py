@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced with a cheap count() action (no driver collect of
+payloads). Timings are wall-clock per query; `value` is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Flagship set: relational core + north-star ops, heaviest first.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_left_outer",
+    "window_running_sum",
+    "pivot_event_counts",
+    "events_tumbling",
+    "events_sessionize",
+    "asof_join",
+    "explode_token_counts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_quality",
+    "text_langid",
+]
+
+
+def main() -> None:
+    from labelspark_spark import get_spark_session
+    from labelspark_spark.queries import REGISTRY
+
+    spark = get_spark_session(app_name="labelspark-spark-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Warm the JVM/session so query 1 doesn't pay session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

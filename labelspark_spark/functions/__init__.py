@@ -1,0 +1,3 @@
+from labelspark_spark.functions import text, vectors
+
+__all__ = ["text", "vectors"]

@@ -1,0 +1,107 @@
+"""Temporal joins the reference lacks (SURVEY §2.3 gap row).
+
+- :func:`asof_join` — for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key. Implemented as union + window
+  last-value carry-forward: ONE shuffle on (key, ts), no range
+  cross-product. This is the scalable formulation — a naive
+  range-condition join degenerates to a per-key nested loop.
+- :func:`range_join` — general interval join with an equi-key prefix so
+  Catalyst plans a hash join with a range residual, not a pure BNLJ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: attach the most recent right values at-or-before each
+    left timestamp (direction='backward'; 'forward' = next at-or-after).
+
+    Union both sides tagged, sort within key by time, carry the last
+    non-null right value forward (ignorenulls last over an unbounded
+    preceding frame). Single shuffle; robust to skew via AQE.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in set(on) | {right_ts}]
+
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = (
+        right.select(
+            *on, F.col(right_ts).alias("_ts"), *[F.col(c) for c in value_cols]
+        ).withColumn("_side", F.lit(0))
+    )
+    # Align schemas: left lacks value_cols, right lacks left's payload.
+    for c in value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    left_payload = [c for c in left.columns if c not in set(on) | {left_ts}]
+    for c in left_payload:
+        rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    lt = lt.select(*on, "_ts", "_side", *value_cols, *left_payload, F.col(left_ts))
+    rt = rt.withColumn(left_ts, F.lit(None).cast(left.schema[left_ts].dataType)).select(
+        *on, "_ts", "_side", *value_cols, *left_payload, F.col(left_ts)
+    )
+    unioned = lt.unionByName(rt)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts => "at or before".
+        w = Window.partitionBy(*on).orderBy(F.col("_ts").asc(), F.col("_side").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        filled = unioned.select(
+            *on,
+            "_ts",
+            "_side",
+            *left_payload,
+            F.col(left_ts),
+            *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+        )
+    elif direction == "forward":
+        w = Window.partitionBy(*on).orderBy(F.col("_ts").desc(), F.col("_side").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        filled = unioned.select(
+            *on,
+            "_ts",
+            "_side",
+            *left_payload,
+            F.col(left_ts),
+            *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+        )
+    else:
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+
+    return filled.filter(F.col("_side") == 1).drop("_side", "_ts")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval containment join: left.point in [right.start, right.end).
+
+    The equi-key prefix keeps it a shuffled hash join with a residual
+    range predicate. Without keys, pre-bucket the point/interval into
+    coarse bins and join on bin (caller's responsibility at 100 TB).
+    """
+    cond = None
+    for k in on:
+        c = left[k] == right[k]
+        cond = c if cond is None else (cond & c)
+    rng = (left[left_point] >= right[right_start]) & (left[left_point] < right[right_end])
+    cond = rng if cond is None else (cond & rng)
+    return left.join(right, cond, how)

@@ -1,0 +1,360 @@
+"""Deduplication operators (north-star extension; SURVEY §2.9-16).
+
+Five families, all fully distributed — no driver materialization, no
+Python UDFs on the hot path:
+
+- exact:        fingerprint (md5 of normalized text) -> keep-first
+- minhash-lsh:  shingle -> minhash signature -> banded buckets ->
+                bucket self-join -> exact-jaccard verify
+- simhash:      token hash -> per-bit majority vote -> banded hamming
+- ngram-jaccard: exact set-overlap self-join on shingles (the oracle-
+                checkable ground truth the approximate families target)
+- embedding:    cosine >= threshold pair detection
+
+Scale notes (100 TB): every self-join is blocked — either by LSH band
+bucket or by shared shingle — never a full cross join. Bucket joins
+shuffle on the band key, so near-dup detection cost is proportional to
+candidate-pair count, not n^2. All base hashing is md5-derived and
+engine-portable, so tests can replay it in Python/DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from labelspark_spark.functions.text import fingerprint, normalize_text, word_shingles
+
+# 2^61 - 1 (Mersenne prime): modulus for the minhash permutation family.
+MINHASH_PRIME = 2305843009213693951
+
+
+def base_hash32(col: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5, as bigint.
+
+    md5 (not xxhash64/murmur) so DuckDB/Python can replay it exactly.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p.
+
+    Simple LCG on the seed — reproducible everywhere, no RNG state.
+    """
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = (state % (2**30 - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % (2**30 - 1)
+        params.append((a, b))
+    return params
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest-id row per normalized-text
+    fingerprint. Deterministic (dropDuplicates keeps an arbitrary row;
+    this keeps a *defined* one)."""
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """Minhash signature (array<bigint>, length num_hashes) over a
+    shingle array. Base hash computed once per shingle, then permuted —
+    all inside codegen."""
+    params = _perm_params(num_hashes, seed)
+    hashes = F.transform(shingles, lambda s: base_hash32(s))
+
+    def perm_min(a: int, b: int) -> Column:
+        # single-parameter lambda: PySpark dispatches HOF lambdas on arity
+        return F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+        )
+
+    return F.array(*[perm_min(a, b) for a, b in params])
+
+
+def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Split a signature into band structs: array<struct<band:int, key:string>>."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, i * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "_",
+                ).alias("key"),
+            )
+            for i in range(num_bands)
+        ]
+    )
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, shingle_words: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias("_sh"),
+    )
+
+
+def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs via shingle-set
+    join-back. cand columns: id_a, id_b."""
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    union = (F.size("_sh_a") + F.size("_sh_b") - F.size(F.array_intersect("_sh_a", "_sh_b"))).cast(
+        "double"
+    )
+    # No rounding: both engines compute the same int/int double division,
+    # so the unrounded value is already bit-identical.
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + LSH banding, exact-verified.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    Candidate generation is a bucket equi-join on (band, key) — shuffle
+    on the band key only; never n^2.
+    """
+    rows_per_band = num_hashes // num_bands
+    sh = _shingled(df, text_col, id_col, shingle_words)
+    # Staged projections, NOT one nested expression: inlining the
+    # signature into 16 band keys re-evaluates the md5 transform
+    # num_hashes*num_bands times per row (measured 30x slowdown).
+    # Separate Projects evaluate each stage once; CollapseProject keeps
+    # them apart because the reused expressions are non-cheap.
+    hashed = sh.select("_id", F.transform("_sh", lambda s: base_hash32(s)).alias("_hs"))
+    params = _perm_params(num_hashes, seed)
+
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform("_hs", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+        )
+
+    minned = hashed.select(
+        "_id", *[perm_min(a, b).alias(f"_m{i}") for i, (a, b) in enumerate(params)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"_m{j}").cast("string")
+                    for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+                ],
+            ).alias("key"),
+        )
+        for i in range(num_bands)
+    ]
+    buckets = minned.select("_id", F.explode(F.array(*band_structs)).alias("_b")).select(
+        "_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key")
+    )
+    left = buckets.select(F.col("_id").alias("id_a"), "_band", "_key")
+    right = buckets.select(F.col("_id").alias("id_b"), "_band", "_key")
+    cand = (
+        left.join(right, ["_band", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (the ground truth).
+
+    Blocked self-join on shared shingles: only pairs sharing >= 1
+    shingle are ever materialized. Returns (id_a, id_b, jaccard).
+    """
+    sh = _shingled(df, text_col, id_col, shingle_words)
+    posting = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
+    a = posting.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s")
+    b = posting.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_s")
+    pair_inter = (
+        a.join(b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return pair_inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(col: Column, bits: int = 62, seed: int = 42) -> Column:
+    """SimHash of whitespace tokens -> bigint (bits <= 62).
+
+    Per-bit majority vote over portable token hashes; two md5-derived
+    32-bit words give 62 usable bits.
+    """
+    from labelspark_spark.functions.text import whitespace_tokens
+
+    toks = whitespace_tokens(col)
+    lo = F.transform(toks, lambda t: base_hash32(t))
+    hi = F.transform(toks, lambda t: base_hash32(F.concat(t, F.lit(f"#s{seed}"))))
+    def bit_vote(src: Column, shift: int) -> Column:
+        # two-parameter merge lambda only: arity-sensitive HOF dispatch
+        return F.aggregate(
+            src,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + (F.shiftright(h, shift) % 2) * 2 - 1,
+        )
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        vote = bit_vote(lo if b < 31 else hi, b if b < 31 else b - 31)
+        out = out + F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def _simhash_staged(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 62, seed: int = 42
+) -> DataFrame:
+    """SimHash via staged projections (token hashes evaluated once, not
+    once per bit): returns (_id, _h)."""
+    from labelspark_spark.functions.text import whitespace_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), whitespace_tokens(F.col(text_col)).alias("_tk")
+    )
+    hashed = toks.select(
+        "_id",
+        F.transform("_tk", lambda t: base_hash32(t)).alias("_lo"),
+        F.transform("_tk", lambda t: base_hash32(F.concat(t, F.lit(f"#s{seed}")))).alias("_hi"),
+    )
+
+    def vote(src: str, shift: int) -> Column:
+        return F.aggregate(
+            F.col(src),
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + (F.shiftright(h, shift) % 2) * 2 - 1,
+        )
+
+    votes = hashed.select(
+        "_id",
+        *[
+            vote("_lo" if b < 31 else "_hi", b if b < 31 else b - 31).alias(f"_v{b}")
+            for b in range(bits)
+        ],
+    )
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        out = out + F.when(F.col(f"_v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
+    return votes.select("_id", out.alias("_h"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two bigint hashes via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 62,
+    num_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with banded blocking.
+
+    Split the hash into ``num_bands`` bit-bands; pairs within
+    ``max_hamming`` (< num_bands) must agree on >= 1 whole band
+    (pigeonhole), so candidates come from a band-key equi-join.
+    Returns (id_a, id_b, hamming).
+    """
+    hashed = _simhash_staged(df, text_col, id_col, bits, seed)
+    band_width = bits // num_bands
+    bands = hashed.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("_h"), i * band_width)
+                        .bitwiseAND(F.lit(2**band_width - 1))
+                        .alias("key"),
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_h", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    a = bands.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"), "_band", "_key")
+    b = bands.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"), "_band", "_key")
+    return (
+        a.join(b, ["_band", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("h_a"), F.col("h_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold.
+
+    Brute-force O(n^2/2) self-join — correct baseline for verification;
+    at 100 TB use :func:`labelspark_spark.operators.similarity.lsh_ann`
+    buckets to block first.
+    Returns (id_a, id_b, cos) rounded to 6 dp.
+    """
+    from labelspark_spark.functions.vectors import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

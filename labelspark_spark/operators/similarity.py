@@ -1,0 +1,175 @@
+"""Approximate-nearest-neighbor similarity search (north-star).
+
+Two tiers:
+
+- :func:`brute_force_topk` — exact cosine top-k, the correctness
+  baseline. Broadcast the (small) query set against the (huge) corpus:
+  one broadcast-nested-loop with no corpus shuffle; per-corpus-partition
+  partial top-k would be the AQE-free refinement at extreme k*q.
+- :func:`lsh_ann_topk` — random-hyperplane LSH bucketing: corpus is
+  pre-bucketed once (write-amortized at scale), queries probe matching
+  buckets only, so cost ~ bucket size, not corpus size.
+- :func:`ivf_topk` — inverted-file variant: corpus assigned to nearest
+  centroid; queries probe ``nprobe`` nearest centroid lists.
+
+All vector math is HOF expressions (no UDF); hyperplanes are
+deterministic (seeded LCG) so results reproduce everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from labelspark_spark.functions.vectors import cosine, dot
+
+
+def _rank_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
+    """Deterministic top-k: rank on rounded cosine desc, id asc."""
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Queries are broadcast (small side); the corpus never shuffles.
+    Returns (query_id, neighbor_id, cos, rank).
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = c.crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
+        ).alias("cos"),
+    )
+    return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim (LCG)."""
+    planes = []
+    state = seed
+    for _ in range(num_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+            v.append((state / float(2**63)) * 2.0 - 1.0)
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket_expr(vec, planes: list[list[float]]):
+    """Random-hyperplane signature -> int bucket (sign bit per plane)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bucket = bucket + F.when(dot(vec.cast("array<double>"), plane) >= 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's
+    hyperplane bucket. Equi-join on bucket id — shuffle keyed on a
+    2^num_planes-ary key instead of a cross join.
+
+    Recall < 1.0 by construction; verify against brute force by recall
+    bound, not hash equality.
+    """
+    planes = _hyperplanes(dim, num_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("_bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            lsh_bucket_expr(F.col(vec_col), planes).alias("_bucket"),
+        )
+    )
+    scored = c.join(q, "_bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
+        ).alias("cos"),
+    )
+    return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF ANN: corpus rows indexed by nearest centroid; each query
+    probes its ``nprobe`` nearest centroid lists.
+
+    ``centroids`` is small (broadcast); corpus assignment is one
+    broadcast pass; probe is an equi-join on centroid id.
+    """
+    cent = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, n: int, out_id: str) -> DataFrame:
+        w = Window.partitionBy(out_id).orderBy(F.col("_cdist").desc(), F.col("_cid").asc())
+        return (
+            df.select(F.col(idc).alias(out_id), F.col(vecc).alias("_v"))
+            .crossJoin(cent)
+            .withColumn(
+                "_cdist",
+                F.round(
+                    cosine(F.col("_v").cast("array<double>"), F.col("_cvec").cast("array<double>")),
+                    6,
+                ),
+            )
+            .withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= n)
+            .select(out_id, "_v", "_cid")
+        )
+
+    c = assign(corpus, id_col, vec_col, 1, "neighbor_id")
+    q = assign(queries, query_id_col, vec_col, nprobe, "query_id").withColumnRenamed("_v", "_qv")
+    scored = c.join(q, "_cid").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine(F.col("_qv").cast("array<double>"), F.col("_v").cast("array<double>")), 6
+        ).alias("cos"),
+    ).distinct()
+    return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")

@@ -1,0 +1,203 @@
+"""Connector surface: uploads struct, divider codec, upsert semantics.
+
+Rebuilds the reference's upload dataflow (SURVEY §2.7 U1-U7, §2.3 J2/J3)
+as single native projections and joins:
+
+- The reference builds its nested ``uploads`` column through a chain of
+  4+ row-at-a-time Python UDFs (`labelspark/uploader.py:157-195`), each
+  a JVM->Python round trip. Here the whole struct is ONE ``F.struct``
+  projection — whole-stage codegen, zero Python.
+- Column semantics come from the ``{kind}///{type}///{name}`` header
+  convention (`uploader.py:179,190`, `datasets/*.csv`); the codec below
+  parses it once on the driver (schema metadata, not data).
+- Broadcast-dict lookups (`update_metadata.py:33-51`,
+  `create_labelbox_dataset.py:221-239`: JSON literal re-parsed per row)
+  become broadcast left joins + coalesce.
+- Upsert key handling (`client.py:217-219`): skip = left-anti join;
+  dedupe-suffix = window row_number.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DIVIDER = "///"
+
+METADATA_TYPES = ("string", "number", "enum", "datetime")
+ATTACHMENT_TYPES = ("image", "video", "text_url", "raw_text", "html")
+ANNOTATION_TYPES = ("bbox", "polygon", "mask", "point", "line", "radio", "checklist", "text")
+
+
+@dataclass(frozen=True)
+class ConventionColumn:
+    """One parsed `{kind}///{type}///{name}` header."""
+
+    column: str
+    kind: str
+    value_type: str
+    name: str
+
+
+def parse_convention_columns(columns: list[str], divider: str = DIVIDER) -> list[ConventionColumn]:
+    """Parse divider-convention headers (uploader.py:179,190)."""
+    out = []
+    for c in columns:
+        parts = c.split(divider)
+        if len(parts) == 3:
+            out.append(ConventionColumn(column=c, kind=parts[0], value_type=parts[1], name=parts[2]))
+    return out
+
+
+def build_uploads(
+    df: DataFrame,
+    row_data_col: str,
+    global_key_col: str | None = None,
+    external_id_col: str | None = None,
+    dataset_id: str | None = None,
+    project_id: str | None = None,
+    divider: str = DIVIDER,
+    uploads_col: str = "uploads",
+) -> DataFrame:
+    """Build the nested uploads struct in ONE projection.
+
+    Schema mirrors `uploader.py:143-153`:
+    struct<data_row: struct<row_data, global_key, external_id,
+    metadata_fields: array<map<string,string>>,
+    attachments: array<map<string,string>>>,
+    dataset_id, project_id,
+    annotations: array<map<string,string>>>.
+
+    Convention columns are discovered from the header; null-valued cells
+    are filtered out of the arrays (the UDF chain's per-row guards,
+    `uploader.py:238`).
+    """
+    conv = parse_convention_columns(df.columns, divider)
+    gk = F.col(global_key_col) if global_key_col else F.col(row_data_col)
+    ext = F.col(external_id_col) if external_id_col else gk
+
+    metadata_entries = [
+        F.when(
+            F.col(f"`{c.column}`").isNotNull(),
+            F.create_map(
+                F.lit("name"), F.lit(c.name),
+                F.lit("value"), F.col(f"`{c.column}`").cast("string"),
+                F.lit("type"), F.lit(c.value_type),
+            ),
+        )
+        for c in conv
+        if c.kind == "metadata"
+    ]
+    attachment_entries = [
+        F.when(
+            F.col(f"`{c.column}`").isNotNull(),
+            F.create_map(
+                F.lit("type"), F.lit(c.value_type),
+                F.lit("value"), F.col(f"`{c.column}`").cast("string"),
+            ),
+        )
+        for c in conv
+        if c.kind == "attachment"
+    ]
+    annotation_entries = [
+        F.when(
+            F.col(f"`{c.column}`").isNotNull(),
+            F.create_map(
+                F.lit("type"), F.lit(c.value_type),
+                F.lit("name"), F.lit(c.name),
+                F.lit("value"), F.col(f"`{c.column}`").cast("string"),
+            ),
+        )
+        for c in conv
+        if c.kind == "annotation"
+    ]
+
+    def _compact(entries):
+        arr = F.array(*entries) if entries else F.array().cast("array<map<string,string>>")
+        return F.filter(arr, lambda x: x.isNotNull())
+
+    uploads = F.struct(
+        F.struct(
+            F.col(row_data_col).cast("string").alias("row_data"),
+            gk.cast("string").alias("global_key"),
+            ext.cast("string").alias("external_id"),
+            _compact(metadata_entries).alias("metadata_fields"),
+            _compact(attachment_entries).alias("attachments"),
+        ).alias("data_row"),
+        F.lit(dataset_id).cast("string").alias("dataset_id"),
+        F.lit(project_id).cast("string").alias("project_id"),
+        _compact(annotation_entries).alias("annotations"),
+    )
+    return df.withColumn(uploads_col, uploads)
+
+
+def upsert_keys(
+    df: DataFrame,
+    existing: DataFrame,
+    key_col: str = "global_key",
+    mode: str = "skip",
+    divider: str = DIVIDER,
+    order_by: str | None = None,
+) -> DataFrame:
+    """J3 rebuilt: reconcile incoming keys against existing ones.
+
+    mode='skip'   -> drop rows whose key already exists (left-anti join;
+                     reference `skip_duplicates=True`, client.py:217).
+    mode='suffix' -> keep them, renaming key to `key{div}{n}` with a
+                     deterministic per-key counter (window row_number;
+                     reference appends a divider suffix, client.py:218-219).
+                     Pass ``order_by`` (a column name) for a reproducible
+                     counter; default falls back to input order.
+    """
+    keys = existing.select(F.col(key_col).alias("_existing_key")).distinct()
+    if mode == "skip":
+        return df.join(
+            F.broadcast(keys), df[key_col] == keys["_existing_key"], "left_anti"
+        )
+    if mode == "suffix":
+        flagged = df.join(
+            F.broadcast(keys), df[key_col] == keys["_existing_key"], "left"
+        )
+        order_expr = F.col(order_by) if order_by else F.monotonically_increasing_id()
+        w = Window.partitionBy(key_col).orderBy(order_expr)
+        return (
+            flagged.withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                key_col,
+                F.when(
+                    F.col("_existing_key").isNotNull(),
+                    F.concat(F.col(key_col), F.lit(divider), F.col("_rn").cast("string")),
+                ).otherwise(F.col(key_col)),
+            )
+            .drop("_existing_key", "_rn")
+        )
+    raise ValueError(f"mode must be 'skip' or 'suffix', got {mode!r}")
+
+
+def lookup_join(
+    df: DataFrame,
+    lookup: DataFrame,
+    key_col: str,
+    value_col: str,
+    target_col: str,
+    default_col: str | None = None,
+) -> DataFrame:
+    """J2/U7 rebuilt: broadcast left join + coalesce.
+
+    Replaces the reference's driver-dict-as-JSON-literal probe
+    (`update_metadata.py:42-51`): the lookup side is a real DataFrame,
+    broadcast once, no per-row JSON parse. ``default_col`` supplies the
+    fallback (sync_function's keep-current-value semantics).
+    """
+    small = F.broadcast(
+        lookup.select(
+            F.col(key_col).alias("_lk_key"), F.col(value_col).alias("_lk_val")
+        ).dropDuplicates(["_lk_key"])
+    )
+    joined = df.join(small, df[key_col] == small["_lk_key"], "left")
+    fallback = F.col(default_col) if default_col else F.lit(None)
+    return joined.withColumn(target_col, F.coalesce(F.col("_lk_val"), fallback)).drop(
+        "_lk_key", "_lk_val"
+    )

@@ -1,0 +1,54 @@
+"""Plan-inspection helpers (100 TB discipline enforcement).
+
+Used by tests to assert the physical plan is the one we want — filters
+pushed to the parquet scan, projections pruned, broadcasts where
+expected, codegen spans present — not just that results are correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    plan = formatted_plan(df)
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from the scan (column-pruning check)."""
+    plan = formatted_plan(df)
+    cols: list[str] = []
+    for line in plan.splitlines():
+        line = line.strip()
+        if line.startswith("ReadSchema:"):
+            inner = line.split("struct<", 1)[-1].rstrip(">")
+            cols.extend(part.split(":")[0].strip() for part in inner.split(",") if part)
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def count_shuffles(df: DataFrame) -> int:
+    return formatted_plan(df).count("Exchange")
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of whole-stage-codegen stages in the FINAL (post-AQE)
+    physical plan. Executes the frame (AQE only finalizes plans at
+    runtime), then counts codegen stage markers."""
+    df.collect()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    return max(text.count("WholeStageCodegen"), text.count("*("))

@@ -1,0 +1,1312 @@
+"""Declared query registry — the t2 correctness contract (SURVEY §2.9).
+
+Every entry pairs a Spark implementation (spark, sf_dir) -> DataFrame
+with an ANSI-SQL oracle DuckDB runs on the same parquet views. Column
+names AND types are aligned on both sides; floating-point results follow
+the determinism rules decided in SURVEY §2.9:
+
+- money sums:  round to 2dp -> DECIMAL(18,2) -> exact sum -> DOUBLE
+  (identical IEEE inputs => identical decimal => identical double)
+- ratios/avgs: numerator and denominator identical on both sides, one
+  double division, round(6)
+- every top-k has a total tiebreak so LIMIT is deterministic
+- approximate operators (approx_count_distinct, MinHash-LSH, SimHash,
+  LSH/IVF ANN) ship WITHOUT an oracle entry (driver rows-only check);
+  their recall against exact ground truth is asserted in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from labelspark_spark.functions import text as T
+from labelspark_spark.functions import vectors as V
+from labelspark_spark.operators import asof as asof_ops
+from labelspark_spark.operators import dedup as dd
+from labelspark_spark.operators import enrich as enrich_ops
+from labelspark_spark.operators import flatten as flatten_ops
+from labelspark_spark.operators import multimodal as mm
+from labelspark_spark.operators import silver as silver_ops
+from labelspark_spark.operators import similarity as sim
+from labelspark_spark.operators import uploads as up
+
+
+from labelspark_spark.sources.readers import read_table as _t  # noqa: E402
+
+
+def _money(col) -> F.Column:
+    """Deterministic money sum: floor(x*100 + 0.5) cents (pure IEEE ops,
+    bit-identical across engines — NOT round(), whose half-up-on-shortest-
+    decimal-string semantics diverge from DuckDB's binary rounding on
+    values like 70160.805), exact bigint sum, one double division."""
+    return F.sum(F.floor(col * 100 + F.lit(0.5))).cast("double") / 100.0
+
+
+MONEY_SQL = "CAST(SUM(CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
+
+# DuckDB fragment: whitespace tokens of a text column (matches
+# labelspark_spark.functions.text.whitespace_tokens).
+TOKS_SQL = "list_filter(string_split_regex(trim({c}), '\\s+'), x -> x <> '')"
+# DuckDB fragment: normalized text (matches text.normalize_text).
+NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+# --------------------------------------------------------------------------
+# 1-3: scan / cast / filter
+# --------------------------------------------------------------------------
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-1: parquet scan + projection + rename + literal (S5/P1/P4/P5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.lit("lineitem").alias("src"),
+    )
+
+
+SQL_SCAN_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_extendedprice AS price,
+       'lineitem' AS src
+FROM lineitem
+"""
+
+
+def q_cast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-2: cast enrichment (P6, dataframe_schema_enrichment.py:8-15)."""
+    o = enrich_ops.enrich_types(
+        _t(spark, sf_dir, "orders"), {"o_orderpriority": "string"}, errors="raise"
+    )
+    return o.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("price_cents"),
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+    )
+
+
+SQL_CAST_ENRICH = """
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+FROM orders
+"""
+
+
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-3: =, BETWEEN, IN, LIKE, IS NULL, AND/OR/NOT (P9 gap-fill)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & F.col("l_quantity").between(5, 45)
+        & F.col("l_linestatus").isin("F", "O")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & ~(F.col("l_discount") < 0.01)
+        & F.col("l_returnflag").isNotNull()
+        & (F.col("l_returnflag").like("%R%") | (F.col("l_linenumber") == 0))
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+SQL_FILTER_PREDICATES = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_returnflag = 'R'
+  AND l_quantity BETWEEN 5 AND 45
+  AND l_linestatus IN ('F', 'O')
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND NOT (l_discount < 0.01)
+  AND l_returnflag IS NOT NULL
+  AND (l_returnflag LIKE '%R%' OR l_linenumber = 0)
+"""
+
+
+# --------------------------------------------------------------------------
+# 4-8: aggregation flagships and joins
+# --------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (§2.4 gap-fill; flagship agg)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _money(F.col("l_quantity")).alias("sum_qty"),
+        _money(F.col("l_extendedprice")).alias("sum_base_price"),
+        _money(disc_price).alias("sum_disc_price"),
+        _money(charge).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+SQL_Q1 = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         {MONEY_SQL.format(x='l_quantity')} AS sum_qty,
+         {MONEY_SQL.format(x='l_extendedprice')} AS sum_base_price,
+         {MONEY_SQL.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+         {MONEY_SQL.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+         CAST(COUNT(*) AS BIGINT) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       sum_charge,
+       sum_qty / count_order AS avg_qty,
+       sum_base_price / count_order AS avg_price,
+       count_order
+FROM agg
+"""
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + deterministic top-10 (J1/T1)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {MONEY_SQL.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-03-15'
+  AND l_shipdate > TIMESTAMP '2000-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-4: left outer join + per-key agg."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _money(F.col("o_totalprice")).alias("total_spent"),
+        )
+    )
+
+
+SQL_JOIN_LEFT = f"""
+SELECT c_custkey,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       {MONEY_SQL.format(x='o_totalprice')} AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-4: right outer join (orders RIGHT JOIN customer)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+SQL_JOIN_RIGHT = """
+SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-4: full outer join over the distinct nation-key sets."""
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("ck")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("sk")).distinct()
+    return cn.join(sn, cn.ck == sn.sk, "full").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.col("ck").isNotNull().cast("int").alias("has_cust"),
+        F.col("sk").isNotNull().cast("int").alias("has_supp"),
+    )
+
+
+SQL_JOIN_FULL = """
+SELECT COALESCE(ck, sk) AS nationkey,
+       CAST(ck IS NOT NULL AS INTEGER) AS has_cust,
+       CAST(sk IS NOT NULL AS INTEGER) AS has_supp
+FROM (SELECT DISTINCT c_nationkey AS ck FROM customer) c
+FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS sk FROM supplier) s ON ck = sk
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-4: left semi join (J3 skip-side semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-4: left anti join (J3 skip_duplicates, client.py:217)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey"
+    )
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 rebuilt: broadcast lookup join + coalesce fallback
+    (update_metadata.py:33-51 semantics, zero per-row JSON parsing)."""
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_nationkey", "n_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    out = up.lookup_join(
+        cust, nation, key_col="n_nationkey", value_col="n_name", target_col="nation_name"
+    )
+    return out.select(
+        "c_custkey", F.coalesce("nation_name", F.lit("UNKNOWN")).alias("nation_name")
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT c_custkey, COALESCE(n_name, 'UNKNOWN') AS nation_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 gap row: cross join (small dims)."""
+    region = _t(spark, sf_dir, "region").select("r_name")
+    seg = _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return region.crossJoin(seg)
+
+
+SQL_JOIN_CROSS = """
+SELECT r_name, c_mktsegment
+FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+"""
+
+
+# --------------------------------------------------------------------------
+# counts / distinct / grouping analytics
+# --------------------------------------------------------------------------
+
+def q_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-5: count / countDistinct in ONE aggregation (the reference
+    double-scans: uploader.py:76-81)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey", "l_linestatus").alias("n_supp_status"),
+    )
+
+
+SQL_AGG_COUNTS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT (l_suppkey, l_linestatus)) AS BIGINT) AS n_supp_status
+FROM lineitem
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 approximate variant — declared approximate, rows-only check;
+    error bound asserted in tests/."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-6: rollup."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _money(F.col("o_totalprice")).alias("total")
+    )
+
+
+SQL_ROLLUP = f"""
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       {MONEY_SQL.format(x='o_totalprice')} AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-6: cube."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-6: GROUPING SETS via the SQL surface (S8 temp views)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-7: pivot-wide with pinned values (A5 discipline: unpinned
+    pivot = an extra distinct pass over all data)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    pivoted = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return pivoted.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+FROM events GROUP BY user_id
+"""
+
+
+def q_explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-7: explode + group-count, deterministic top-20 (A4)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.whitespace_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+SQL_EXPLODE_TOKENS = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest({TOKS_SQL.format(c='text')}) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_array_join_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-8: array_join fold (A6, add_json_answers_to_dictionary.py:26-30)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(T.whitespace_tokens(F.col("text")), 1, 5), ",").alias("head5"),
+    )
+
+
+SQL_ARRAY_JOIN = f"""
+SELECT doc_id, array_to_string({TOKS_SQL.format(c='text')}[1:5], ',') AS head5
+FROM documents
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-9: orderBy + limit with total tiebreak (TakeOrderedAndProject)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# set ops and windows
+# --------------------------------------------------------------------------
+
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cn.union(sn).distinct()
+
+
+SQL_SET_UNION = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION SELECT s_nationkey FROM supplier
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cn.intersect(sn)
+
+
+SQL_SET_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT SELECT s_nationkey FROM supplier
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cn.subtract(sn)
+
+
+SQL_SET_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT SELECT s_nationkey FROM supplier
+"""
+
+
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL."""
+    all_status = _t(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("status"))
+    old_status = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") < 1998)
+        .select(F.col("o_orderstatus").alias("status"))
+    )
+    return all_status.exceptAll(old_status)
+
+
+SQL_SET_EXCEPT_ALL = """
+SELECT o_orderstatus AS status FROM orders
+EXCEPT ALL
+SELECT o_orderstatus FROM orders WHERE year(o_orderdate) < 1998
+"""
+
+
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+SQL_DISTINCT_ROWS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_window_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-11: ranking window (J3 dedupe-suffix machinery)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_WINDOW_ROWNUM = """
+SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn
+FROM (SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+
+
+SQL_WINDOW_LAG_LEAD = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_orderkey) OVER w AS next_key
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-11: running sum with an explicit rows frame (exact decimal)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+    # running sums over order-by ties are engine-dependent, so the sort
+    # must be total over every column the frame aggregates.
+    order_cols = ["l_linenumber", "l_quantity", "l_extendedprice", "l_partkey", "l_suppkey"]
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w3 = Window.partitionBy("l_orderkey").orderBy(*order_cols).rowsBetween(-2, 0)
+    cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("run_qty"),
+        (
+            (F.sum(cents).over(w3).cast("double") / 100.0) / F.count(F.lit(1)).over(w3)
+        ).alias("mavg_qty"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+           AS run_qty,
+       (CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+            OVER w3 AS DOUBLE) / 100.0) / COUNT(*) OVER w3 AS mavg_qty
+FROM lineitem
+WINDOW w3 AS (PARTITION BY l_orderkey
+              ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# nested / json / string / date
+# --------------------------------------------------------------------------
+
+def q_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-12: struct build + schema-walk flatten (P2/P3 rebuilt)."""
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(F.col("event_type"), F.col("value")).alias("payload"),
+        F.from_json("props", "k int").getField("k").alias("k"),
+    )
+    return flatten_ops.flatten_structs(nested, sep="_")
+
+
+SQL_NESTED_FLATTEN = """
+SELECT event_id, event_type AS payload_event_type, value AS payload_value,
+       CAST(props->>'$.k' AS INTEGER) AS k
+FROM events
+"""
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-13: from_json -> to_json round trip + get_json_object (F4)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct(F.from_json("props", "k int").getField("k").alias("k"))).alias(
+            "rebuilt"
+        ),
+        F.get_json_object("props", "$.k").alias("extracted"),
+    )
+
+
+SQL_JSON_ROUNDTRIP = """
+SELECT event_id,
+       CAST(to_json(struct_pack(k := CAST(props->>'$.k' AS INTEGER))) AS VARCHAR) AS rebuilt,
+       props->>'$.k' AS extracted
+FROM events
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-14: concat/split/upper/lower/trim/substring/regexp_extract (F1/F3)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trim"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       LOWER(p_brand) AS brand_lower,
+       p_name[1:5] AS name_head,
+       TRIM('  ' || p_name || '  ') AS name_trim,
+       regexp_extract(p_name, '^[a-z]+') AS first_word,
+       p_brand || '#' || p_type AS brand_type,
+       string_split(p_type, ' ')[1] AS type_head
+FROM part
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-15: date extraction/arithmetic + MM/dd/yyyy hh:mm a round trip
+    (F7, constants.py:4-5 timestamp enrichment)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_add(d, 30).cast("string").alias("plus30"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.to_timestamp(
+            F.date_format("o_orderdate", "MM/dd/yyyy hh:mm a"), "MM/dd/yyyy hh:mm a"
+        ).alias("roundtrip_ts"),
+    )
+
+
+SQL_DATE_FUNCS = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+           AS days_since,
+       strptime(strftime(o_orderdate, '%m/%d/%Y %I:%M %p'), '%m/%d/%Y %I:%M %p')
+           AS roundtrip_ts
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# silver / connector surface
+# --------------------------------------------------------------------------
+
+def q_silver_answers_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 rebuilt: classification entries -> wide answer columns
+    (bronze_to_silver.py:31-43 as explode->window->pivot)."""
+    docs = _t(spark, sf_dir, "documents")
+    bronze = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(F.lit("lang").alias("title"), F.col("lang").alias("answer")),
+            F.struct(F.lit("source").alias("title"), F.col("source").alias("answer")),
+        ).alias("entries"),
+    )
+    return silver_ops.answers_wide(bronze, ["doc_id"], "entries", titles=["lang", "source"])
+
+
+SQL_SILVER_ANSWERS = "SELECT doc_id, lang, source FROM documents"
+
+
+def q_silver_object_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 rebuilt: object title counts -> `<title>.count` columns
+    (bronze_to_silver.py:48-54 as explode->groupBy->pivot)."""
+    docs = _t(spark, sf_dir, "documents")
+    bronze = docs.select(
+        "doc_id",
+        F.transform(
+            T.whitespace_tokens(F.col("text")), lambda t: F.struct(t.alias("title"))
+        ).alias("objs"),
+    )
+    return silver_ops.object_counts_wide(
+        bronze, ["doc_id"], "objs", titles=["data", "spark", "table"]
+    )
+
+
+SQL_SILVER_OBJECTS = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL.format(c='text')} AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN len(list_filter(toks, x -> x = 'data')) > 0
+            THEN CAST(len(list_filter(toks, x -> x = 'data')) AS BIGINT) END AS "data.count",
+       CASE WHEN len(list_filter(toks, x -> x = 'spark')) > 0
+            THEN CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) END AS "spark.count",
+       CASE WHEN len(list_filter(toks, x -> x = 'table')) > 0
+            THEN CAST(len(list_filter(toks, x -> x = 'table')) AS BIGINT) END AS "table.count"
+FROM t
+"""
+
+
+def q_uploads_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U4 rebuilt: the whole uploads struct as ONE native projection
+    (vs. the reference's 4-UDF chain, uploader.py:157-195)."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        F.col("text").alias("row_data"),
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("global_key"),
+        F.nullif(F.col("source"), F.lit("web")).alias("metadata///string///src"),
+        F.col("lang").alias("metadata///enum///lang"),
+        F.col("text").alias("attachment///raw_text///content"),
+        F.col("lang").alias("annotation///text///lang_label"),
+    )
+    built = up.build_uploads(staged, row_data_col="row_data", global_key_col="global_key")
+    u = F.col("uploads")
+    return built.select(
+        "global_key",
+        u.getField("data_row").getField("external_id").alias("external_id"),
+        F.size(u.getField("data_row").getField("metadata_fields")).alias("n_meta"),
+        F.size(u.getField("data_row").getField("attachments")).alias("n_att"),
+        F.size(u.getField("annotations")).alias("n_ann"),
+    )
+
+
+SQL_UPLOADS_BUILD = """
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS global_key,
+       'doc-' || CAST(doc_id AS VARCHAR) AS external_id,
+       CAST(CASE WHEN NULLIF(source, 'web') IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS n_meta,
+       CAST(1 AS INTEGER) AS n_att,
+       CAST(1 AS INTEGER) AS n_ann
+FROM documents
+"""
+
+
+def q_upsert_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 skip mode: left-anti against existing keys (client.py:217)."""
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.select(
+        "doc_id", F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("global_key")
+    )
+    existing = docs.filter(F.col("doc_id") < 100).select(
+        F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("global_key")
+    )
+    return up.upsert_keys(incoming, existing, key_col="global_key", mode="skip")
+
+
+SQL_UPSERT_SKIP = """
+SELECT doc_id, 'k' || CAST(doc_id AS VARCHAR) AS global_key
+FROM documents WHERE doc_id >= 100
+"""
+
+
+def q_upsert_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 suffix mode: deterministic dedupe-suffix via window row_number
+    (client.py:218-219)."""
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.select(
+        "doc_id",
+        F.concat(F.lit("k"), (F.col("doc_id") % 50).cast("string")).alias("global_key"),
+    )
+    existing = docs.filter(F.col("doc_id") < 25).select(
+        F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("global_key")
+    )
+    return up.upsert_keys(
+        incoming, existing, key_col="global_key", mode="suffix", order_by="doc_id"
+    )
+
+
+SQL_UPSERT_SUFFIX = """
+WITH inc AS (
+  SELECT doc_id, 'k' || CAST(doc_id % 50 AS VARCHAR) AS k FROM documents
+), ex AS (
+  SELECT DISTINCT 'k' || CAST(doc_id AS VARCHAR) AS k FROM documents WHERE doc_id < 25
+), ranked AS (
+  SELECT doc_id, inc.k,
+         ROW_NUMBER() OVER (PARTITION BY inc.k ORDER BY doc_id) AS rn,
+         inc.k IN (SELECT k FROM ex) AS hit
+  FROM inc
+)
+SELECT doc_id,
+       CASE WHEN hit THEN k || '///' || CAST(rn AS VARCHAR) ELSE k END AS global_key
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
+# north-star: dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep lowest-id row per normalized-text fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "text", "doc_id").select("doc_id")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM (SELECT doc_id, md5({NORM_SQL.format(c='text')}) AS fp FROM documents)
+GROUP BY fp
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (ground truth for MinHash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2, shingle_words=3)
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL.format(c=NORM_SQL.format(c='text'))} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+), posting AS (
+  SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, COUNT(*) AS i
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, i * 1.0 / (n_a + n_b - i) AS jaccard
+FROM inter WHERE i * 1.0 / (n_a + n_b - i) >= 0.2
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — approximate (banding misses some
+    pairs); rows-only driver check, recall vs ngram ground truth in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.2)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — approximate, rows-only driver check."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs (exact pairwise, cosine >= 0.4)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.4)
+
+
+SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# north-star: similarity search
+# --------------------------------------------------------------------------
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors (exact ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.brute_force_topk(emb, queries, k=5)
+
+
+SQL_SIMILARITY_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — approximate, rows-only; recall bound in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.lsh_ann_topk(emb, queries, k=5, num_planes=6, dim=64)
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over label-centroids — approximate, rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    centroids = (
+        emb.groupBy("label")
+        .agg(F.array(*[F.avg(F.col("embedding")[i]) for i in range(dim)]).alias("centroid"))
+        .select(F.col("label").alias("centroid_id"), "centroid")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# north-star: text analysis
+# --------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tok"),
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+_SW = "('the','and','of','to','in','is','that','it','for','with')"
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKS_SQL.format(c='text')} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tok,
+         (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+             * 1.0 / greatest(length(text), 1) AS praw,
+         len(list_filter(toks, x -> lower(x) IN {_SW}))
+             * 1.0 / greatest(len(toks), 1) AS sraw
+  FROM t
+)
+SELECT doc_id, n_tok,
+       ROUND(praw, 6) AS punct_ratio,
+       ROUND(sraw, 6) AS stop_ratio,
+       ROUND(CAST(n_tok BETWEEN 5 AND 5000 AS INTEGER) * 0.4
+             + CAST(praw < 0.3 AS INTEGER) * 0.3
+             + CAST(sraw > 0.01 AND sraw < 0.7 AS INTEGER) * 0.3, 6) AS quality
+FROM m
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language ID with a deterministic argmax chain."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", *T.lang_scores(F.col("text")))
+    en, fr, es, de = (F.col(f"score_{x}") for x in ("en", "fr", "es", "de"))
+    pred = (
+        F.when((en == 0) & (fr == 0) & (es == 0) & (de == 0), F.lit("und"))
+        .when((en >= fr) & (en >= es) & (en >= de), F.lit("en"))
+        .when((fr >= es) & (fr >= de), F.lit("fr"))
+        .when(es >= de, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"), "score_en", "score_fr", "score_es", "score_de"
+    )
+
+
+def _lang_in(words: list[str]) -> str:
+    return "(" + ",".join(f"'{w}'" for w in words) + ")"
+
+
+SQL_TEXT_LANGID = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL.format(c='text')} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(list_filter(toks, x -> lower(x) IN {_lang_in(T.LANG_PROFILES['en'])})) AS INTEGER) AS score_en,
+    CAST(len(list_filter(toks, x -> lower(x) IN {_lang_in(T.LANG_PROFILES['fr'])})) AS INTEGER) AS score_fr,
+    CAST(len(list_filter(toks, x -> lower(x) IN {_lang_in(T.LANG_PROFILES['es'])})) AS INTEGER) AS score_es,
+    CAST(len(list_filter(toks, x -> lower(x) IN {_lang_in(T.LANG_PROFILES['de'])})) AS INTEGER) AS score_de
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN score_en = 0 AND score_fr = 0 AND score_es = 0 AND score_de = 0 THEN 'und'
+            WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de THEN 'en'
+            WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+            WHEN score_es >= score_de THEN 'es'
+            ELSE 'de' END AS pred_lang,
+       score_en, score_fr, score_es, score_de
+FROM s
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.regex_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len({TOKS_SQL.format(c='text')}) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER)
+           AS bpe_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id, md5({NORM_SQL.format(c='text')}) AS fp FROM documents
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column + JVM-side metadata
+    (octet length, digest) — no decode, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content"))
+    with_meta = mm.attach_media_meta(media, "content", kind="text")
+    return with_meta.select("doc_id", "n_bytes", "digest", "kind")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+       md5(text) AS digest,
+       'text' AS kind
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# streaming-shaped (batch-checked) + temporal joins
+# --------------------------------------------------------------------------
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: tumbling-window agg (batch twin of the streaming builder)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {MONEY_SQL.format(x='value')} AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: session windows (gap 10 min) — batch twin of streaming."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (§2.3 gap row): latest order at-or-before each event,
+    per user. Union+window formulation — one shuffle, no range blowup."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    latest = (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey")
+    )
+    joined = asof_ops.asof_join(
+        ev, latest, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+    return joined.select("event_id", "user_id", F.col("o_orderkey").alias("last_orderkey"))
+
+
+SQL_ASOF_JOIN = """
+WITH latest AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), l AS (SELECT * FROM latest WHERE rn = 1)
+SELECT e.event_id, e.user_id, l.o_orderkey AS last_orderkey
+FROM events e ASOF LEFT JOIN l
+  ON e.user_id = l.o_custkey AND e.ts >= l.o_orderdate
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval containment) join: parts into price bands."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("b900", 900.0, 925.0), ("b925", 925.0, 950.0),
+         ("b950", 950.0, 975.0), ("b975", 975.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = asof_ops.range_join(
+        part, F.broadcast(bands), on=[], left_point="p_retailprice",
+        right_start="lo", right_end="hi",
+    )
+    return joined.select("p_partkey", "band")
+
+
+SQL_RANGE_JOIN = """
+SELECT p_partkey, band
+FROM part
+JOIN (VALUES ('b900', 900.0, 925.0), ('b925', 925.0, 950.0),
+             ('b950', 950.0, 975.0), ('b975', 975.0, 1000.0)) AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+# name -> (spark_fn, oracle_sql_or_None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "scan_project": (q_scan_project, SQL_SCAN_PROJECT),
+    "cast_enrich": (q_cast_enrich, SQL_CAST_ENRICH),
+    "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
+    "join_left_outer": (q_join_left_outer, SQL_JOIN_LEFT),
+    "join_right_outer": (q_join_right_outer, SQL_JOIN_RIGHT),
+    "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL),
+    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
+    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
+    "join_broadcast_lookup": (q_join_broadcast_lookup, SQL_JOIN_BROADCAST),
+    "join_cross": (q_join_cross, SQL_JOIN_CROSS),
+    "agg_counts": (q_agg_counts, SQL_AGG_COUNTS),
+    "approx_distinct": (q_approx_distinct, None),
+    "rollup_agg": (q_rollup_agg, SQL_ROLLUP),
+    "cube_agg": (q_cube_agg, SQL_CUBE),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENTS),
+    "explode_token_counts": (q_explode_token_counts, SQL_EXPLODE_TOKENS),
+    "array_join_fold": (q_array_join_fold, SQL_ARRAY_JOIN),
+    "topk_orders": (q_topk_orders, SQL_TOPK),
+    "set_union_distinct": (q_set_union_distinct, SQL_SET_UNION),
+    "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),
+    "set_except": (q_set_except, SQL_SET_EXCEPT),
+    "set_except_all": (q_set_except_all, SQL_SET_EXCEPT_ALL),
+    "distinct_rows": (q_distinct_rows, SQL_DISTINCT_ROWS),
+    "window_rownum": (q_window_rownum, SQL_WINDOW_ROWNUM),
+    "window_lag_lead": (q_window_lag_lead, SQL_WINDOW_LAG_LEAD),
+    "window_running_sum": (q_window_running_sum, SQL_WINDOW_RUNNING),
+    "nested_flatten": (q_nested_flatten, SQL_NESTED_FLATTEN),
+    "json_roundtrip": (q_json_roundtrip, SQL_JSON_ROUNDTRIP),
+    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "date_funcs": (q_date_funcs, SQL_DATE_FUNCS),
+    "silver_answers_pivot": (q_silver_answers_pivot, SQL_SILVER_ANSWERS),
+    "silver_object_counts": (q_silver_object_counts, SQL_SILVER_OBJECTS),
+    "uploads_build": (q_uploads_build, SQL_UPLOADS_BUILD),
+    "upsert_skip": (q_upsert_skip, SQL_UPSERT_SKIP),
+    "upsert_suffix": (q_upsert_suffix, SQL_UPSERT_SUFFIX),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
+    "similarity_lsh": (q_similarity_lsh, None),
+    "similarity_ivf": (q_similarity_ivf, None),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

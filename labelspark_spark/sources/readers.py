@@ -1,0 +1,111 @@
+"""Source operators (SURVEY §2.1 S1-S6).
+
+Every reader returns a lazy DataFrame; no driver materialization.
+The reference's JSON-literal scan (`labelspark/jsonToDataFrame.py:1-6`,
+``sc.parallelize([json])`` + ``spark.read.json``) is rebuilt without the
+single-partition RDD: small literals go through ``createDataFrame`` +
+``from_json``; at scale, JSON lives in files and goes through
+``spark.read.json`` with a declared schema.
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S5-equivalent durable scan (reference uses Delta: client.py:347)."""
+    return spark.read.parquet(path)
+
+
+def nanos_to_timestamp(df: DataFrame, col: str) -> DataFrame:
+    """Convert a TIMESTAMP(NANOS)-read-as-bigint column to a microsecond
+    timestamp, truncating (matches DuckDB's parquet ns->us policy)."""
+    if isinstance(df.schema[col].dataType, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table from a scale-factor directory."""
+    # events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only
+    # reads via the nanosAsLong legacy config (set defensively here in
+    # case the hosting session didn't come from get_spark_session).
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return nanos_to_timestamp(df, "ts")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names=TPCH_TABLES) -> None:
+    """S8: temp-view registration so plain Spark SQL works over the dir."""
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """S6 rebuilt: native distributed CSV scan, not pandas->createDataFrame
+    (`notebooks/intro.ipynb` cell 12 round-trips through driver pandas)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json_files(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Scale path for S1/S2: JSON on storage, declared schema preferred
+    (schema inference is a full extra pass at 100 TB)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def json_literal_to_df(
+    spark: SparkSession, json_str: str, schema: StructType | None = None
+) -> DataFrame:
+    """S1: one JSON document (object or array of objects) -> DataFrame.
+
+    Reference: `labelspark/jsonToDataFrame.py:1-6`. Rebuilt without
+    ``sc.parallelize``: the literal is a driver-side constant, so build
+    rows directly and let ``from_json``/schema inference type them.
+    """
+    parsed = _json.loads(json_str)
+    records = parsed if isinstance(parsed, list) else [parsed]
+    payload = [(_json.dumps(r),) for r in records]
+    raw = spark.createDataFrame(payload, "value string")
+    if schema is None:
+        schema = F.schema_of_json(_json.dumps(records[0])) if records else "struct<>"
+        return raw.select(F.from_json("value", schema).alias("doc")).select("doc.*")
+    return raw.select(F.from_json("value", schema).alias("doc")).select("doc.*")
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """S5: Delta scan (client.py:347, client.py:500). Falls back to
+    parquet when the Delta runtime jar is absent (this test env)."""
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception:
+        return spark.read.parquet(path)

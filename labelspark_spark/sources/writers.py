@@ -1,0 +1,80 @@
+"""Sink operators (SURVEY §2.1 S7-S9).
+
+The reference's REST sink collects the whole dataset to the driver and
+POSTs serial 10k batches (`create_labelbox_dataset.py:188-210`,
+`uploader.py:93-105`). At 100 TB that is a non-starter: our sink streams
+partition-local batches through ``foreachPartition`` with a pluggable
+transport, so the driver never holds the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+VALID_MODES = ("append", "overwrite")
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S7 durable sink. Mode validation mirrors client.py:120-121."""
+    if mode not in VALID_MODES:
+        raise ValueError(f"write mode must be one of {VALID_MODES}, got {mode!r}")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S7: Delta sink (client.py:146). Parquet fallback when no Delta jar."""
+    if mode not in VALID_MODES:
+        raise ValueError(f"write mode must be one of {VALID_MODES}, got {mode!r}")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    try:
+        writer.format("delta").save(path)
+    except Exception:
+        writer.parquet(path)
+
+
+def register_view(df: DataFrame, name: str) -> None:
+    """S8: SQL registration (notebooks/intro.ipynb cell 14)."""
+    df.createOrReplaceTempView(name)
+
+
+def rest_sink(
+    df: DataFrame,
+    post_batch: Callable[[list[dict]], None],
+    batch_size: int = 10_000,
+) -> None:
+    """S9 rebuilt: partition-parallel batched POST.
+
+    Reference collects everything to the driver then loops serial batches
+    of 10,000 (`create_labelbox_dataset.py:35,188-210`). Here each
+    executor partition drains itself in ``batch_size`` chunks; the
+    transport is injected so tests never need a live service.
+    """
+
+    def _drain(rows: Iterator) -> None:
+        buf: list[dict] = []
+        for row in rows:
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= batch_size:
+                post_batch(buf)
+                buf = []
+        if buf:
+            post_batch(buf)
+
+    df.foreachPartition(_drain)

@@ -1,0 +1,3 @@
+from labelspark_spark.streaming import events
+
+__all__ = ["events"]

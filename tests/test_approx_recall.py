@@ -1,0 +1,121 @@
+"""Recall / error bounds for the approximate operators (the declared
+non-oracle queries): MinHash-LSH and SimHash vs exact n-gram Jaccard,
+LSH/IVF ANN vs brute force, approx_count_distinct vs exact."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from labelspark_spark.operators import dedup, similarity
+from labelspark_spark.sources import read_table
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return read_table(spark, SF_SMOKE, "documents")
+
+
+def _emb(spark):
+    return read_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert exact, "test needs at least one true near-dup pair"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"MinHash-LSH recall {recall:.2f} < 0.8"
+    # verification step guarantees no false positives above threshold
+    assert approx <= exact | approx  # sanity; approx pairs are exact-verified
+    for r in dedup.minhash_lsh_pairs(_docs(spark), threshold=0.5).collect():
+        assert r.jaccard >= 0.5
+
+
+def test_minhash_signature_portable(spark):
+    """Replay the md5-based minhash in pure Python — signatures must match."""
+    import hashlib
+
+    df = _docs(spark).limit(3)
+    sh = df.select(
+        "doc_id",
+        F.array_distinct(
+            __import__(
+                "labelspark_spark.functions.text", fromlist=["word_shingles"]
+            ).word_shingles(F.col("text"), 3)
+        ).alias("sh"),
+    )
+    sig_df = sh.select(
+        "doc_id", dedup.minhash_signature(F.col("sh"), num_hashes=8).alias("sig")
+    )
+    rows = {r.doc_id: (r_sh, r.sig) for r, r_sh in zip(sig_df.collect(), [x.sh for x in sh.collect()])}
+    params = dedup._perm_params(8, 42)
+    for doc_id, (shingles, sig) in rows.items():
+        base = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
+        expect = [
+            min((a * h + b) % dedup.MINHASH_PRIME for h in base) for a, b in params
+        ]
+        assert list(sig) == expect, f"doc {doc_id} signature mismatch"
+
+
+def test_simhash_close_for_near_dups(spark):
+    """True near-dups (jaccard>=0.8) should sit within small hamming."""
+    docs = _docs(spark)
+    near = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    hashed = docs.select(
+        F.col("doc_id"), dedup.simhash(F.col("text")).alias("h")
+    )
+    a = hashed.select(F.col("doc_id").alias("id_a"), F.col("h").alias("ha"))
+    b = hashed.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb"))
+    joined = near.join(a, "id_a").join(b, "id_b").select(
+        dedup.hamming64(F.col("ha"), F.col("hb")).alias("d")
+    )
+    dists = [r.d for r in joined.collect()]
+    assert dists, "need near-dup pairs"
+    assert sum(d <= 8 for d in dists) / len(dists) >= 0.8
+
+
+def test_lsh_ann_recall(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_ann_topk(emb, queries, k=5, num_planes=4, dim=64)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"LSH ANN recall {recall:.2f} too low even for 4 planes"
+    # self-neighbor is always in the same bucket
+    assert all((q, q) in a for q in range(10))
+
+
+def test_ivf_self_neighbor(spark):
+    emb = _emb(spark)
+    dim = 64
+    centroids = (
+        emb.groupBy("label")
+        .agg(F.array(*[F.avg(F.col("embedding")[i]) for i in range(dim)]).alias("centroid"))
+        .select(F.col("label").alias("centroid_id"), "centroid")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    pairs = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    assert all((q, q) in pairs for q in range(5))
+
+
+def test_approx_count_distinct_error(spark):
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("a"),
+        F.countDistinct("l_orderkey").alias("e"),
+    ).collect()[0]
+    assert abs(row.a - row.e) / row.e < 0.05

@@ -1,0 +1,187 @@
+"""Unit tests for the operator library (beyond oracle parity)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import ArrayType, StructType
+
+from labelspark_spark.operators import enrich, flatten, multimodal, silver, uploads
+from labelspark_spark.sources import json_literal_to_df
+
+from .conftest import SF_SMOKE
+
+
+def test_json_literal_to_df_infers_nested(spark):
+    df = json_literal_to_df(
+        spark, '[{"a": 1, "b": {"c": "x"}}, {"a": 2, "b": {"c": "y"}}]'
+    )
+    rows = df.orderBy("a").collect()
+    assert [r.a for r in rows] == [1, 2]
+    assert rows[0].b.c == "x"
+
+
+def test_schema_paths_descends_structs_and_arrays(spark):
+    df = json_literal_to_df(
+        spark, '{"a": 1, "b": {"c": "x", "d": {"e": 2}}, "arr": [{"f": 3}]}'
+    )
+    paths = flatten.schema_paths(df.schema)
+    assert "b.c" in paths and "b.d.e" in paths and "arr.f" in paths and "a" in paths
+
+
+def test_flatten_structs_names(spark):
+    df = json_literal_to_df(spark, '{"a": 1, "b": {"c": "x", "d": {"e": 2}}}')
+    flat = flatten.flatten_structs(df, sep="_")
+    assert set(flat.columns) == {"a", "b_c", "b_d_e"}
+
+
+def test_flatten_explodes_arrays_of_arrays(spark):
+    df = json_literal_to_df(spark, '{"id": 1, "m": [[1, 2], [3]]}')
+    flat = flatten.flatten(df)
+    vals = sorted(r.m for r in flat.collect())
+    assert vals == [1, 2, 3]
+    assert not any(
+        isinstance(f.dataType, (ArrayType, StructType)) for f in flat.schema.fields
+    )
+
+
+def test_flatten_outer_keeps_empty_arrays(spark):
+    df = json_literal_to_df(spark, '[{"id": 1, "m": [5]}, {"id": 2, "m": []}]')
+    flat = flatten.flatten(df, outer=True)
+    assert flat.count() == 2
+
+
+def test_enrich_types_raise_on_missing(spark):
+    df = spark.range(3).withColumnRenamed("id", "x")
+    with pytest.raises(KeyError):
+        enrich.enrich_types(df, {"nope": "integer"}, errors="raise")
+    out = enrich.enrich_types(df, {"x": "string", "nope": "integer"}, errors="skip")
+    assert dict(out.dtypes)["x"] == "string"
+
+
+def test_enrich_default_dictionary(spark):
+    df = spark.createDataFrame(
+        [("5", "2024-01-01 00:00:00", "1.5")],
+        ["Agreement", "Created At", "Seconds to Label"],
+    )
+    out = enrich.enrich_types(df)
+    types = dict(out.dtypes)
+    assert types["Agreement"] == "int"
+    assert types["Created At"] == "timestamp"
+    assert types["Seconds to Label"] == "float"
+
+
+def test_normalize_nulls_and_string_frame(spark):
+    df = json_literal_to_df(spark, '[{"a": null, "b": {"c": 1}, "n": 7}]')
+    out = enrich.normalize_nulls(df)
+    row = out.collect()[0]
+    assert row.a == ""
+    assert row.b == '{"c":1}'
+    sf = enrich.to_string_frame(df)
+    assert all(t == "string" for _, t in sf.dtypes)
+
+
+def test_parse_convention_columns():
+    cols = ["plain", "metadata///string///tag", "annotation///bbox///box"]
+    conv = uploads.parse_convention_columns(cols)
+    assert len(conv) == 2
+    assert conv[0].kind == "metadata" and conv[0].value_type == "string"
+    assert conv[1].name == "box"
+
+
+def test_build_uploads_single_projection(spark):
+    df = spark.createDataFrame(
+        [("u1", "g1", "m1", None), ("u2", "g2", None, "a2")],
+        ["row_data", "gk", "metadata///string///tag", "attachment///image///img"],
+    )
+    out = uploads.build_uploads(df, "row_data", global_key_col="gk")
+    rows = {r.gk: r.uploads for r in out.collect()}
+    assert rows["g1"].data_row.row_data == "u1"
+    assert len(rows["g1"].data_row.metadata_fields) == 1
+    assert len(rows["g1"].data_row.attachments) == 0
+    assert len(rows["g2"].data_row.metadata_fields) == 0
+    assert rows["g2"].data_row.attachments[0]["value"] == "a2"
+    # no Python UDF in the plan: whole projection is native
+    assert "BatchEvalPython" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_object_counts_and_answers_wide(spark):
+    bronze = spark.createDataFrame(
+        [
+            (1, [{"title": "car"}, {"title": "car"}, {"title": "dog"}],
+             [{"title": "q1", "answer": "yes"}, {"title": "q1", "answer": "IGNORED"}]),
+            (2, [{"title": "dog"}],
+             [{"title": "q1", "answer": "no"}]),
+        ],
+        "id long, objs array<struct<title:string>>, cls array<struct<title:string,answer:string>>",
+    )
+    counts = silver.object_counts_wide(bronze, ["id"], "objs", titles=["car", "dog"])
+    got = {r.id: (r["car.count"], r["dog.count"]) for r in counts.collect()}
+    assert got == {1: (2, 1), 2: (None, 1)}
+    answers = silver.answers_wide(bronze, ["id"], "cls", titles=["q1"])
+    got_a = {r.id: r.q1 for r in answers.collect()}
+    assert got_a == {1: "yes", 2: "no"}  # first-wins deterministic
+
+
+def test_bronze_to_silver_end_to_end(spark):
+    bronze = spark.createDataFrame(
+        [(1, [{"title": "car"}], [{"title": "q", "answer": "a"}])],
+        "DataRowID long, objs array<struct<title:string>>, cls array<struct<title:string,answer:string>>",
+    )
+    out = silver.bronze_to_silver(
+        bronze, ["DataRowID"], objects_col="objs", classifications_col="cls",
+        object_titles=["car"], question_titles=["q"],
+    )
+    row = out.collect()[0]
+    assert row["car.count"] == 1 and row["q"] == "a"
+
+
+def test_checklist_fold(spark):
+    df = spark.createDataFrame(
+        [(1, [{"title": "a"}, {"title": "b"}])],
+        "id long, items array<struct<title:string>>",
+    )
+    out = df.select(silver.checklist_fold(F.col("items")).alias("joined"))
+    assert out.collect()[0].joined == "a,b"
+
+
+def test_multimodal_decode_stub(spark):
+    df = spark.createDataFrame([("m1", b"abc"), ("m2", None)], ["media_id", "content"])
+    feats = multimodal.decode_features(df)
+    got = {r.media_id: r for r in feats.collect()}
+    assert got["m1"].feat_dim == 3
+    assert got["m2"].feat_mean is None
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(df, require_real_codec=True)
+
+
+def test_multimodal_frame_sampling(spark):
+    df = spark.createDataFrame(
+        [("v1", (None, None, None, 25, None)), ("v2", (None, None, None, 0, None))],
+        "media_id string, meta struct<mime:string,width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    frames = multimodal.sample_frames(df, every=10)
+    got = sorted((r.media_id, r.frame_idx) for r in frames.collect())
+    assert got == [("v1", 0), ("v1", 10), ("v1", 20)]
+
+
+def test_rest_sink_batches(spark):
+    import tempfile, os, glob, json as js
+
+    tmp = tempfile.mkdtemp()
+
+    def post(batch):
+        # executor-side: write each batch to a file (pluggable transport)
+        with open(os.path.join(tmp, f"b{os.getpid()}_{time_ns()}.json"), "w") as f:
+            js.dump(batch, f)
+
+    from time import time_ns
+
+    df = spark.range(25).repartition(2)
+    from labelspark_spark.sources import rest_sink
+
+    rest_sink(df, post, batch_size=10)
+    rows = sum(
+        len(js.load(open(p))) for p in glob.glob(os.path.join(tmp, "*.json"))
+    )
+    assert rows == 25

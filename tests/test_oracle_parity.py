@@ -1,0 +1,33 @@
+"""t2-style correctness: every declared query vs its DuckDB oracle at
+sf0.001 (fast) — the driver runs the same thing at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from labelspark_spark.queries import REGISTRY
+
+from .conftest import SF_SMOKE
+from .oracle_util import compare, register_views
+
+ORACLE_CASES = [(n, fn, sql) for n, (fn, sql) in REGISTRY.items() if sql is not None]
+ROWS_ONLY_CASES = [(n, fn) for n, (fn, sql) in REGISTRY.items() if sql is None]
+
+
+@pytest.mark.parametrize("name,fn,sql", ORACLE_CASES, ids=[c[0] for c in ORACLE_CASES])
+def test_oracle_parity(spark, duck, name, fn, sql):
+    register_views(duck, SF_SMOKE)
+    df = fn(spark, SF_SMOKE)
+    result = compare(df, duck, sql)
+    assert result["cols_match"], f"{name}: columns differ {result}"
+    assert result["rows_match"], (
+        f"{name}: rowcount {result['spark_rows']} vs {result['duck_rows']}"
+    )
+    assert result["values_match"], f"{name}: value hash mismatch"
+
+
+@pytest.mark.parametrize("name,fn", ROWS_ONLY_CASES, ids=[c[0] for c in ROWS_ONLY_CASES])
+def test_rows_only_queries_run(spark, name, fn):
+    df = fn(spark, SF_SMOKE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

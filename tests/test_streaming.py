@@ -1,0 +1,88 @@
+"""Structured Streaming surface (SURVEY §2.8): file-source stream over
+the events table, windowed aggs + watermark + dedup, checked against the
+batch twins."""
+
+from __future__ import annotations
+
+import shutil
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from labelspark_spark.sources import read_table
+from labelspark_spark.streaming import events as se
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File-source streams need a DIRECTORY; stage the events parquet."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _await(query, name, spark, expected_rows, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        query.processAllAvailable()
+        n = spark.sql(f"SELECT count(*) FROM {name}").collect()[0][0]
+        if n >= expected_rows:
+            break
+        time.sleep(0.5)
+    query.stop()
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    batch_events = read_table(spark, SF_SMOKE, "events")
+    batch = se.tumbling_counts(batch_events).collect()
+    expected = {(r.window_start, r.window_end, r.event_type): r.n_events for r in batch}
+
+    stream = se.read_events_stream(spark, events_dir)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = se.write_stream_to_memory(
+        se.tumbling_counts(stream), "tumbling_out", mode="append"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.window_end, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    # append mode only emits windows the watermark has closed; every
+    # emitted window must match its batch twin, and most windows close
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert expected[k] == v
+    assert len(got) >= len(expected) - 3
+
+
+def test_streaming_dedup(spark, events_dir):
+    stream = se.read_events_stream(spark, events_dir)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    doubled = stream.union(stream)  # duplicate every event
+    q = se.write_stream_to_memory(
+        se.streaming_dedup(doubled, keys=["event_id"]), "dedup_out", mode="append"
+    )
+    q.processAllAvailable()
+    q.stop()
+    n = spark.sql("SELECT count(*) FROM dedup_out").collect()[0][0]
+    total = read_table(spark, SF_SMOKE, "events").count()
+    assert n == total
+
+
+def test_session_windows_batch(spark):
+    ev = read_table(spark, SF_SMOKE, "events")
+    out = se.session_windows(ev).collect()
+    assert out
+    # session invariant: end = last event + gap => end > start
+    assert all(r.session_end > r.session_start for r in out)
+
+
+def test_sliding_counts_batch(spark):
+    ev = read_table(spark, SF_SMOKE, "events")
+    rows = se.sliding_counts(ev, "1 hour", "30 minutes").collect()
+    # every event lands in 2 sliding windows
+    assert sum(r.n_events for r in rows) == 2 * ev.count()
