@@ -104,9 +104,25 @@ def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, shingle_words: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias("_sh"),
+    # Staged: tokenize once per row in its own Project, then shingle from
+    # the token array. Inlining whitespace_tokens() into the per-shingle
+    # lambda re-runs split+filter for every shingle index (~60x per row;
+    # measured 10s -> <1s at sf0.1 for the posting count).
+    from labelspark_spark.functions.text import whitespace_tokens
+
+    n = shingle_words
+    toks = df.select(
+        F.col(id_col).alias("_id"), whitespace_tokens(F.col(text_col)).alias("_tk")
+    )
+    k = F.greatest(F.size("_tk") - F.lit(n - 1), F.lit(1))
+    return toks.select(
+        "_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - F.lit(1)),
+                lambda i: F.array_join(F.slice("_tk", i + F.lit(1), n), " "),
+            )
+        ).alias("_sh"),
     )
 
 
@@ -175,7 +191,11 @@ def minhash_lsh_pairs(
         )
         for i in range(num_bands)
     ]
-    buckets = minned.select("_id", F.explode(F.array(*band_structs)).alias("_b")).select(
+    # explode_outer, NOT explode: InferFiltersFromGenerate would add a
+    # size(arr)>0 filter that predicate-pushdown inlines BELOW the staged
+    # projections, re-evaluating the whole minhash expression tree per row.
+    # The band array is never empty, so outer semantics are identical.
+    buckets = minned.select("_id", F.explode_outer(F.array(*band_structs)).alias("_b")).select(
         "_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key")
     )
     left = buckets.select(F.col("_id").alias("id_a"), "_band", "_key")
@@ -202,7 +222,10 @@ def ngram_jaccard_pairs(
     shingle are ever materialized. Returns (id_a, id_b, jaccard).
     """
     sh = _shingled(df, text_col, id_col, shingle_words)
-    posting = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
+    # explode_outer: avoids the inferred size(_sh)>0 filter that pushdown
+    # would inline below the staging projects (re-running the tokenizer
+    # per row). _sh is non-empty by construction (greatest(...,1) bound).
+    posting = sh.select("_id", F.size("_sh").alias("_n"), F.explode_outer("_sh").alias("_s"))
     a = posting.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s")
     b = posting.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_s")
     pair_inter = (
@@ -307,7 +330,10 @@ def simhash_pairs(
     bands = hashed.select(
         "_id",
         "_h",
-        F.explode(
+        # explode_outer: see minhash_lsh_pairs — keeps the inferred
+        # size>0 filter from inlining the 62-vote simhash tree below
+        # the staged projections. Band array always has num_bands rows.
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
