@@ -149,7 +149,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     num_bands: int = 16,
     shingle_words: int = 3,
     seed: int = 42,
@@ -159,6 +159,12 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     Candidate generation is a bucket equi-join on (band, key) — shuffle
     on the band key only; never n^2.
+
+    Defaults b=16, r=2: candidate probability 1-(1-j^2)^16 is ~99% at
+    j=0.5 and ~48% at j=0.2 — better recall than the classic 64-hash
+    r=4 banding at half the hash work, because every candidate is
+    exact-verified afterwards (false positives cost a verify, never a
+    wrong answer).
     """
     rows_per_band = num_hashes // num_bands
     sh = _shingled(df, text_col, id_col, shingle_words)
@@ -200,8 +206,11 @@ def minhash_lsh_pairs(
     )
     left = buckets.select(F.col("_id").alias("id_a"), "_band", "_key")
     right = buckets.select(F.col("_id").alias("id_b"), "_band", "_key")
+    # merge hint: both sides are the same subplan, so sort-merge lets
+    # ReusedExchange compute the 64-perm signature ONCE; broadcast would
+    # rebuild it per side (and at 100 TB the bucket table can't broadcast).
     cand = (
-        left.join(right, ["_band", "_key"])
+        left.join(right.hint("merge"), ["_band", "_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -228,8 +237,10 @@ def ngram_jaccard_pairs(
     posting = sh.select("_id", F.size("_sh").alias("_n"), F.explode_outer("_sh").alias("_s"))
     a = posting.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s")
     b = posting.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_s")
+    # merge hint: identical subplans on both sides -> ReusedExchange
+    # shingles once; posting tables don't broadcast at scale anyway.
     pair_inter = (
-        a.join(b, "_s")
+        a.join(b.hint("merge"), "_s")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -350,7 +361,9 @@ def simhash_pairs(
     a = bands.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"), "_band", "_key")
     b = bands.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"), "_band", "_key")
     return (
-        a.join(b, ["_band", "_key"])
+        # merge hint: see minhash_lsh_pairs — ReusedExchange computes the
+        # 62-bit vote projection once instead of per join side.
+        a.join(b.hint("merge"), ["_band", "_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming64(F.col("h_a"), F.col("h_b")).alias("hamming"))
         .distinct()
