@@ -6,8 +6,9 @@ search, text analysis, multimodal columns, streaming).
 Reference: /root/reference (read-only); design notes in SURVEY.md.
 """
 
+from labelspark_spark.client import Client, LocalTransport
 from labelspark_spark.session import get_spark_session
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark_session", "__version__"]
+__all__ = ["Client", "LocalTransport", "get_spark_session", "__version__"]

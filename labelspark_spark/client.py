@@ -1,0 +1,263 @@
+"""Top-level Client: the reference's user-visible verbs, Spark-first.
+
+Mirrors the API surface of `labelspark/client.py:17-501` (modern client)
+plus the legacy medallion entry points (`get_annotations.py:6`,
+`bronze_to_silver.py:13`) — every verb re-expressed as a single lazy
+DataFrame plan with I/O at partition granularity:
+
+- `export_to_table`       (client.py:38-81)   remote labels -> DataFrame
+- `export_to_parquet_table` (client.py:83-151) + durable sink (the
+  reference writes Delta; parquet is this environment's durable format)
+- `create_data_rows_from_table` (client.py:207-339) DataFrame -> platform
+- `upsert_data_rows_from_table` (client.py:350-474) with key reconcile
+- `update_metadata`       (update_metadata.py:5-51) broadcast sync
+- `get_annotations` / `bronze_to_silver` legacy flow
+
+The network boundary is a pluggable :class:`Transport`. The reference
+couples directly to the Labelbox SDK + labelbase (`client.py:5-7`) and
+funnels every upload through driver ``collect()`` (`uploader.py:93`);
+here uploads leave from executors (``foreachPartition`` spool) and
+exports arrive as distributed scans, so no step materializes the
+dataset on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labelspark_spark.operators.enrich import enrich_types, to_string_frame
+from labelspark_spark.operators.silver import bronze_to_silver as _bronze_to_silver
+from labelspark_spark.operators.uploads import DIVIDER, build_uploads, lookup_join, upsert_keys
+from labelspark_spark.sources.readers import json_literal_to_df
+from labelspark_spark.sources.writers import write_parquet
+
+
+class Transport(Protocol):
+    """Network boundary. Implementations must be picklable: batch posting
+    runs inside ``foreachPartition`` on executors."""
+
+    def export_labels(self, project_id: str) -> str:
+        """Label export for a project as a JSON string (array of objects)."""
+        ...
+
+    def post_data_rows(self, dataset_id: str, rows: list[dict]) -> None:
+        """Accept one batch of upload dicts (executor-side)."""
+        ...
+
+    def spool_path(self, dataset_id: str) -> str | None:
+        """Directory of previously-posted rows (ndjson), or None if empty."""
+        ...
+
+    def export_metadata(self, project_id: str) -> str:
+        """Remote metadata snapshot as a JSON string (array of objects)."""
+        ...
+
+
+class LocalTransport:
+    """File-backed mock platform for tests and offline runs.
+
+    Posted batches land as one ndjson file per (partition, batch) under
+    ``root/datasets/<dataset_id>/`` — unique names, so concurrent
+    executor writes never collide, and the "remote" state is readable
+    back as a distributed ``spark.read.json`` scan (never a driver
+    collect). Label/metadata exports are seeded by tests via
+    :meth:`seed_labels` / :meth:`seed_metadata`.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- executor side -------------------------------------------------
+    def post_data_rows(self, dataset_id: str, rows: list[dict]) -> None:
+        d = os.path.join(self.root, "datasets", dataset_id)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"batch-{uuid.uuid4().hex}.ndjson")
+        with open(path, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r, default=str) + "\n")
+
+    # -- driver side ---------------------------------------------------
+    def spool_path(self, dataset_id: str) -> str | None:
+        d = os.path.join(self.root, "datasets", dataset_id)
+        return d if os.path.isdir(d) and os.listdir(d) else None
+
+    def seed_labels(self, project_id: str, labels: list[dict]) -> None:
+        with open(os.path.join(self.root, f"labels-{project_id}.json"), "w") as f:
+            json.dump(labels, f)
+
+    def export_labels(self, project_id: str) -> str:
+        with open(os.path.join(self.root, f"labels-{project_id}.json")) as f:
+            return f.read()
+
+    def seed_metadata(self, project_id: str, records: list[dict]) -> None:
+        with open(os.path.join(self.root, f"meta-{project_id}.json"), "w") as f:
+            json.dump(records, f)
+
+    def export_metadata(self, project_id: str) -> str:
+        with open(os.path.join(self.root, f"meta-{project_id}.json")) as f:
+            return f.read()
+
+
+class Client:
+    """Reference-parity client over an injected transport."""
+
+    def __init__(self, transport: Transport, spark: SparkSession | None = None) -> None:
+        self.transport = transport
+        self.spark = spark or SparkSession.builder.getOrCreate()
+
+    # -- export path (reference client.py:38-151) ----------------------
+    def export_to_table(
+        self,
+        project_id: str,
+        *,
+        divider: str = DIVIDER,
+        string_compat: bool = False,
+        type_dictionary: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Labels -> DataFrame.
+
+        The reference flattens driver-side and degrades every column to
+        nullable string with ``None -> ""`` (`client.py:64-76`). Default
+        here is the typed path (`from_json` + cast enrichment);
+        ``string_compat=True`` reproduces the all-strings frame for
+        golden comparisons.
+        """
+        raw = self.transport.export_labels(project_id)
+        df = json_literal_to_df(self.spark, raw)
+        # Reference stringifies nested values under divider-keys
+        # (client.py:64-67); typed path keeps them nested.
+        if string_compat:
+            return to_string_frame(df)
+        return enrich_types(df, type_dictionary) if type_dictionary else df
+
+    def export_to_parquet_table(
+        self,
+        project_id: str,
+        path: str,
+        *,
+        mode: str = "append",
+        **kwargs,
+    ) -> DataFrame:
+        """Export + durable sink (reference writes Delta, client.py:146)."""
+        df = self.export_to_table(project_id, **kwargs)
+        write_parquet(df, path, mode=mode)
+        return df
+
+    # -- upload path (reference client.py:207-339) ----------------------
+    def existing_global_keys(self, dataset_id: str) -> DataFrame:
+        """Previously-posted keys as a DataFrame (distributed scan of the
+        spool — the reference fetches this index over REST)."""
+        spool = self.transport.spool_path(dataset_id)
+        if spool is None:
+            return self.spark.createDataFrame([], "global_key string")
+        return (
+            self.spark.read.json(spool)
+            .select(F.col("data_row.global_key").alias("global_key"))
+            .dropna()
+            .distinct()
+        )
+
+    def create_data_rows_from_table(
+        self,
+        table: DataFrame,
+        dataset_id: str,
+        *,
+        row_data_col: str = "row_data",
+        global_key_col: str | None = None,
+        external_id_col: str | None = None,
+        project_id: str | None = None,
+        skip_duplicates: bool = False,
+        divider: str = DIVIDER,
+        batch_size: int = 10_000,
+    ) -> dict:
+        """DataFrame -> platform data rows.
+
+        One lazy plan: key reconcile (anti-join skip / window suffix,
+        reference client.py:217-219) -> uploads struct (single
+        projection replacing the UDF chain of uploader.py:157-195) ->
+        partition-parallel spool (vs driver collect at uploader.py:93).
+        """
+        key_col = global_key_col or row_data_col
+        # upsert_keys matches by name on both sides; align the spool's
+        # global_key column with the caller's key column.
+        existing = self.existing_global_keys(dataset_id).withColumnRenamed(
+            "global_key", key_col
+        )
+        mode = "skip" if skip_duplicates else "suffix"
+        reconciled = upsert_keys(
+            table, existing, key_col=key_col, mode=mode, divider=divider, order_by=row_data_col
+        )
+        with_uploads = build_uploads(
+            reconciled,
+            row_data_col=row_data_col,
+            global_key_col=key_col,
+            external_id_col=external_id_col,
+            dataset_id=dataset_id,
+            project_id=project_id,
+            divider=divider,
+        )
+        transport = self.transport  # avoid pickling self into the closure
+
+        def _post(rows: Iterator) -> None:
+            buf: list[dict] = []
+            for row in rows:
+                buf.append(row.asDict(recursive=True))
+                if len(buf) >= batch_size:
+                    transport.post_data_rows(dataset_id, buf)
+                    buf = []
+            if buf:
+                transport.post_data_rows(dataset_id, buf)
+
+        # spool the struct fields directly: data_row / dataset_id /
+        # project_id / annotations become the ndjson top level
+        with_uploads.select("uploads.*").foreachPartition(_post)
+        return {"dataset_id": dataset_id, "mode": mode}
+
+    def upsert_data_rows_from_table(
+        self, table: DataFrame, dataset_id: str, **kwargs
+    ) -> dict:
+        """Upsert twin (reference client.py:350-474): always reconciles
+        against existing keys with suffix semantics."""
+        kwargs.setdefault("skip_duplicates", False)
+        return self.create_data_rows_from_table(table, dataset_id, **kwargs)
+
+    # -- metadata sync (reference update_metadata.py:5-51) ---------------
+    def update_metadata(
+        self,
+        table: DataFrame,
+        project_id: str,
+        *,
+        key_col: str = "data_row_id",
+        value_col: str,
+    ) -> DataFrame:
+        """Broadcast left join + coalesce replacing the per-row JSON-dict
+        probe UDF (update_metadata.py:33-51): remote value wins, local
+        value is the fallback."""
+        remote = json_literal_to_df(self.spark, self.transport.export_metadata(project_id))
+        return lookup_join(
+            table,
+            remote,
+            key_col=key_col,
+            value_col=value_col,
+            target_col=value_col,
+            default_col=value_col,
+        )
+
+    # -- legacy medallion flow ------------------------------------------
+    def get_annotations(self, project_id: str) -> DataFrame:
+        """Bronze table from the raw label export (get_annotations.py:6-12
+        + jsonToDataFrame.py:1-6, without the single-partition RDD)."""
+        return json_literal_to_df(self.spark, self.transport.export_labels(project_id))
+
+    def bronze_to_silver(self, bronze: DataFrame, **kwargs) -> DataFrame:
+        """Flattened analytics table (bronze_to_silver.py:13-76), fully
+        distributed (no iterrows)."""
+        return _bronze_to_silver(bronze, **kwargs)

@@ -1,0 +1,143 @@
+"""End-to-end connector flow over the LocalTransport mock: the
+reference's top-3 entry points (SURVEY §3) without network.
+
+Round-trips: upload (uploads struct -> executor spool -> distributed
+read-back), export (seeded labels -> typed/bronze DataFrame -> silver),
+metadata sync, and upsert key reconciliation against remote state.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from labelspark_spark import Client, LocalTransport
+
+LABELS = [
+    {
+        "DataRowID": "dr-1",
+        "Agreement": "91",
+        "Created At": "2024-01-02T03:04:05Z",
+        "Label": {
+            "objects": [{"title": "car"}, {"title": "car"}, {"title": "tree"}],
+            "classifications": [
+                {"title": "weather", "answer": "sunny"},
+                {"title": "weather", "answer": "cloudy"},
+            ],
+        },
+    },
+    {
+        "DataRowID": "dr-2",
+        "Agreement": "55",
+        "Created At": "2024-02-03T04:05:06Z",
+        "Label": {
+            "objects": [{"title": "tree"}],
+            "classifications": [{"title": "weather", "answer": "rain"}],
+        },
+    },
+]
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    t = LocalTransport(str(tmp_path / "platform"))
+    t.seed_labels("proj-1", LABELS)
+    t.seed_metadata(
+        "proj-1",
+        [
+            {"data_row_id": "dr-1", "split": "train"},
+            {"data_row_id": "dr-3", "split": "test"},
+        ],
+    )
+    return Client(t, spark)
+
+
+def test_export_to_table_typed_and_compat(client):
+    df = client.export_to_table("proj-1", type_dictionary={"Agreement": "integer"})
+    assert dict(df.dtypes)["Agreement"] == "int"
+    assert df.count() == 2
+
+    compat = client.export_to_table("proj-1", string_compat=True)
+    # all-strings schema, nested serialized, nulls -> '' (client.py:64-76)
+    assert set(t for _, t in compat.dtypes) == {"string"}
+    label_json = compat.filter(F.col("DataRowID") == "dr-1").collect()[0]["Label"]
+    assert json.loads(label_json)["objects"][0]["title"] == "car"
+
+
+def test_bronze_to_silver_flow(client):
+    bronze = client.get_annotations("proj-1")
+    silver = client.bronze_to_silver(
+        bronze,
+        key_cols=["DataRowID"],
+        objects_col="Label.objects",
+        classifications_col="Label.classifications",
+        object_titles=["car", "tree"],
+        question_titles=["weather"],
+    )
+    rows = {r["DataRowID"]: r for r in silver.collect()}
+    assert rows["dr-1"]["car.count"] == 2
+    assert rows["dr-1"]["tree.count"] == 1
+    # first-wins: dr-1 has two weather answers; array order pins 'sunny'
+    assert rows["dr-1"]["weather"] == "sunny"
+    assert rows["dr-2"]["weather"] == "rain"
+
+
+def test_upload_roundtrip_and_skip_duplicates(client, spark):
+    table = spark.createDataFrame(
+        [
+            ("http://x/1.jpg", "k1", "a", "0.9"),
+            ("http://x/2.jpg", "k2", "b", None),
+        ],
+        ["row_data", "key", "metadata///string///source", "metadata///number///score"],
+    )
+    client.create_data_rows_from_table(
+        table, "ds-1", row_data_col="row_data", global_key_col="key"
+    )
+    # read the "remote" state back as a distributed scan
+    posted = spark.read.json(client.transport.spool_path("ds-1"))
+    got = {r["data_row"]["global_key"]: r for r in posted.collect()}
+    assert set(got) == {"k1", "k2"}
+    md = {m["name"]: m for m in got["k1"]["data_row"]["metadata_fields"]}
+    assert md["source"]["value"] == "a" and md["source"]["type"] == "string"
+    assert md["score"]["value"] == "0.9" and md["score"]["type"] == "number"
+    # null-valued metadata cells are filtered out (uploader.py:238 guard)
+    assert [m["name"] for m in got["k2"]["data_row"]["metadata_fields"]] == ["source"]
+
+    # second upload with one colliding key: skip_duplicates drops it
+    table2 = spark.createDataFrame(
+        [("http://x/3.jpg", "k2"), ("http://x/4.jpg", "k3")], ["row_data", "key"]
+    )
+    client.create_data_rows_from_table(
+        table2, "ds-1", row_data_col="row_data", global_key_col="key", skip_duplicates=True
+    )
+    keys = [r.global_key for r in client.existing_global_keys("ds-1").collect()]
+    assert sorted(keys) == ["k1", "k2", "k3"]
+
+
+def test_upsert_suffixes_colliding_keys(client, spark):
+    client.create_data_rows_from_table(
+        spark.createDataFrame([("r1", "dup")], ["row_data", "key"]),
+        "ds-2",
+        row_data_col="row_data",
+        global_key_col="key",
+    )
+    client.upsert_data_rows_from_table(
+        spark.createDataFrame([("r2", "dup"), ("r3", "new")], ["row_data", "key"]),
+        "ds-2",
+        row_data_col="row_data",
+        global_key_col="key",
+    )
+    keys = sorted(r.global_key for r in client.existing_global_keys("ds-2").collect())
+    assert keys == ["dup", "dup///1", "new"]
+
+
+def test_update_metadata_remote_wins_local_fallback(client, spark):
+    table = spark.createDataFrame(
+        [("dr-1", "old"), ("dr-2", "local")], ["data_row_id", "split"]
+    )
+    synced = client.update_metadata(table, "proj-1", key_col="data_row_id", value_col="split")
+    got = {r.data_row_id: r.split for r in synced.collect()}
+    # dr-1 exists remotely -> remote value; dr-2 absent -> local kept
+    assert got == {"dr-1": "train", "dr-2": "local"}
