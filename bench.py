@@ -33,6 +33,13 @@ BENCH_QUERIES = [
     "similarity_topk",
     "text_quality",
     "text_langid",
+    # dedup_char_ngram is oracle-checked but NOT benched: char-5-grams
+    # over this corpus's ~30-word vocabulary have median doc-frequency
+    # ~291 of 5000 docs, so exact all-pairs verification is inherent to
+    # the data (10.5M true candidates); MinHash-LSH is the scale path.
+    "flatten_nested_arrays",
+    "events_sliding",
+    "quality_prep_pipeline",
 ]
 
 

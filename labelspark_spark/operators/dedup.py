@@ -37,6 +37,12 @@ def base_hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def _hash60(col: Column) -> Column:
+    """60-bit md5-derived hash (collision-safe dictionary key for
+    shingle-set verification; still engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p.
 
@@ -103,14 +109,29 @@ def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
     )
 
 
-def _shingled(df: DataFrame, text_col: str, id_col: str, shingle_words: int) -> DataFrame:
-    # Staged: tokenize once per row in its own Project, then shingle from
-    # the token array. Inlining whitespace_tokens() into the per-shingle
-    # lambda re-runs split+filter for every shingle index (~60x per row;
-    # measured 10s -> <1s at sf0.1 for the posting count).
-    from labelspark_spark.functions.text import whitespace_tokens
+def _shingled(
+    df: DataFrame, text_col: str, id_col: str, shingle_words: int, unit: str = "word"
+) -> DataFrame:
+    # Staged: tokenize/normalize once per row in its own Project, then
+    # shingle from the staged column. Inlining the tokenizer into the
+    # per-shingle lambda re-runs split+filter for every shingle index
+    # (~60x per row; measured 10s -> <1s at sf0.1 for the posting count).
+    from labelspark_spark.functions.text import normalize_text, whitespace_tokens
 
     n = shingle_words
+    if unit == "char":
+        base = df.select(
+            F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t")
+        )
+        k = F.greatest(F.length("_t") - F.lit(n - 1), F.lit(1))
+        return base.select(
+            "_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k), lambda i: F.substring("_t", i, n)
+                )
+            ).alias("_sh"),
+        )
     toks = df.select(
         F.col(id_col).alias("_id"), whitespace_tokens(F.col(text_col)).alias("_tk")
     )
@@ -126,9 +147,15 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, shingle_words: int) -> 
     )
 
 
-def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame, hashed: bool = False) -> DataFrame:
     """Exact Jaccard for candidate (id_a, id_b) pairs via shingle-set
-    join-back. cand columns: id_a, id_b."""
+    join-back. cand columns: id_a, id_b. ``hashed=True`` intersects
+    60-bit hashes instead of strings (same counts barring a ~2^-40
+    collision; far cheaper per pair on long shingle arrays)."""
+    if hashed:
+        sh = sh.select(
+            "_id", F.transform("_sh", lambda s: _hash60(s)).alias("_sh")
+        )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
@@ -224,33 +251,93 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingle_words: int = 3,
+    unit: str = "word",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (the ground truth).
 
-    Blocked self-join on shared shingles: only pairs sharing >= 1
-    shingle are ever materialized. Returns (id_a, id_b, jaccard).
+    Two physical strategies, both exact:
+
+    - ``'count'``: posting-list self-join + per-pair intersection count.
+      Optimal when shingle doc-frequencies are low (join output is
+      sum(df^2), e.g. word shingles over a broad vocabulary).
+    - ``'prefix'``: AllPairs prefix filtering — shingles globally ordered
+      by doc frequency (rarest first), only the first
+      ``n - ceil(t*n) + 1`` per doc indexed (J >= t implies overlap
+      >= t*max(|a|,|b|), so qualifying prefixes must intersect), plus a
+      length-ratio filter; candidates then exact-verified against the
+      full (hashed) shingle sets. Caps the join when doc frequencies
+      are high (char shingles over a narrow alphabet).
+    - ``'auto'``: one tiny aggregate over the doc-frequency table
+      estimates the posting-join output and picks (the stats-based
+      physical-strategy choice an optimizer would make; the stat is a
+      single scalar, not a data collect).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= t.
+    ``unit='char'`` shingles normalized characters instead of words.
     """
-    sh = _shingled(df, text_col, id_col, shingle_words)
+    sh = _shingled(df, text_col, id_col, shingle_words, unit)
     # explode_outer: avoids the inferred size(_sh)>0 filter that pushdown
     # would inline below the staging projects (re-running the tokenizer
     # per row). _sh is non-empty by construction (greatest(...,1) bound).
     posting = sh.select("_id", F.size("_sh").alias("_n"), F.explode_outer("_sh").alias("_s"))
-    a = posting.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s")
-    b = posting.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_s")
-    # merge hint: identical subplans on both sides -> ReusedExchange
-    # shingles once; posting tables don't broadcast at scale anyway.
-    pair_inter = (
+
+    if strategy == "auto":
+        est = (
+            posting.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .agg(F.sum(F.col("_df") * F.col("_df")))
+            .first()[0]
+            or 0
+        )
+        strategy = "count" if est <= 50_000_000 else "prefix"
+
+    if strategy == "count":
+        a = posting.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s")
+        b = posting.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_s")
+        # merge hint: identical subplans on both sides -> ReusedExchange
+        # shingles once; posting tables don't broadcast at scale anyway.
+        pair_inter = (
+            a.join(b.hint("merge"), "_s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        jac = F.col("inter").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("inter")
+        ).cast("double")
+        return pair_inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
+
+    if strategy != "prefix":
+        raise ValueError(f"strategy must be 'auto', 'count' or 'prefix', got {strategy!r}")
+
+    doc_freq = posting.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    # rank each doc's shingles rarest-first; keep the prefix any
+    # qualifying pair is guaranteed to collide in
+    w = Window.partitionBy("_id").orderBy("_df", "_s")
+    prefix = (
+        posting.join(doc_freq, "_s")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .select("_id", "_n", "_s")
+    )
+    a = prefix.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s")
+    b = prefix.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_s")
+    cand = (
         a.join(b.hint("merge"), "_s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.greatest("n_a", "n_b").cast("double") * F.lit(threshold)
+                <= F.least("n_a", "n_b").cast("double")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
     )
-    jac = F.col("inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("inter")
-    ).cast("double")
-    return pair_inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
-    )
+    return _jaccard_on_pairs(cand, sh, hashed=True).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(col: Column, bits: int = 62, seed: int = 42) -> Column:

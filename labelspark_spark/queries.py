@@ -1241,6 +1241,368 @@ JOIN (VALUES ('b900', 900.0, 925.0), ('b925', 925.0, 950.0),
 
 
 # --------------------------------------------------------------------------
+# breadth extensions (round 1): ranking windows, stats, percentiles,
+# map/array functions, nested-array flatten, char-ngram dedup, frame
+# sampling, sliding windows, extended string/date functions, quality prep
+# --------------------------------------------------------------------------
+
+def q_window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-11 extension: ntile / percent_rank / cume_dist / dense_rank."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       CAST(dense_rank() OVER w AS INTEGER) AS drank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 gap-fill: stddev / variance / corr / covar per group.
+
+    Small-magnitude inputs (quantity<=50, discount<1) so the round(6)
+    absorbs partial-aggregation float-order differences.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qd"),
+        F.round(F.covar_samp("l_quantity", "l_tax"), 6).alias("cov_qt"),
+    )
+
+
+SQL_AGG_STATS = """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+       ROUND(var_samp(l_discount), 6) AS var_disc,
+       ROUND(corr(l_quantity, l_discount), 6) AS corr_qd,
+       ROUND(covar_samp(l_quantity, l_tax), 6) AS cov_qt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median and quartiles) per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_linestatus,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS median,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice within each priority (window + filter,
+    the canonical per-group top-k: no global sort, no driver collect)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3
+"""
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 map surface: map built from per-user event-type counts,
+    probed with element_at (the J2 map-literal idiom, natively)."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return as_map.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "view"), F.lit(0)).alias("views"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("purchases"),
+        F.size("m").alias("n_types"),
+    )
+
+
+SQL_MAP_FUNCS = """
+SELECT user_id,
+       COALESCE(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS views,
+       COALESCE(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchases,
+       CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 array surface: collect/sort/serialize/index/fold in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("bigint"))).alias("qs")
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.array_join(F.col("qs").cast("array<string>"), ",").alias("qty_csv"),
+        F.size("qs").alias("n"),
+        F.element_at("qs", 1).alias("q_min"),
+        F.element_at("qs", -1).alias("q_max"),
+        F.aggregate("qs", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("q_sum"),
+    )
+
+
+SQL_ARRAY_FUNCS = """
+WITH g AS (
+  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       array_to_string(qs, ',') AS qty_csv,
+       CAST(len(qs) AS INTEGER) AS n,
+       qs[1] AS q_min,
+       qs[-1] AS q_max,
+       CAST(list_sum(qs) AS BIGINT) AS q_sum
+FROM g
+"""
+
+
+def q_flatten_nested_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.4's 'genuinely fiddly' case: arrays-of-arrays built,
+    flattened, and folded — fully deterministic ordering at both levels."""
+    li = _t(spark, sf_dir, "lineitem")
+    inner = li.groupBy("l_orderkey", "l_linestatus").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("bigint"))).alias("qs")
+    )
+    nested = inner.groupBy("l_orderkey").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("l_linestatus", "qs"))),
+            lambda s: s["qs"],
+        ).alias("nested")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("nested").alias("n_groups"),
+        F.array_join(F.flatten("nested").cast("array<string>"), ",").alias("flat_csv"),
+    )
+
+
+SQL_FLATTEN_NESTED = """
+WITH inner_g AS (
+  SELECT l_orderkey, l_linestatus,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+  FROM lineitem GROUP BY l_orderkey, l_linestatus
+), nested AS (
+  SELECT l_orderkey,
+         list_transform(list({'ls': l_linestatus, 'qs': qs} ORDER BY l_linestatus), s -> s.qs) AS n
+  FROM inner_g GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(n) AS INTEGER) AS n_groups,
+       array_to_string(flatten(n), ',') AS flat_csv
+FROM nested
+"""
+
+
+def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard near-dup pairs (char-level ground truth —
+    robust to tokenization differences)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.35, shingle_words=5, unit="char"
+    )
+
+
+SQL_DEDUP_CHAR_NGRAM = f"""
+WITH norm AS (
+  SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([substring(t, CAST(i AS INTEGER), 5)
+                        for i in generate_series(1, greatest(length(t) - 4, 1))]) AS s
+  FROM norm
+), posting AS (
+  SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, COUNT(*) AS i
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, i * 1.0 / (n_a + n_b - i) AS jaccard
+FROM inter WHERE i * 1.0 / (n_a + n_b - i) >= 0.35
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan: documents as stand-in media with
+    n_frames = n_chars/10, every 7th frame sampled (pure sequence+explode
+    — the decode itself is the stubbed codec step)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct((F.col("n_chars") / 10).cast("int").alias("n_frames")).alias("meta"),
+    )
+    return mm.sample_frames(media, n_frames_col="meta.n_frames", every=7)
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id AS media_id, CAST(unnest(generate_series(0, nf - 1, 7)) AS INTEGER) AS frame_idx
+FROM (SELECT doc_id, CAST(FLOOR(n_chars / 10) AS INTEGER) AS nf FROM documents)
+WHERE nf > 0
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (1h window, 15min slide) — the streaming
+    window shape, expressed on the batch table so it oracle-checks."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                - k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events, unnest(generate_series(0, 3)) AS t(k)
+GROUP BY 1, 2
+"""
+
+
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-14 extension: pad / translate / repeat / reverse / levenshtein."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("vowels_up"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.reverse("p_name").alias("rev"),
+        F.levenshtein("p_brand", "p_type").alias("lev"),
+        F.substring("p_name", 2, 5).alias("sub"),
+    )
+
+
+SQL_STRING_FUNCS2 = """
+SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS padded,
+       translate(p_type, 'aeiou', 'AEIOU') AS vowels_up,
+       repeat('ab', 3) AS rep,
+       reverse(p_name) AS rev,
+       CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev,
+       substring(p_name, 2, 5) AS sub
+FROM part
+"""
+
+
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-15 extension: date add/diff, truncation, last_day, parts."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("string").alias("plus30"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_end"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").cast("string").alias("qtr"),
+        F.last_day(d).cast("string").alias("eom"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("woy"),
+    )
+
+
+SQL_DATE_ARITH = """
+SELECT o_orderkey,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_to_end,
+       CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR) AS qtr,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS woy
+FROM orders
+"""
+
+
+def q_quality_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: quality filter -> exact dedup ->
+    per-doc stats. The composite pipeline a 100 TB corpus run executes,
+    as ONE lazy plan (filter pushes to the scan, dedup is one shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.filter(T.quality_score(F.col("text")) >= F.lit(0.7))
+    deduped = dd.exact_dedup(kept, "text", "doc_id")
+    return deduped.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length(T.normalize_text(F.col("text"))).alias("n_norm_chars"),
+    )
+
+
+_QUALITY_SQL = f"""
+  SELECT doc_id, text,
+         (CASE WHEN len({TOKS_SQL.format(c='text')}) BETWEEN 5 AND 5000 THEN 0.4 ELSE 0 END
+        + CASE WHEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                     * 1.0 / greatest(length(text), 1) < 0.3 THEN 0.3 ELSE 0 END
+        + CASE WHEN (len(list_filter({TOKS_SQL.format(c='text')},
+                       x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], lower(x))))
+                     * 1.0 / greatest(len({TOKS_SQL.format(c='text')}), 1)) > 0.01
+                AND (len(list_filter({TOKS_SQL.format(c='text')},
+                       x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], lower(x))))
+                     * 1.0 / greatest(len({TOKS_SQL.format(c='text')}), 1)) < 0.7
+               THEN 0.3 ELSE 0 END) AS q
+  FROM documents
+"""
+
+SQL_QUALITY_PREP = f"""
+WITH scored AS ({_QUALITY_SQL}),
+kept AS (SELECT doc_id, text FROM scored WHERE q >= 0.7),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM (SELECT doc_id, text, md5({NORM_SQL.format(c='text')}) AS fp FROM kept)
+  GROUP BY fp
+)
+SELECT doc_id,
+       CAST(len({TOKS_SQL.format(c='text')}) AS INTEGER) AS n_tokens,
+       CAST(length({NORM_SQL.format(c='text')}) AS INTEGER) AS n_norm_chars
+FROM dedup
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1301,6 +1663,19 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "window_rank_funcs": (q_window_rank_funcs, SQL_WINDOW_RANK),
+    "agg_stats": (q_agg_stats, SQL_AGG_STATS),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
+    "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
+    "flatten_nested_arrays": (q_flatten_nested_arrays, SQL_FLATTEN_NESTED),
+    "dedup_char_ngram": (q_dedup_char_ngram, SQL_DEDUP_CHAR_NGRAM),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "string_funcs2": (q_string_funcs2, SQL_STRING_FUNCS2),
+    "date_arith": (q_date_arith, SQL_DATE_ARITH),
+    "quality_prep_pipeline": (q_quality_prep_pipeline, SQL_QUALITY_PREP),
 }
 
 
