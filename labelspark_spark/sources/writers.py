@@ -49,6 +49,25 @@ def write_delta(
         writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles data by join key at write
+    time so later joins/aggregations on ``bucket_cols`` read co-located
+    partitions and skip the exchange entirely (the core 100 TB move for
+    repeatedly-joined fact tables; see tests/test_plan_quality.py for
+    the no-Exchange assertion)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def register_view(df: DataFrame, name: str) -> None:
     """S8: SQL registration (notebooks/intro.ipynb cell 14)."""
     df.createOrReplaceTempView(name)

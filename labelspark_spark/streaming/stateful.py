@@ -1,0 +1,104 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §2.8: the extension point for semantics windows can't express).
+
+Example operator: per-user running session stats — event count, value
+sum, and last-seen timestamp — maintained as explicit state with an
+idle timeout. Arrow-batched (never row-pickled), keyed state partitioned
+by user, and the state size is O(keys), not O(events), so it holds at
+stream scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts_micros", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def _make_update_fn(idle_timeout_ms: int | None):
+    def _update_user_state(key, pdfs, state: GroupState):
+        """Fold a micro-batch of one user's events into running state.
+
+        Emits one row per update; on idle timeout emits a final 'expired'
+        row and drops the state.
+        """
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user_id, "n_events": n, "sum_value": total, "status": "expired"}]
+            )
+            return
+
+        n, total, last_ts = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                last_ts = max(last_ts, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, total, last_ts))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "sum_value": total, "status": "active"}]
+        )
+
+    return _update_user_state
+
+
+def user_session_stats(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Stateful per-user stream aggregation, optional idle expiry.
+
+    Input needs columns (user_id, ts, value); works only on streaming
+    DataFrames (group state requires a streaming query).
+
+    ``idle_timeout_ms=None`` uses NoTimeout: the query quiesces once the
+    source is drained (processAllAvailable terminates — the right mode
+    for bounded replays/tests). With a timeout, registered processing-time
+    timers keep scheduling state-cleanup micro-batches until every key
+    expires, so drive it with a real trigger loop, not processAllAvailable.
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update_fn(idle_timeout_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
