@@ -458,6 +458,56 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Dedup-cluster assignment: connected components over a near-dup
+    pair list (the step that turns pairwise matches into one canonical
+    representative per duplicate group).
+
+    Iterative min-label propagation: every node starts as its own
+    component; each round each node takes the minimum label among itself
+    and its neighbors; stop when a round changes nothing. Rounds needed =
+    graph diameter, which for dedup clusters is tiny (near-dup groups
+    are cliques or short chains). Each round is one shuffle
+    (join + groupBy on node id); ``localCheckpoint`` truncates the plan
+    so lineage doesn't grow with iterations — the standard Spark pattern
+    for iterative graph algorithms at scale.
+
+    Returns (id, component) for every node that appears in ``pairs``,
+    where component is the minimum reachable node id.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    cur = (
+        und.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        best_neighbor = (
+            und.join(cur.select(F.col("id").alias("dst"), "comp"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        nxt = (
+            cur.join(best_neighbor.select(F.col("src").alias("id"), "ncomp"), "id", "left")
+            .select("id", F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            nxt.join(cur.select("id", F.col("comp").alias("comp_old")), "id")
+            .filter(F.col("comp") != F.col("comp_old"))
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    return cur
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

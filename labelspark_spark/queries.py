@@ -1603,6 +1603,259 @@ FROM dedup
 
 
 # --------------------------------------------------------------------------
+# relational gap-fill batch 2: unpivot / posexplode / date spine /
+# conditional agg / null funcs / argmax / histogram / sorted collect /
+# regexp — plus dedup cluster assignment (connected components)
+# --------------------------------------------------------------------------
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 set-op family extension: wide->long unpivot (melt) of an
+    aggregated metrics table — the inverse of A5's pivot."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _money(F.col("l_quantity")).alias("sum_qty"),
+        _money(F.col("l_extendedprice")).alias("sum_price"),
+        _money(F.col("l_discount")).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "metric",
+        "val",
+    )
+
+
+SQL_UNPIVOT = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         {MONEY_SQL.format(x='l_quantity')} AS sum_qty,
+         {MONEY_SQL.format(x='l_extendedprice')} AS sum_price,
+         {MONEY_SQL.format(x='l_discount')} AS sum_disc
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric, sum_qty AS val FROM agg
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM agg
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'sum_disc', sum_disc FROM agg
+"""
+
+
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2/P2 extension: positional explode — token with its ordinal
+    (the op positional flattening of arrays-of-arrays builds on)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.whitespace_tokens(F.col("text")).alias("_tk"))
+    return toks.select("doc_id", F.posexplode("_tk").alias("pos", "tok"))
+
+
+SQL_POSEXPLODE = f"""
+WITH base AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM base
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[CAST(i AS INT)] AS tok FROM pos
+"""
+
+
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled month spine: generate the complete month range with
+    F.sequence + explode, left-join monthly order counts, zero-fill.
+    The standard calendar-spine pattern for time-series rollups."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("_m")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    bounds = monthly.agg(F.min("_m").alias("lo"), F.max("_m").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("_m")
+    )
+    return spine.join(monthly, "_m", "left").select(
+        F.date_format("_m", "yyyy-MM-dd").alias("month"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+SQL_DATE_SPINE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), b AS (SELECT min(m) AS lo, max(m) AS hi FROM monthly),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS m FROM b
+)
+SELECT strftime(s.m, '%Y-%m-%d') AS month, COALESCE(n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN monthly USING (m)
+"""
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 extension: filtered/conditional aggregation — count_if,
+    CASE-gated sums, conditional average (FILTER-clause semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 150000
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(big).alias("n_big"),
+        _money(F.when(big, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias("sum_big"),
+        F.round(
+            F.sum(F.when(big, F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))).cast("double")
+            / 100.0
+            / F.count_if(big).cast("double"),
+            4,
+        ).alias("avg_big"),
+    )
+
+
+SQL_CONDITIONAL_AGG = f"""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+       {MONEY_SQL.format(x='CASE WHEN o_totalprice > 150000 THEN o_totalprice ELSE 0.0 END')} AS sum_big,
+       ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE o_totalprice > 150000) AS DOUBLE) / 100.0
+             / CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS DOUBLE), 4) AS avg_big
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2/P7 extension: null algebra — nullif / coalesce / null
+    predicates / null-safe equality, the normalization toolkit the
+    reference applied driver-side (client.py:64-69)."""
+    c = _t(spark, sf_dir, "customer")
+    seg_null = F.expr("nullif(c_mktsegment, 'BUILDING')")
+    return c.select(
+        "c_custkey",
+        seg_null.alias("seg_or_null"),
+        F.coalesce(seg_null, F.lit("(redacted)")).alias("seg_filled"),
+        seg_null.isNull().cast("int").alias("was_building"),
+        F.col("c_mktsegment").eqNullSafe(seg_null).cast("int").alias("null_safe_eq"),
+    )
+
+
+SQL_NULL_FUNCS = """
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+       COALESCE(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg_filled,
+       CAST(nullif(c_mktsegment, 'BUILDING') IS NULL AS INT) AS was_building,
+       CAST(c_mktsegment IS NOT DISTINCT FROM nullif(c_mktsegment, 'BUILDING') AS INT)
+         AS null_safe_eq
+FROM customer
+"""
+
+
+def q_argmax_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 extension: max_by/min_by (argmax/argmin) per group, with a
+    composite cents+key ordering value so ties are impossible."""
+    o = _t(spark, sf_dir, "orders")
+    # strictly-unique ordering value: cents(totalprice) * 1e7 + orderkey
+    rank_val = (
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint") * 10000000
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", rank_val).alias("priciest_order"),
+        F.min_by("o_orderkey", rank_val).alias("cheapest_order"),
+    )
+
+
+SQL_ARGMAX = """
+SELECT o_orderpriority,
+       max_by(o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+                          + o_orderkey) AS priciest_order,
+       min_by(o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+                          + o_orderkey) AS cheapest_order
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (the distribution-profiling op a
+    corpus-stats pass runs per numeric column)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket, COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4/A6 extension: deterministic set collection — collect_set is
+    unordered, so sort before serializing (the engine's rule for any
+    collected array that feeds a hash check)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("prios"),
+        F.size(F.collect_set("o_orderpriority")).alias("n_prios"),
+    )
+
+
+SQL_COLLECT_SORTED = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+       CAST(COUNT(DISTINCT o_orderpriority) AS INT) AS n_prios
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6/F-family extension: regexp extract / count / global replace
+    (patterns restricted to the Java∩RE2-identical subset)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), "([a-z]+)", 1).alias("first_word"),
+        F.regexp_count(F.col("text"), F.lit("[aeiou]")).cast("int").alias("n_vowels"),
+        F.length(F.regexp_replace(F.col("text"), "[aeiou]", "")).alias("len_novowels"),
+    )
+
+
+SQL_REGEXP_FUNCS = """
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       CAST(len(regexp_extract_all(text, '[aeiou]')) AS INT) AS n_vowels,
+       length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_novowels
+FROM documents
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment: exact-Jaccard near-dup pairs -> connected
+    components -> (doc_id, component). The iterative min-label propagation
+    runs one shuffle per round and converges in diameter rounds; the
+    oracle replays it as a recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2, shingle_words=3)
+    return dd.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_NGRAM}),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS component FROM reach GROUP BY src
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1676,6 +1929,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "string_funcs2": (q_string_funcs2, SQL_STRING_FUNCS2),
     "date_arith": (q_date_arith, SQL_DATE_ARITH),
     "quality_prep_pipeline": (q_quality_prep_pipeline, SQL_QUALITY_PREP),
+    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT),
+    "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
+    "date_spine": (q_date_spine, SQL_DATE_SPINE),
+    "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
+    "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
+    "argmax_group": (q_argmax_group, SQL_ARGMAX),
+    "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM),
+    "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
+    "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }
 
 

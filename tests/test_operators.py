@@ -185,3 +185,14 @@ def test_rest_sink_batches(spark):
         len(js.load(open(p))) for p in glob.glob(os.path.join(tmp, "*.json"))
     )
     assert rows == 25
+
+
+def test_connected_components_chain_and_islands(spark):
+    from labelspark_spark.operators import dedup as dd
+
+    # chain 1-2-3-4 (diameter 3), pair (10,11), isolated-by-absence 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {(r.id, r.comp) for r in dd.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
