@@ -56,3 +56,45 @@ def test_uploads_build_has_no_python_udf(spark):
 
 def test_whole_stage_codegen_present(spark):
     assert explain.codegen_stage_count(q_q1_pricing_summary(spark, SF_SMOKE)) >= 1
+
+
+def test_static_partition_pruning(spark, tmp_path):
+    from labelspark_spark.sources.writers import write_parquet
+
+    o = read_table(spark, SF_SMOKE, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_by_month")
+    write_parquet(o, path, mode="overwrite", partition_by=["month"])
+    scan = spark.read.parquet(path).filter(F.col("month") == "1995-03")
+    plan = explain.formatted_plan(scan)
+    # the month predicate must prune partitions at the scan, not filter rows
+    assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters")[1][:200]
+    assert scan.count() > 0
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    from labelspark_spark.sources.writers import write_parquet
+
+    o = read_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_by_prio")
+    write_parquet(o, path, mode="overwrite", partition_by=["o_orderpriority"])
+    fact = spark.read.parquet(path)
+    # dim filtered on a NON-join column: the literal can't fold into a
+    # static partition filter, so the scan must get a runtime
+    # dynamicpruningexpression subquery (a literal filter on the join key
+    # itself would be constraint-propagated statically instead — stronger,
+    # and covered by test_static_partition_pruning)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "hot"),
+            ("2-HIGH", "hot"),
+            ("3-MEDIUM", "warm"),
+            ("4-NOT SPECIFIED", "cold"),
+            ("5-LOW", "cold"),
+        ],
+        ["o_orderpriority", "tier"],
+    ).filter(F.col("tier") == "hot")
+    joined = fact.join(dim, "o_orderpriority")
+    plan = explain.formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

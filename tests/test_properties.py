@@ -1,0 +1,82 @@
+"""Property-based round-trip checks (SURVEY §5): to_json∘from_json = id,
+flatten∘nest = id on array-free schemas, normalize idempotence,
+fingerprint ⇔ normalized equality. Few examples per property — each
+example is a Spark job; the lists inside each example carry the variety.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from labelspark_spark.functions.text import fingerprint, normalize_text
+from labelspark_spark.operators.flatten import flatten_structs, schema_paths
+
+# printable-ish unicode, no surrogates; JSON round-trips must hold for it
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=80
+)
+_settings = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_settings
+@given(rows=st.lists(st.tuples(_text, st.integers(-(2**31), 2**31 - 1)), min_size=1, max_size=25))
+def test_json_roundtrip_identity(spark, rows):
+    df = spark.createDataFrame(rows, "s string, n long")
+    packed = df.select(F.struct("s", "n").alias("v"))
+    back = packed.select(
+        F.from_json(F.to_json("v"), "struct<s:string,n:bigint>").alias("v")
+    ).select("v.s", "v.n")
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+@_settings
+@given(rows=st.lists(st.tuples(_text, st.integers(0, 10**6), _text), min_size=1, max_size=25))
+def test_flatten_then_nest_identity(spark, rows):
+    df = spark.createDataFrame(rows, "a string, b long, c string")
+    nested = df.select(F.struct(F.struct("a", "b").alias("inner"), "c").alias("top"))
+    flat = flatten_structs(nested)
+    assert set(flat.columns) == {"top.inner.a", "top.inner.b", "top.c"}
+    renest = flat.select(
+        F.col("`top.inner.a`").alias("a"),
+        F.col("`top.inner.b`").alias("b"),
+        F.col("`top.c`").alias("c"),
+    )
+    assert renest.exceptAll(df).count() == 0 and df.exceptAll(renest).count() == 0
+
+
+@_settings
+@given(texts=st.lists(_text, min_size=1, max_size=25))
+def test_normalize_idempotent_and_fingerprint_consistent(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    bad = df.select(
+        (normalize_text(normalize_text(F.col("t"))) != normalize_text(F.col("t"))).alias("diff"),
+        (
+            (fingerprint(F.col("t")) == fingerprint(F.concat(F.lit(" "), F.col("t"), F.lit("  "))))
+            == F.lit(True)
+        ).alias("ws_invariant"),
+    )
+    rows = bad.collect()
+    assert not any(r.diff for r in rows)
+    assert all(r.ws_invariant for r in rows)
+
+
+def test_schema_paths_total_over_nested_schema(spark):
+    # every leaf path enumerated exactly once, arrays descended
+    df = spark.createDataFrame(
+        [(1, ((2, "x"), [({"k": "v"}, 3)]))],
+        "id long, top struct<inner:struct<p:long,q:string>, arr:array<struct<m:map<string,string>,n:long>>>",
+    )
+    paths = schema_paths(df.schema)
+    assert set(paths) == {
+        "id",
+        "top.inner.p",
+        "top.inner.q",
+        "top.arr.m",
+        "top.arr.n",
+    }
