@@ -86,3 +86,49 @@ def test_sliding_counts_batch(spark):
     rows = se.sliding_counts(ev, "1 hour", "30 minutes").collect()
     # every event lands in 2 sliding windows
     assert sum(r.n_events for r in rows) == 2 * ev.count()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg: an event arriving behind the watermark
+    must not resurrect or change an already-closed window."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(rows, "ts string, event_type string, value double").select(
+            F.to_timestamp("ts").alias("ts"), "event_type", "value"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        # move the single part file into the streaming source dir
+        import glob as g, shutil as sh
+
+        part = g.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        sh.copy(part, src / f"{name}.parquet")
+
+    write_file(
+        [("2025-01-01 10:05:00", "click", 1.0), ("2025-01-01 11:55:00", "click", 1.0)],
+        "f1",
+    )
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = se.tumbling_counts(stream, window_size="1 hour", watermark="30 minutes")
+    q = out.writeStream.format("memory").queryName("late_test").outputMode("append").start()
+    try:
+        q.processAllAvailable()  # watermark -> 11:25; window 10:00 closes with n=1
+        write_file(
+            [
+                ("2025-01-01 10:10:00", "click", 1.0),  # LATE: behind 11:25 watermark
+                ("2025-01-01 12:40:00", "click", 1.0),  # on time; advances watermark
+            ],
+            "f2",
+        )
+        q.processAllAvailable()  # closes window 11:00 with n=1; late row dropped
+        rows = {
+            r.window_start.strftime("%H:%M"): r.n_events
+            for r in spark.sql("SELECT * FROM late_test").collect()
+        }
+        assert rows.get("10:00") == 1, f"late event leaked into closed window: {rows}"
+        assert rows.get("11:00") == 1, rows
+    finally:
+        q.stop()
