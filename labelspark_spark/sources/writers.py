@@ -68,6 +68,28 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-partition-sorted parquet: rows clustered
+    by ``sort_cols`` so every file covers a narrow key range and parquet
+    row-group min/max stats prune reads on those keys (the data-skipping
+    layout for a 100 TB fact table's hottest filter column; same idea as
+    Delta OPTIMIZE ZORDER's single-column case)."""
+    if mode not in VALID_MODES:
+        raise ValueError(f"write mode must be one of {VALID_MODES}, got {mode!r}")
+    parted = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        if num_partitions
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def register_view(df: DataFrame, name: str) -> None:
     """S8: SQL registration (notebooks/intro.ipynb cell 14)."""
     df.createOrReplaceTempView(name)

@@ -98,3 +98,48 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     joined = fact.join(dim, "o_orderpriority")
     plan = explain.formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    # 100 TB posture: a selective dim filter should become a bloom filter
+    # applied at the fact scan when the join can't broadcast. Thresholds
+    # lowered only because test data is tiny; production keeps Spark's
+    # scan-size heuristics.
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    part = read_table(spark, SF_SMOKE, "part").filter(F.col("p_size") == 1)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        j = li.join(part, li.l_partkey == part.p_partkey)
+        plan = explain.formatted_plan(j)
+        assert "bloom_filter_agg" in plan, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+
+
+def test_write_sorted_layout_plans_range_partitioning(spark, tmp_path):
+    from labelspark_spark.sources.writers import write_sorted
+
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    clustered = li.repartitionByRange(4, "l_orderkey").sortWithinPartitions("l_orderkey")
+    plan = explain.formatted_plan(clustered)
+    assert "rangepartitioning" in plan.lower() and "Sort" in plan
+    path = str(tmp_path / "li_sorted")
+    write_sorted(li, path, ["l_orderkey"], num_partitions=4)
+    back = spark.read.parquet(path)
+    # each file covers a disjoint key range -> per-file min >= prior max
+    import pyspark.sql.functions as f
+
+    stats = (
+        back.groupBy(f.input_file_name().alias("f"))
+        .agg(f.min("l_orderkey").alias("lo"), f.max("l_orderkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for prev, cur in zip(stats, stats[1:]):
+        assert cur.lo >= prev.hi, f"overlapping file ranges: {stats}"
