@@ -24,9 +24,30 @@ from pyspark.sql import functions as F
 from labelspark_spark.functions.vectors import cosine, dot
 
 
-def _rank_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
-    """Deterministic top-k: rank on rounded cosine desc, id asc."""
-    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+def _rank_topk(
+    scored: DataFrame, query_id: str, k: int, two_phase: bool = False
+) -> DataFrame:
+    """Deterministic top-k: rank on rounded cosine desc, id asc.
+
+    ``two_phase=True`` first ranks within (scan partition, query) — the
+    shuffle spreads over num_partitions × num_queries reducers and cuts
+    each group to k rows — then runs the final per-query rank on the
+    ~partitions*k survivors. Without it, the per-query window partition
+    holds the FULL scored set for that query (the whole corpus for brute
+    force): a guaranteed straggler/OOM at 100 TB. Results are identical:
+    the global top-k is a subset of the union of per-partition top-ks,
+    and both phases share the same total tie order.
+    """
+    order = [F.col("cos").desc(), F.col("neighbor_id").asc()]
+    if two_phase:
+        w1 = Window.partitionBy("_pid", query_id).orderBy(*order)
+        scored = (
+            scored.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_r", F.row_number().over(w1))
+            .filter(F.col("_r") <= k)
+            .drop("_pid", "_r")
+        )
+    w = Window.partitionBy(query_id).orderBy(*order)
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
@@ -54,7 +75,11 @@ def brute_force_topk(
             cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
         ).alias("cos"),
     )
-    return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")
+    # two-phase: the cross-join output is |corpus| rows per query; a
+    # single per-query window would funnel the whole corpus into one task
+    return _rank_topk(scored, "query_id", k, two_phase=True).select(
+        "query_id", "neighbor_id", "cos", "rank"
+    )
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
