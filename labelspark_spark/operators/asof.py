@@ -105,3 +105,46 @@ def range_join(
     rng = (left[left_point] >= right[right_start]) & (left[left_point] < right[right_end])
     cond = rng if cond is None else (cond & rng)
     return left.join(right, cond, how)
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bin_width: float,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Keyless interval join made shuffleable: quantize the number line
+    into ``bin_width`` bins, explode each interval over the bins it
+    overlaps, equi-join the point's single bin, then apply the exact
+    range residual.
+
+    Turns the nested-loop cross product into a hash join whose fan-out is
+    interval_span/bin_width rows per interval — pick ``bin_width`` near
+    the typical interval length so the explode factor stays ~1-2. Each
+    (point, interval) match appears exactly once because a point falls in
+    exactly one bin. Point/start/end must be numeric (cast timestamps to
+    epoch seconds first).
+    """
+    on = on or []
+    l_binned = left.withColumn(
+        "_bin", F.floor(F.col(left_point) / F.lit(bin_width)).cast("long")
+    )
+    r_binned = (
+        right.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(right_start) / F.lit(bin_width)).cast("long"),
+                    F.floor(F.col(right_end) / F.lit(bin_width)).cast("long"),
+                )
+            ),
+        )
+    )
+    joined = l_binned.join(r_binned, [*on, "_bin"])
+    residual = (F.col(left_point) >= F.col(right_start)) & (
+        F.col(left_point) < F.col(right_end)
+    )
+    return joined.filter(residual).drop("_bin")

@@ -1827,6 +1827,34 @@ FROM documents
 """
 
 
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join via bin quantization (the shuffleable
+    formulation of a range join — see operators/asof.py). Events are
+    matched into per-nation value bands; output is matches per band."""
+    e = _t(spark, sf_dir, "events")
+    n = _t(spark, sf_dir, "nation")
+    intervals = n.select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 20.0).alias("lo"),
+        (F.col("n_nationkey") * 20.0 + 30.0).alias("hi"),
+    )
+    matched = asof_ops.binned_range_join(
+        e.select("event_id", "value"), intervals, "value", "lo", "hi", bin_width=20.0
+    )
+    return matched.groupBy("n_nationkey").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+SQL_RANGE_JOIN_BINNED = """
+WITH intervals AS (
+  SELECT n_nationkey, n_nationkey * 20.0 AS lo, n_nationkey * 20.0 + 30.0 AS hi
+  FROM nation
+)
+SELECT i.n_nationkey, COUNT(*) AS n_matches
+FROM events e JOIN intervals i ON e.value >= i.lo AND e.value < i.hi
+GROUP BY i.n_nationkey
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster assignment: exact-Jaccard near-dup pairs -> connected
     components -> (doc_id, component). The iterative min-label propagation
@@ -1939,6 +1967,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
     "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
 }
 
 

@@ -196,3 +196,18 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {(r.id, r.comp) for r in dd.connected_components(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_binned_range_join_matches_naive(spark):
+    from labelspark_spark.operators import asof as asof_ops
+
+    points = spark.createDataFrame([(i, float(i * 7 % 100)) for i in range(200)], "pid long, x double")
+    intervals = spark.createDataFrame(
+        [(j, float(j * 13 % 90), float(j * 13 % 90 + 1 + j % 20)) for j in range(50)],
+        "iid long, lo double, hi double",
+    )
+    naive = asof_ops.range_join(points, intervals, [], "x", "lo", "hi")
+    binned = asof_ops.binned_range_join(points, intervals, "x", "lo", "hi", bin_width=8.0)
+    n_pairs = lambda df: {(r.pid, r.iid) for r in df.select("pid", "iid").collect()}
+    assert n_pairs(naive) == n_pairs(binned)
+    assert naive.count() == binned.count()  # exactly-once, no dup matches
