@@ -1883,6 +1883,72 @@ SELECT src AS doc_id, least(src, min(dst)) AS component FROM reach GROUP BY src
 """
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document — the corpus-weighting op feeding
+    keyword extraction / quality heuristics. One explode + two aggs +
+    a broadcastable doc-frequency join; rank window is per-doc (bounded
+    by vocabulary per doc, never corpus-wide)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(T.whitespace_tokens(T.normalize_text(F.col("text")))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "tok", "tfidf", "rank")
+    )
+
+
+SQL_TEXT_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c=NORM_SQL.format(c='text'))}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(CAST(tf.tf AS DOUBLE) * ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+               / (CAST(df.df AS DOUBLE) + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf, rank FROM (
+  SELECT doc_id, tok, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (HyperLogLog): per-event-type
+    distinct users via hll_sketch_agg. Sketches merge associatively, so
+    partial aggregation works map-side and sketches can roll up across
+    partitions/days — the scalable alternative to exact countDistinct's
+    full shuffle of raw keys. Approximate -> rows-only check; error bound
+    asserted in tests/test_approx_recall.py."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"))
+        .select("event_type", "approx_users")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1968,6 +2034,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
+    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
+    "hll_distinct": (q_hll_distinct, None),
 }
 
 

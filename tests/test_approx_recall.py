@@ -119,3 +119,26 @@ def test_approx_count_distinct_error(spark):
         F.countDistinct("l_orderkey").alias("e"),
     ).collect()[0]
     assert abs(row.a - row.e) / row.e < 0.05
+
+
+def test_hll_sketch_error_bound(spark):
+    import pyspark.sql.functions as F
+
+    from labelspark_spark.queries import q_hll_distinct
+    from labelspark_spark.sources import read_table
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in q_hll_distinct(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in read_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, est in approx.items():
+        rel_err = abs(est - exact[et]) / max(exact[et], 1)
+        assert rel_err < 0.05, f"{et}: est {est} vs exact {exact[et]}"
