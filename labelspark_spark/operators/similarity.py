@@ -147,6 +147,72 @@ def lsh_ann_topk(
     return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    max_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — learns the centroid
+    table :func:`ivf_topk` probes, entirely in DataFrame ops.
+
+    Per iteration: assign every row to its max-cosine centroid (broadcast
+    cross join + per-row rank — centroids are k*dim floats, always
+    broadcastable), then recompute centroids as element-wise means
+    (``avg(vec[i])`` per dimension — map-side partial agg, one shuffle of
+    k*dim partials). Only the k centroids ever reach the driver, never
+    the data. Init is the k rows with the smallest ``xxhash64(id, seed)``
+    — a deterministic pseudo-random sample.
+    """
+    spark = df.sparkSession
+    init = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
+        .limit(k)
+        .select(F.col("_v").cast("array<double>").alias("centroid"))
+        .collect()
+    )
+    centroids = [list(r.centroid) for r in init]
+
+    for _ in range(max_iters):
+        cent_df = F.broadcast(
+            spark.createDataFrame(
+                [(i, v) for i, v in enumerate(centroids)],
+                f"centroid_id int, centroid array<double>",
+            )
+        )
+        w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("centroid_id").asc())
+        assigned = (
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .crossJoin(cent_df)
+            .withColumn(
+                "_cos",
+                F.round(cosine(F.col("_v").cast("array<double>"), F.col("centroid")), 9),
+            )
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+        )
+        new_rows = (
+            assigned.groupBy("centroid_id")
+            .agg(F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("centroid"))
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in new_rows:  # empty clusters keep their previous centroid
+            new_centroids[r.centroid_id] = list(r.centroid)
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

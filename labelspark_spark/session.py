@@ -56,6 +56,9 @@ def get_spark_session(
         # 100 TB posture: size scan splits so executor tasks stay memory-safe
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # push MIN/MAX/COUNT of unfiltered scans down to parquet footer
+        # stats — a metadata read instead of a data scan
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it
         # as bigint ns (converted to micros in sources.readers.read_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

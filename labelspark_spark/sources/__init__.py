@@ -1,6 +1,7 @@
 from labelspark_spark.sources.readers import (
     TPCH_TABLES,
     json_literal_to_df,
+    parquet_stats,
     read_csv,
     read_delta,
     read_json_files,
@@ -18,6 +19,7 @@ from labelspark_spark.sources.writers import (
 __all__ = [
     "TPCH_TABLES",
     "json_literal_to_df",
+    "parquet_stats",
     "read_csv",
     "read_delta",
     "read_json_files",

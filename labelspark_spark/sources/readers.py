@@ -109,3 +109,27 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.format("delta").load(path)
     except Exception:
         return spark.read.parquet(path)
+
+
+def parquet_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> dict:
+    """MIN/MAX per column + row COUNT from parquet footer statistics —
+    a metadata read, no data scan (at 100 TB: milliseconds vs a full
+    pass). Uses the v2 parquet source's aggregate pushdown for the
+    duration of the call; the engine default stays v1 because bucketed
+    managed tables require it. The action runs inside the conf window
+    since pushdown is resolved at execution time.
+    """
+    key = "spark.sql.sources.useV1SourceList"
+    old = spark.conf.get(key)
+    v2_list = ",".join(s for s in old.split(",") if s.strip() and s.strip() != "parquet")
+    spark.conf.set(key, v2_list)
+    try:
+        aggs = [F.count(F.lit(1)).alias("count")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        row = spark.read.parquet(path).agg(*aggs).first()
+    finally:
+        spark.conf.set(key, old)
+    return row.asDict()

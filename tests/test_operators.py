@@ -211,3 +211,35 @@ def test_binned_range_join_matches_naive(spark):
     n_pairs = lambda df: {(r.pid, r.iid) for r in df.select("pid", "iid").collect()}
     assert n_pairs(naive) == n_pairs(binned)
     assert naive.count() == binned.count()  # exactly-once, no dup matches
+
+
+def test_kmeans_fit_deterministic_and_improving(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from labelspark_spark.functions.vectors import cosine
+    from labelspark_spark.operators import similarity as sim
+    from labelspark_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+
+    def objective(centroids):
+        w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("centroid_id").asc())
+        return (
+            emb.crossJoin(F.broadcast(centroids))
+            .withColumn("_cos", cosine(F.col("embedding").cast("array<double>"), F.col("centroid")))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .agg(F.avg("_cos"))
+            .first()[0]
+        )
+
+    c0 = sim.kmeans_fit(emb, k=4, dim=64, max_iters=0)
+    c5 = sim.kmeans_fit(emb, k=4, dim=64, max_iters=5)
+    assert c5.count() == 4
+    assert objective(c5) >= objective(c0) - 1e-9
+    # deterministic across runs
+    again = sim.kmeans_fit(emb, k=4, dim=64, max_iters=5)
+    a = sorted(map(tuple, (r.centroid for r in c5.collect())))
+    b = sorted(map(tuple, (r.centroid for r in again.collect())))
+    assert a == b

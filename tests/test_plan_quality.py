@@ -143,3 +143,27 @@ def test_write_sorted_layout_plans_range_partitioning(spark, tmp_path):
     )
     for prev, cur in zip(stats, stats[1:]):
         assert cur.lo >= prev.hi, f"overlapping file ranges: {stats}"
+
+
+def test_parquet_aggregate_pushdown(spark):
+    # stats probe must read footer metadata, not data: inside the v2-source
+    # window the plan shows PushedAggregation, and values match a real scan
+    from labelspark_spark.sources import parquet_stats
+
+    key = "spark.sql.sources.useV1SourceList"
+    old = spark.conf.get(key)
+    spark.conf.set(key, ",".join(s for s in old.split(",") if s.strip() != "parquet"))
+    try:
+        df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").agg(
+            F.min("l_quantity"), F.max("l_quantity"), F.count(F.lit(1))
+        )
+        plan = explain.formatted_plan(df)
+        assert "PushedAggregation: [MIN(l_quantity), MAX(l_quantity), COUNT(*)]" in plan, plan[:1200]
+    finally:
+        spark.conf.set(key, old)
+
+    stats = parquet_stats(spark, f"{SF_SMOKE}/lineitem.parquet", ["l_quantity"])
+    real = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").agg(
+        F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).first()
+    assert (stats["min_l_quantity"], stats["max_l_quantity"], stats["count"]) == (real.mn, real.mx, real.n)
