@@ -35,8 +35,8 @@ from pyspark.sql import functions as F
 from labelspark_spark.operators.enrich import enrich_types, to_string_frame
 from labelspark_spark.operators.silver import bronze_to_silver as _bronze_to_silver
 from labelspark_spark.operators.uploads import DIVIDER, build_uploads, lookup_join, upsert_keys
-from labelspark_spark.sources.readers import json_literal_to_df
-from labelspark_spark.sources.writers import write_parquet
+from labelspark_spark.sources.readers import json_literal_to_df, read_delta
+from labelspark_spark.sources.writers import write_delta, write_parquet
 
 
 class Transport(Protocol):
@@ -228,6 +228,34 @@ class Client:
         against existing keys with suffix semantics."""
         kwargs.setdefault("skip_duplicates", False)
         return self.create_data_rows_from_table(table, dataset_id, **kwargs)
+
+    # -- delta-named verb parity (reference client.py:83-151, 341-348,
+    #    476-501). write_delta/read_delta fall back to parquet when no
+    #    Delta jar is on the classpath (this test env), so the verbs are
+    #    format-transparent to callers.
+    def export_to_delta_table(
+        self, project_id: str, path: str, *, mode: str = "append", **kwargs
+    ) -> DataFrame:
+        """Export + Delta sink (reference client.py:83-151)."""
+        df = self.export_to_table(project_id, **kwargs)
+        write_delta(df, path, mode=mode)
+        return df
+
+    def create_data_rows_from_delta_table(
+        self, path: str, dataset_id: str, **kwargs
+    ) -> dict:
+        """Delta scan + upload path (reference client.py:341-348)."""
+        return self.create_data_rows_from_table(
+            read_delta(self.spark, path), dataset_id, **kwargs
+        )
+
+    def upsert_data_rows_from_delta_table(
+        self, path: str, dataset_id: str, **kwargs
+    ) -> dict:
+        """Delta scan + upsert path (reference client.py:476-501)."""
+        return self.upsert_data_rows_from_table(
+            read_delta(self.spark, path), dataset_id, **kwargs
+        )
 
     # -- metadata sync (reference update_metadata.py:5-51) ---------------
     def update_metadata(

@@ -141,3 +141,13 @@ def test_update_metadata_remote_wins_local_fallback(client, spark):
     got = {r.data_row_id: r.split for r in synced.collect()}
     # dr-1 exists remotely -> remote value; dr-2 absent -> local kept
     assert got == {"dr-1": "train", "dr-2": "local"}
+
+
+def test_delta_verb_roundtrip(client, spark, tmp_path):
+    # export -> delta-named sink (parquet fallback here) -> re-upload scan
+    path = str(tmp_path / "export_delta")
+    df = client.export_to_delta_table("proj-1", path, mode="overwrite")
+    assert df.count() > 0
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
