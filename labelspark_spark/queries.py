@@ -1949,6 +1949,26 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_SURFACE_STMT = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (temp-view SQL registration): the SAME ANSI statement text runs
+    through spark.sql here and through DuckDB as its own oracle — the
+    dialect-portable SQL surface, no DataFrame API in the query path."""
+    from labelspark_spark.sources.readers import register_tables
+
+    register_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(SQL_SURFACE_STMT)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2036,6 +2056,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     "hll_distinct": (q_hll_distinct, None),
+    "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
 }
 
 
