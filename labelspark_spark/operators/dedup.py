@@ -243,6 +243,44 @@ def minhash_lsh_pairs(
     return _jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
 
 
+# (input-plan semantic hash, shingle params) -> chosen strategy. The
+# probe is a table statistic: stable for a given input relation, so cache
+# it like an optimizer caches CBO stats instead of re-sampling per query.
+_STRATEGY_CACHE: dict[tuple, str] = {}
+
+
+def _probe_strategy(
+    df: DataFrame, text_col: str, id_col: str, shingle_words: int, unit: str
+) -> str:
+    """Pick 'count' vs 'prefix' from a sampled posting-join size estimate.
+
+    Stats probe on a DOC sample (sampling before shingling, so the probe
+    pays ~frac of the tokenize cost, not all of it). df per shingle
+    scales ~linearly with the sample fraction, so sum(df^2) scales
+    ~frac^2; an order-of-magnitude estimate is all the switch needs.
+    Deterministic (fixed seed) and memoized per input plan.
+    """
+    key = (df.semanticHash(), text_col, id_col, shingle_words, unit)
+    if key in _STRATEGY_CACHE:
+        return _STRATEGY_CACHE[key]
+    frac = 0.2
+    sampled = _shingled(df.sample(frac, seed=42), text_col, id_col, shingle_words, unit)
+    est_raw = (
+        sampled.select(F.explode_outer("_sh").alias("_s"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(F.sum(F.col("_df") * F.col("_df")))
+        .first()[0]
+        or 0
+    )
+    est = est_raw / (frac * frac)
+    strategy = "count" if est <= 50_000_000 else "prefix"
+    if len(_STRATEGY_CACHE) > 1024:
+        _STRATEGY_CACHE.clear()
+    _STRATEGY_CACHE[key] = strategy
+    return strategy
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -281,25 +319,7 @@ def ngram_jaccard_pairs(
     posting = sh.select("_id", F.size("_sh").alias("_n"), F.explode_outer("_sh").alias("_s"))
 
     if strategy == "auto":
-        # Stats probe on a DOC sample (sampling before shingling, so the
-        # probe pays ~frac of the tokenize cost, not all of it). df per
-        # shingle scales ~linearly with the sample fraction, so sum(df^2)
-        # scales ~frac^2; an order-of-magnitude estimate is all the
-        # switch needs. Deterministic (fixed seed).
-        frac = 0.2
-        sampled = _shingled(
-            df.sample(frac, seed=42), text_col, id_col, shingle_words, unit
-        )
-        est_raw = (
-            sampled.select(F.explode_outer("_sh").alias("_s"))
-            .groupBy("_s")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .agg(F.sum(F.col("_df") * F.col("_df")))
-            .first()[0]
-            or 0
-        )
-        est = est_raw / (frac * frac)
-        strategy = "count" if est <= 50_000_000 else "prefix"
+        strategy = _probe_strategy(df, text_col, id_col, shingle_words, unit)
 
     if strategy == "count":
         a = posting.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s")
