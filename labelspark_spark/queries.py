@@ -1949,6 +1949,19 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (approx_percentile): mergeable, bounded-memory — the scale path
+    where exact percentile's full per-group sort is prohibitive.
+    Approximate -> rows-only; error bound asserted in
+    tests/test_approx_recall.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(1000)).alias("median_approx"),
+        F.approx_percentile("l_quantity", F.lit(0.99), F.lit(1000)).alias("p99_approx"),
+    )
+
+
 SQL_SURFACE_STMT = """
 SELECT o_orderpriority,
        COUNT(*) AS n,
@@ -2057,6 +2070,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     "hll_distinct": (q_hll_distinct, None),
     "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
+    "percentiles_approx": (q_percentiles_approx, None),
 }
 
 

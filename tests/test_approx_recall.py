@@ -142,3 +142,27 @@ def test_hll_sketch_error_bound(spark):
     for et, est in approx.items():
         rel_err = abs(est - exact[et]) / max(exact[et], 1)
         assert rel_err < 0.05, f"{et}: est {est} vs exact {exact[et]}"
+
+
+def test_approx_percentile_error_bound(spark):
+    import pyspark.sql.functions as F
+
+    from labelspark_spark.queries import q_percentiles_approx
+    from labelspark_spark.sources import read_table
+
+    approx = {r.l_linestatus: r for r in q_percentiles_approx(spark, SF_SMOKE).collect()}
+    exact = {
+        r.l_linestatus: r
+        for r in read_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median"),
+            F.expr("percentile(l_quantity, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    # GK sketch with accuracy 1000: rank error <= n/1000; quantity in
+    # [1, 50] so value error for these smooth distributions stays small
+    for ls, a in approx.items():
+        assert abs(a.median_approx - exact[ls].median) <= 2.0
+        assert abs(a.p99_approx - exact[ls].p99) <= 2.0
