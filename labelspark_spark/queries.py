@@ -1962,6 +1962,39 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by portable content-free hash
+    of the stable doc id (md5-derived, engine-replayable): the standard
+    leak-proof corpus partitioning — membership is a pure function of
+    the id, so re-runs, backfills, and incremental loads land every doc
+    in the same split with no stored assignment table."""
+    from labelspark_spark.operators.dedup import _hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(_hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), F.lit(100))
+    split = (
+        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = """
+WITH assigned AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs FROM assigned GROUP BY split
+"""
+
+
 SQL_SURFACE_STMT = """
 SELECT o_orderpriority,
        COUNT(*) AS n,
@@ -2071,6 +2104,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hll_distinct": (q_hll_distinct, None),
     "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
     "percentiles_approx": (q_percentiles_approx, None),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
 }
 
 
