@@ -1995,6 +1995,19 @@ SELECT split, COUNT(*) AS n_docs FROM assigned GROUP BY split
 """
 
 
+def q_similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end learned-index ANN: k-means fits the centroid table
+    in-engine (Lloyd's as DataFrame ops), then IVF probes it — the full
+    build-index-then-query path a 100 TB embedding store runs.
+    Approximate -> rows-only; recall asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = sim.kmeans_fit(emb, k=4, dim=64, max_iters=3)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
 SQL_SURFACE_STMT = """
 SELECT o_orderpriority,
        COUNT(*) AS n,
@@ -2105,6 +2118,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
     "percentiles_approx": (q_percentiles_approx, None),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "similarity_kmeans_ivf": (q_similarity_kmeans_ivf, None),
 }
 
 

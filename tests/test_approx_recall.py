@@ -166,3 +166,18 @@ def test_approx_percentile_error_bound(spark):
     for ls, a in approx.items():
         assert abs(a.median_approx - exact[ls].median) <= 2.0
         assert abs(a.p99_approx - exact[ls].p99) <= 2.0
+
+
+def test_kmeans_ivf_recall(spark):
+    from labelspark_spark.queries import q_similarity_kmeans_ivf, q_similarity_topk
+
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in q_similarity_kmeans_ivf(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q_similarity_topk(spark, SF_SMOKE).filter("rank <= 5").collect()
+    }
+    recall = len(got & exact) / max(len(exact), 1)
+    assert recall >= 0.5, f"kmeans-IVF recall too low: {recall}"
