@@ -174,7 +174,7 @@ class Client:
         global_key_col: str | None = None,
         external_id_col: str | None = None,
         project_id: str | None = None,
-        skip_duplicates: bool = False,
+        skip_duplicates: bool = True,
         divider: str = DIVIDER,
         batch_size: int = 10_000,
     ) -> dict:
@@ -184,8 +184,19 @@ class Client:
         reference client.py:217-219) -> uploads struct (single
         projection replacing the UDF chain of uploader.py:157-195) ->
         partition-parallel spool (vs driver collect at uploader.py:93).
+
+        ``skip_duplicates`` defaults True to match the reference
+        (client.py:209); ``upsert_data_rows_from_table`` forces False.
         """
-        key_col = global_key_col or row_data_col
+        if global_key_col is None:
+            # Derive the key from row_data into its OWN column so suffix
+            # reconciliation rewrites the key only — never row_data itself
+            # (the reference suffixes the global key and leaves the asset
+            # pointer intact, client.py:217-219 via labelbase).
+            key_col = "_derived_global_key"
+            table = table.withColumn(key_col, F.col(row_data_col))
+        else:
+            key_col = global_key_col
         # upsert_keys matches by name on both sides; align the spool's
         # global_key column with the caller's key column.
         existing = self.existing_global_keys(dataset_id).withColumnRenamed(

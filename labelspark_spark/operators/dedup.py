@@ -508,6 +508,10 @@ def connected_components(
 
     Returns (id, component) for every node that appears in ``pairs``,
     where component is the minimum reachable node id.
+
+    Warns (``RuntimeWarning``) if the iteration cap is reached while
+    labels are still changing — the returned components would be
+    unconverged (possible over-segmented clusters).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     und = edges.union(
@@ -516,6 +520,7 @@ def connected_components(
     cur = (
         und.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
     ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iterations):
         best_neighbor = (
             und.join(cur.select(F.col("id").alias("dst"), "comp"), "dst")
@@ -534,6 +539,15 @@ def connected_components(
         cur = nxt
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iterations={max_iterations} with "
+            f"{changed} labels still changing; components are unconverged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return cur
 
 

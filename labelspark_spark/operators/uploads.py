@@ -150,6 +150,11 @@ def upsert_keys(
                      reference appends a divider suffix, client.py:218-219).
                      Pass ``order_by`` (a column name) for a reproducible
                      counter; default falls back to input order.
+
+    Suffixing applies when the key exists remotely OR when the incoming
+    batch itself repeats a key (``_rn > 1``): the reference collapses to
+    one row per unique global key (uploader.py:80-99), so posting two
+    identical new keys verbatim would still collide server-side.
     """
     keys = existing.select(F.col(key_col).alias("_existing_key")).distinct()
     if mode == "skip":
@@ -167,7 +172,7 @@ def upsert_keys(
             .withColumn(
                 key_col,
                 F.when(
-                    F.col("_existing_key").isNotNull(),
+                    F.col("_existing_key").isNotNull() | (F.col("_rn") > 1),
                     F.concat(F.col(key_col), F.lit(divider), F.col("_rn").cast("string")),
                 ).otherwise(F.col(key_col)),
             )

@@ -865,7 +865,7 @@ WITH inc AS (
   FROM inc
 )
 SELECT doc_id,
-       CASE WHEN hit THEN k || '///' || CAST(rn AS VARCHAR) ELSE k END AS global_key
+       CASE WHEN hit OR rn > 1 THEN k || '///' || CAST(rn AS VARCHAR) ELSE k END AS global_key
 FROM ranked
 """
 
@@ -2033,7 +2033,50 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # name -> (spark_fn, oracle_sql_or_None)
+#
+# ORDERING MATTERS: the driver's correctness harness checks a prefix window of
+# this registry (r01 covered exactly the first 50 entries).  Round 2 rotates the
+# 34 queries that had no CORRECTNESS_r01 row to the FRONT so they enter the
+# checked window; the 50 already-verified r01 queries follow.  New round-2
+# queries are also added at the front.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- round-1 pytest-only queries, rotated into the checked window ---
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "window_rank_funcs": (q_window_rank_funcs, SQL_WINDOW_RANK),
+    "agg_stats": (q_agg_stats, SQL_AGG_STATS),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
+    "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
+    "flatten_nested_arrays": (q_flatten_nested_arrays, SQL_FLATTEN_NESTED),
+    "dedup_char_ngram": (q_dedup_char_ngram, SQL_DEDUP_CHAR_NGRAM),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "string_funcs2": (q_string_funcs2, SQL_STRING_FUNCS2),
+    "date_arith": (q_date_arith, SQL_DATE_ARITH),
+    "quality_prep_pipeline": (q_quality_prep_pipeline, SQL_QUALITY_PREP),
+    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT),
+    "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
+    "date_spine": (q_date_spine, SQL_DATE_SPINE),
+    "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
+    "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
+    "argmax_group": (q_argmax_group, SQL_ARGMAX),
+    "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM),
+    "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
+    "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
+    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
+    "hll_distinct": (q_hll_distinct, None),
+    "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
+    "percentiles_approx": (q_percentiles_approx, None),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "similarity_kmeans_ivf": (q_similarity_kmeans_ivf, None),
+    # --- round-1 driver-verified queries (CORRECTNESS_r01 all green) ---
     "scan_project": (q_scan_project, SQL_SCAN_PROJECT),
     "cast_enrich": (q_cast_enrich, SQL_CAST_ENRICH),
     "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
@@ -2084,41 +2127,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
-    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "range_join": (q_range_join, SQL_RANGE_JOIN),
-    "window_rank_funcs": (q_window_rank_funcs, SQL_WINDOW_RANK),
-    "agg_stats": (q_agg_stats, SQL_AGG_STATS),
-    "percentiles": (q_percentiles, SQL_PERCENTILES),
-    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
-    "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
-    "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
-    "flatten_nested_arrays": (q_flatten_nested_arrays, SQL_FLATTEN_NESTED),
-    "dedup_char_ngram": (q_dedup_char_ngram, SQL_DEDUP_CHAR_NGRAM),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
-    "string_funcs2": (q_string_funcs2, SQL_STRING_FUNCS2),
-    "date_arith": (q_date_arith, SQL_DATE_ARITH),
-    "quality_prep_pipeline": (q_quality_prep_pipeline, SQL_QUALITY_PREP),
-    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT),
-    "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
-    "date_spine": (q_date_spine, SQL_DATE_SPINE),
-    "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
-    "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
-    "argmax_group": (q_argmax_group, SQL_ARGMAX),
-    "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM),
-    "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
-    "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
-    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
-    "hll_distinct": (q_hll_distinct, None),
-    "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
-    "percentiles_approx": (q_percentiles_approx, None),
-    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
-    "similarity_kmeans_ivf": (q_similarity_kmeans_ivf, None),
 }
 
 

@@ -102,13 +102,39 @@ def json_literal_to_df(
     return raw.select(F.from_json("value", schema).alias("doc")).select("doc.*")
 
 
+# Memoized "is the Delta data source on the classpath" probe. None =
+# unknown; resolved by the first read/write attempt. The fallback below
+# triggers ONLY on the missing-data-source error — any other failure
+# (corrupt log, schema mismatch, concurrent txn) propagates, so a broken
+# Delta table is never silently re-read as loose parquet.
+_DELTA_AVAILABLE: bool | None = None
+
+
+def _is_missing_delta_source(exc: Exception) -> bool:
+    msg = str(exc)
+    return (
+        "DATA_SOURCE_NOT_FOUND" in msg
+        or "Failed to find data source: delta" in msg
+        or "Failed to find the data source: delta" in msg
+    )
+
+
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
     """S5: Delta scan (client.py:347, client.py:500). Falls back to
-    parquet when the Delta runtime jar is absent (this test env)."""
-    try:
-        return spark.read.format("delta").load(path)
-    except Exception:
+    parquet only when the Delta runtime jar is absent (this test env);
+    all other Delta errors propagate."""
+    global _DELTA_AVAILABLE
+    if _DELTA_AVAILABLE is False:
         return spark.read.parquet(path)
+    try:
+        df = spark.read.format("delta").load(path)
+        _DELTA_AVAILABLE = True
+        return df
+    except Exception as exc:
+        if _is_missing_delta_source(exc):
+            _DELTA_AVAILABLE = False
+            return spark.read.parquet(path)
+        raise
 
 
 def parquet_stats(

@@ -37,16 +37,29 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
 ) -> None:
-    """S7: Delta sink (client.py:146). Parquet fallback when no Delta jar."""
+    """S7: Delta sink (client.py:146). Parquet fallback ONLY when the
+    Delta data source is absent from the classpath; genuine write errors
+    (schema mismatch, concurrent-txn conflict) propagate so loose parquet
+    never gets appended into a real Delta table directory."""
+    from labelspark_spark.sources import readers as _readers
+
     if mode not in VALID_MODES:
         raise ValueError(f"write mode must be one of {VALID_MODES}, got {mode!r}")
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if _readers._DELTA_AVAILABLE is False:
+        writer.parquet(path)
+        return
     try:
         writer.format("delta").save(path)
-    except Exception:
-        writer.parquet(path)
+        _readers._DELTA_AVAILABLE = True
+    except Exception as exc:
+        if _readers._is_missing_delta_source(exc):
+            _readers._DELTA_AVAILABLE = False
+            writer.parquet(path)
+        else:
+            raise
 
 
 def write_bucketed(

@@ -151,3 +151,31 @@ def test_delta_verb_roundtrip(client, spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == df.count()
     assert set(back.columns) == set(df.columns)
+
+
+def test_default_key_upsert_never_mangles_row_data(client, spark):
+    # no global_key_col: the key is DERIVED from row_data into its own
+    # column, so suffix reconciliation must leave row_data untouched
+    # (previously the suffix landed on row_data itself -> broken asset
+    # pointer on every re-upsert)
+    t = spark.createDataFrame([("http://x/a.jpg",)], ["row_data"])
+    client.create_data_rows_from_table(t, "ds-gk", row_data_col="row_data")
+    client.upsert_data_rows_from_table(t, "ds-gk", row_data_col="row_data")
+    posted = spark.read.json(client.transport.spool_path("ds-gk"))
+    rows = [r["data_row"] for r in posted.collect()]
+    assert {r["row_data"] for r in rows} == {"http://x/a.jpg"}
+    assert sorted(r["global_key"] for r in rows) == [
+        "http://x/a.jpg",
+        "http://x/a.jpg///1",
+    ]
+
+
+def test_create_defaults_skip_duplicates_like_reference(client, spark):
+    # reference client.py:209 defaults skip_duplicates=True: a colliding
+    # key on plain create is DROPPED, not suffixed
+    t1 = spark.createDataFrame([("r1", "kA")], ["row_data", "key"])
+    t2 = spark.createDataFrame([("r2", "kA"), ("r3", "kB")], ["row_data", "key"])
+    client.create_data_rows_from_table(t1, "ds-dflt", row_data_col="row_data", global_key_col="key")
+    client.create_data_rows_from_table(t2, "ds-dflt", row_data_col="row_data", global_key_col="key")
+    keys = sorted(r.global_key for r in client.existing_global_keys("ds-dflt").collect())
+    assert keys == ["kA", "kB"]

@@ -243,3 +243,50 @@ def test_kmeans_fit_deterministic_and_improving(spark):
     a = sorted(map(tuple, (r.centroid for r in c5.collect())))
     b = sorted(map(tuple, (r.centroid for r in again.collect())))
     assert a == b
+
+
+def test_upsert_suffix_in_batch_duplicates(spark):
+    # duplicate keys WITHIN the incoming batch get suffixed even when the
+    # key is new to the dataset (reference posts one row per unique key)
+    df = spark.createDataFrame(
+        [(1, "k"), (2, "k"), (3, "other")], ["id", "key"]
+    )
+    empty = spark.createDataFrame([], "key string")
+    out = uploads.upsert_keys(df, empty, key_col="key", mode="suffix", order_by="id")
+    got = {r.id: r.key for r in out.collect()}
+    assert got == {1: "k", 2: "k///2", 3: "other"}
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    import warnings
+
+    from labelspark_spark.operators import dedup as dd
+
+    # a 5-node chain has diameter 4; cap at 1 iteration -> must warn
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dd.connected_components(pairs, max_iterations=1)
+    assert any("unconverged" in str(x.message) for x in w)
+
+
+def test_delta_fallback_is_narrow(spark, tmp_path):
+    from labelspark_spark.sources import readers, writers
+
+    # classification: only the missing-data-source error triggers fallback
+    assert readers._is_missing_delta_source(
+        Exception("[DATA_SOURCE_NOT_FOUND] Failed to find the data source: delta.")
+    )
+    assert not readers._is_missing_delta_source(Exception("schema mismatch on write"))
+
+    # round-trip still works in this jar-less env (memoized fallback)
+    df = spark.range(5).withColumnRenamed("id", "x")
+    path = str(tmp_path / "dtab")
+    writers.write_delta(df, path, mode="overwrite")
+    assert readers.read_delta(spark, path).count() == 5
+
+    # a nonexistent path must raise, not silently return something
+    with pytest.raises(Exception):
+        readers.read_delta(spark, str(tmp_path / "missing")).collect()
