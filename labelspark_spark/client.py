@@ -33,6 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from labelspark_spark.operators.enrich import enrich_types, to_string_frame
+from labelspark_spark.operators.ontology import (
+    metadata_reconciliation,
+    ontology_index,
+    resolve_metadata_schema_ids,
+    unpivot_metadata,
+)
 from labelspark_spark.operators.silver import bronze_to_silver as _bronze_to_silver
 from labelspark_spark.operators.uploads import DIVIDER, build_uploads, lookup_join, upsert_keys
 from labelspark_spark.sources.readers import json_literal_to_df, read_delta
@@ -57,6 +63,16 @@ class Transport(Protocol):
 
     def export_metadata(self, project_id: str) -> str:
         """Remote metadata snapshot as a JSON string (array of objects)."""
+        ...
+
+    def export_ontology(self, project_id: str) -> str:
+        """Metadata-ontology snapshot as a JSON array of fields:
+        [{schema_id, name, kind, options: [{schema_id, name}]}]."""
+        ...
+
+    def create_metadata_field(self, project_id: str, field: dict) -> None:
+        """Create/extend one metadata ontology field (driver-side; the
+        reference's mdo.create_schema, create_labelbox_dataset.py:90)."""
         ...
 
 
@@ -104,6 +120,43 @@ class LocalTransport:
     def export_metadata(self, project_id: str) -> str:
         with open(os.path.join(self.root, f"meta-{project_id}.json")) as f:
             return f.read()
+
+    def seed_ontology(self, project_id: str, fields: list[dict]) -> None:
+        with open(os.path.join(self.root, f"onto-{project_id}.json"), "w") as f:
+            json.dump(fields, f)
+
+    def export_ontology(self, project_id: str) -> str:
+        path = os.path.join(self.root, f"onto-{project_id}.json")
+        if not os.path.exists(path):
+            return "[]"
+        with open(path) as f:
+            return f.read()
+
+    def create_metadata_field(self, project_id: str, field: dict) -> None:
+        """Append a field, or merge options into an existing field of the
+        same name (the mock's create_schema; ids are deterministic)."""
+        fields = json.loads(self.export_ontology(project_id))
+        by_name = {f["name"]: f for f in fields}
+        name = field["name"]
+        if name in by_name:
+            have = {o["name"] for o in by_name[name].get("options", [])}
+            for opt in field.get("options", []):
+                if opt not in have:
+                    by_name[name].setdefault("options", []).append(
+                        {"schema_id": f"{by_name[name]['schema_id']}/{opt}", "name": opt}
+                    )
+        else:
+            sid = f"schema/{name}"
+            fields.append({
+                "schema_id": sid,
+                "name": name,
+                "kind": field.get("kind", "string"),
+                "options": [
+                    {"schema_id": f"{sid}/{o}", "name": o}
+                    for o in field.get("options", [])
+                ],
+            })
+        self.seed_ontology(project_id, fields)
 
 
 class Client:
@@ -177,6 +230,7 @@ class Client:
         skip_duplicates: bool = True,
         divider: str = DIVIDER,
         batch_size: int = 10_000,
+        typed_annotations: bool = False,
     ) -> dict:
         """DataFrame -> platform data rows.
 
@@ -214,6 +268,7 @@ class Client:
             dataset_id=dataset_id,
             project_id=project_id,
             divider=divider,
+            typed_annotations=typed_annotations,
         )
         transport = self.transport  # avoid pickling self into the closure
 
@@ -289,6 +344,51 @@ class Client:
             target_col=value_col,
             default_col=value_col,
         )
+
+    # -- ontology / metadata schema-id sync ------------------------------
+    def export_ontology_index(self, project_id: str) -> DataFrame:
+        """Remote metadata ontology as the long name->schema-id index
+        DataFrame (uploader.py:154's dict, as data)."""
+        return ontology_index(self.spark, self.transport.export_ontology(project_id))
+
+    def resolve_metadata(
+        self, table: DataFrame, project_id: str, key_cols: list[str],
+        divider: str = DIVIDER,
+    ) -> DataFrame:
+        """Long-format metadata with field/option schema ids attached via
+        broadcast join (uploader.py:223-233 rebuilt)."""
+        return resolve_metadata_schema_ids(
+            unpivot_metadata(table, key_cols, divider),
+            self.export_ontology_index(project_id),
+        )
+
+    def connect_spark_metadata(
+        self, table: DataFrame, project_id: str, key_cols: list[str],
+        divider: str = DIVIDER,
+    ) -> DataFrame:
+        """Reconcile the table's metadata columns against the remote
+        ontology, creating missing fields and missing enum options
+        (create_labelbox_dataset.py:43-90).
+
+        Enum options are the distinct values observed in the column —
+        the reference collects the same distinct set (line 87); only the
+        (tiny) distinct reconciliation rows ever reach the driver.
+        Returns the reconciliation DataFrame that was applied (empty on
+        a second call)."""
+        recon = metadata_reconciliation(
+            self.resolve_metadata(table, project_id, key_cols, divider)
+        )
+        rows = recon.collect()
+        fields: dict[str, dict] = {}
+        for r in rows:
+            f = fields.setdefault(
+                r["field_name"], {"name": r["field_name"], "kind": r["declared_type"], "options": []}
+            )
+            if r["declared_type"] == "enum":
+                f["options"].append(r["value"])
+        for f in fields.values():
+            self.transport.create_metadata_field(project_id, f)
+        return recon
 
     # -- legacy medallion flow ------------------------------------------
     def get_annotations(self, project_id: str) -> DataFrame:

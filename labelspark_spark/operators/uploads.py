@@ -60,8 +60,14 @@ def build_uploads(
     project_id: str | None = None,
     divider: str = DIVIDER,
     uploads_col: str = "uploads",
+    typed_annotations: bool = False,
 ) -> DataFrame:
     """Build the nested uploads struct in ONE projection.
+
+    ``typed_annotations=True`` replaces the raw ``{type,name,value}``
+    annotation maps with per-kind parsed ndjson payloads
+    (``{annotation_type: ndjson}``, uploader.py:242-261) — still a single
+    projection, still zero Python.
 
     Schema mirrors `uploader.py:143-153`:
     struct<data_row: struct<row_data, global_key, external_id,
@@ -118,6 +124,11 @@ def build_uploads(
         arr = F.array(*entries) if entries else F.array().cast("array<map<string,string>>")
         return F.filter(arr, lambda x: x.isNotNull())
 
+    annotations = (
+        build_typed_annotations(df, divider)
+        if typed_annotations
+        else _compact(annotation_entries)
+    )
     uploads = F.struct(
         F.struct(
             F.col(row_data_col).cast("string").alias("row_data"),
@@ -128,9 +139,179 @@ def build_uploads(
         ).alias("data_row"),
         F.lit(dataset_id).cast("string").alias("dataset_id"),
         F.lit(project_id).cast("string").alias("project_id"),
-        _compact(annotation_entries).alias("annotations"),
+        annotations.alias("annotations"),
     )
     return df.withColumn(uploads_col, uploads)
+
+
+# --------------------------------------------------------------------------
+# typed annotation ndjson building (reference uploader.py:242-261, which
+# delegates per-kind payload construction to labelbase.create_ndjsons and
+# serializes each as {annotation_type: json.dumps(ndjson)})
+# --------------------------------------------------------------------------
+
+_EMPTY_SUBCLS = "array<struct<name:string,answer:string>>"
+
+
+def _entry_strings(cell, kind: str):
+    """Split one annotation cell into per-entry JSON strings.
+
+    Cell payloads are stringified nested lists (datasets/annotations.csv,
+    parsed by the reference with ast.literal_eval semantics at
+    add_json_answers_to_dictionary.py:7). Spark's JSON parser accepts the
+    single-quoted variant (allowSingleQuotes defaults true), and parsing
+    into ``array<string>`` captures each nested entry as its raw JSON
+    text — so `[[geom, [subs]], ...]` becomes one string per entry with
+    no Python in the loop.
+    """
+    return F.coalesce(
+        F.from_json(cell, "array<string>"), F.array().cast("array<string>")
+    )
+
+
+def _tool_subclassifications(subs_json, divider: str):
+    """`['question///answer', ...]` -> array<struct<name,answer>>.
+
+    One nesting level (the fixture corpus' depth). The reference resolves
+    deeper trees plus ontology schema ids via labelbase; schema-id
+    resolution lives in :mod:`labelspark_spark.operators.ontology`.
+    """
+    subs = F.coalesce(
+        F.from_json(subs_json, "array<string>"), F.array().cast("array<string>")
+    )
+    return F.transform(
+        subs,
+        lambda s: F.struct(
+            F.split(s, divider)[0].alias("name"),
+            F.element_at(F.split(s, divider), 2).alias("answer"),
+        ),
+    )
+
+
+def annotation_ndjsons(col_name: str, kind: str, feature: str, divider: str = DIVIDER):
+    """One annotation convention column -> array<string> of ndjson payloads.
+
+    Payload shapes follow the platform's public ndjson import format, one
+    JSON object per annotation instance:
+
+    - bbox      {"name", "bbox": {top,left,height,width}, "classifications"}
+    - polygon   {"name", "polygon": [{x,y},...], "classifications"}
+    - point     {"name", "point": {x,y}, "classifications"}
+    - line      {"name", "line": [{x,y},...], "classifications"}
+    - mask      {"name", "mask": {"png": b64}, "classifications"}
+    - radio     {"name", "answer": {"name": a}, "classifications"}
+    - checklist {"name", "answers": [{"name": a},...]}
+    - text      {"name", "answer": raw-string}
+
+    Radio answer paths `a///subq///suba` carry the one-level nested
+    classification; tool entries carry theirs in the `[geom, [q///a,...]]`
+    second slot. The whole column is native Spark expressions
+    (from_json / transform / to_json) — the reference runs a Python UDF
+    per annotation column per row (uploader.py:186-195).
+    """
+    if kind not in ANNOTATION_TYPES:
+        raise ValueError(f"unknown annotation kind {kind!r}")
+    cell = F.col(f"`{col_name}`")
+    name = F.lit(feature).alias("name")
+    entries = _entry_strings(cell, kind)
+
+    if kind in ("bbox", "point"):
+        def _geo(e):
+            parts = F.from_json(e, "array<string>")
+            g = F.from_json(parts[0], "array<double>")
+            geom = (
+                F.struct(
+                    g[0].alias("top"), g[1].alias("left"),
+                    g[2].alias("height"), g[3].alias("width"),
+                ).alias("bbox")
+                if kind == "bbox"
+                else F.struct(g[0].alias("x"), g[1].alias("y")).alias("point")
+            )
+            return F.to_json(F.struct(
+                name, geom,
+                _tool_subclassifications(F.element_at(parts, 2), divider).alias("classifications"),
+            ))
+        return F.transform(entries, _geo)
+
+    if kind in ("polygon", "line"):
+        def _poly(e):
+            parts = F.from_json(e, "array<string>")
+            pts = F.from_json(parts[0], "array<array<double>>")
+            ring = F.transform(
+                pts, lambda p: F.struct(p[0].alias("x"), p[1].alias("y"))
+            ).alias(kind)
+            return F.to_json(F.struct(
+                name, ring,
+                _tool_subclassifications(F.element_at(parts, 2), divider).alias("classifications"),
+            ))
+        return F.transform(entries, _poly)
+
+    if kind == "mask":
+        def _mask(e):
+            parts = F.from_json(e, "array<string>")
+            png = F.from_json(parts[0], "array<string>")[0]
+            return F.to_json(F.struct(
+                name,
+                F.struct(png.alias("png")).alias("mask"),
+                F.array().cast(_EMPTY_SUBCLS).alias("classifications"),
+            ))
+        return F.transform(entries, _mask)
+
+    if kind == "radio":
+        def _radio(e):
+            path = F.from_json(e, "array<string>")[0]
+            segs = F.split(path, divider)
+            nested = F.when(
+                F.size(segs) >= 3,
+                F.array(F.struct(segs[1].alias("name"), segs[2].alias("answer"))),
+            ).otherwise(F.array().cast(_EMPTY_SUBCLS))
+            return F.to_json(F.struct(
+                name,
+                F.struct(segs[0].alias("name")).alias("answer"),
+                nested.alias("classifications"),
+            ))
+        return F.transform(entries, _radio)
+
+    if kind == "checklist":
+        def _check(e):
+            items = F.from_json(e, "array<string>")
+            answers = F.transform(
+                items, lambda i: F.struct(F.split(i, divider)[0].alias("name"))
+            )
+            return F.to_json(F.struct(name, answers.alias("answers")))
+        return F.transform(entries, _check)
+
+    # kind == "text"
+    def _text(e):
+        return F.to_json(F.struct(
+            name, F.from_json(e, "array<string>")[0].alias("answer")
+        ))
+    return F.transform(entries, _text)
+
+
+def build_typed_annotations(
+    df: DataFrame, divider: str = DIVIDER
+):
+    """All annotation convention columns -> one array<map<string,string>>
+    column matching the uploads schema slot: each element
+    ``{annotation_type: ndjson-string}`` (uploader.py:256-257)."""
+    conv = [c for c in parse_convention_columns(df.columns, divider) if c.kind == "annotation"]
+
+    def _tagger(kind):
+        # single-arg closure: PySpark HOF lambdas dispatch on ARITY, so a
+        # bound-default second param would receive the array index
+        return lambda s: F.create_map(F.lit(kind), s)
+
+    arrays = [
+        F.transform(
+            annotation_ndjsons(c.column, c.value_type, c.name, divider),
+            _tagger(c.value_type),
+        )
+        for c in conv
+    ]
+    if not arrays:
+        return F.array().cast("array<map<string,string>>")
+    return F.flatten(F.array(*arrays))
 
 
 def upsert_keys(

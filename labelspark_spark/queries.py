@@ -819,6 +819,153 @@ FROM documents
 """
 
 
+def q_uploads_build_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed annotation ndjson building (uploader.py:242-261): every
+    annotation kind parsed from its stringified-nested-list cell into the
+    platform ndjson payload — one native projection, zero Python (the
+    reference runs one Python UDF per annotation column per row).
+
+    Cells are synthesized deterministically from doc_id so the DuckDB
+    oracle can reconstruct the exact ndjson strings.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    staged = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://a/"), s(d)).alias("row_data"),
+        F.concat(
+            F.lit("[[["), s(d), F.lit(", "), s(d + 1),
+            F.lit(", 10, 20], []], [["), s(d * 2),
+            F.lit(", 5, 30, 40], ['subq///ans"), s(F.pmod(d, F.lit(3))),
+            F.lit("']]]"),
+        ).alias("annotation///bbox///box"),
+        F.concat(
+            F.lit("[[[[1.5, 2.5], [3.5, "), s(d), F.lit(".25]], ['pq///pa']]]")
+        ).alias("annotation///polygon///poly"),
+        F.concat(F.lit("[[['B64data"), s(F.pmod(d, F.lit(5))), F.lit("']]]")).alias(
+            "annotation///mask///m"
+        ),
+        F.concat(F.lit("[[["), s(d), F.lit(".5, 7.25], []]]")).alias(
+            "annotation///point///pt"
+        ),
+        F.lit("[[[[0.5, 1.5], [2.5, 3.5]], []]]").alias("annotation///line///ln"),
+        F.concat(
+            F.lit("[['opt"), s(F.pmod(d, F.lit(4))), F.lit("///sq///sa"),
+            s(F.pmod(d, F.lit(2))), F.lit("']]"),
+        ).alias("annotation///radio///rad"),
+        F.concat(F.lit("[['c"), s(F.pmod(d, F.lit(3))), F.lit("', 'c9']]")).alias(
+            "annotation///checklist///chk"
+        ),
+        F.concat(F.lit("[['note "), s(d), F.lit("']]")).alias("annotation///text///ft"),
+    )
+    built = up.build_uploads(staged, row_data_col="row_data", typed_annotations=True)
+    return built.select(
+        "doc_id", F.posexplode(F.col("uploads").getField("annotations"))
+    ).select(
+        "doc_id",
+        F.col("pos"),
+        F.map_keys(F.col("col"))[0].alias("ann_type"),
+        F.map_values(F.col("col"))[0].alias("ndjson"),
+    )
+
+
+# D(x): Spark's to_json renders doubles via Double.toString; DuckDB's
+# double->varchar matches it in this value range (both shortest-repr).
+_D = "CAST(CAST({x} AS DOUBLE) AS VARCHAR)"
+
+SQL_UPLOADS_ANNOTATIONS = f"""
+WITH doc AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents)
+SELECT doc_id, CAST(0 AS INTEGER) AS pos, 'bbox' AS ann_type,
+       '{{"name":"box","bbox":{{"top":' || {_D.format(x='doc_id')} || ',"left":' || {_D.format(x='doc_id + 1')}
+       || ',"height":10.0,"width":20.0}},"classifications":[]}}' AS ndjson FROM doc
+UNION ALL
+SELECT doc_id, 1, 'bbox',
+       '{{"name":"box","bbox":{{"top":' || {_D.format(x='doc_id * 2')}
+       || ',"left":5.0,"height":30.0,"width":40.0}},"classifications":[{{"name":"subq","answer":"ans'
+       || CAST(doc_id % 3 AS VARCHAR) || '"}}]}}' FROM doc
+UNION ALL
+SELECT doc_id, 2, 'polygon',
+       '{{"name":"poly","polygon":[{{"x":1.5,"y":2.5}},{{"x":3.5,"y":' || ds
+       || '.25}}],"classifications":[{{"name":"pq","answer":"pa"}}]}}' FROM doc
+UNION ALL
+SELECT doc_id, 3, 'mask',
+       '{{"name":"m","mask":{{"png":"B64data' || CAST(doc_id % 5 AS VARCHAR)
+       || '"}},"classifications":[]}}' FROM doc
+UNION ALL
+SELECT doc_id, 4, 'point',
+       '{{"name":"pt","point":{{"x":' || ds || '.5,"y":7.25}},"classifications":[]}}' FROM doc
+UNION ALL
+SELECT doc_id, 5, 'line',
+       '{{"name":"ln","line":[{{"x":0.5,"y":1.5}},{{"x":2.5,"y":3.5}}],"classifications":[]}}' FROM doc
+UNION ALL
+SELECT doc_id, 6, 'radio',
+       '{{"name":"rad","answer":{{"name":"opt' || CAST(doc_id % 4 AS VARCHAR)
+       || '"}},"classifications":[{{"name":"sq","answer":"sa' || CAST(doc_id % 2 AS VARCHAR)
+       || '"}}]}}' FROM doc
+UNION ALL
+SELECT doc_id, 7, 'checklist',
+       '{{"name":"chk","answers":[{{"name":"c' || CAST(doc_id % 3 AS VARCHAR)
+       || '"}},{{"name":"c9"}}]}}' FROM doc
+UNION ALL
+SELECT doc_id, 8, 'text',
+       '{{"name":"ft","answer":"note ' || ds || '"}}' FROM doc
+"""
+
+
+_RESOLVE_ONTOLOGY = (
+    '[{"schema_id":"m/lang","name":"lang","kind":"enum","options":'
+    '[{"schema_id":"m/lang/en","name":"en"},{"schema_id":"m/lang/de","name":"de"},'
+    '{"schema_id":"m/lang/fr","name":"fr"}]},'
+    '{"schema_id":"m/n_chars","name":"n_chars","kind":"number","options":[]}]'
+)
+
+
+def q_metadata_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology schema-id resolution (uploader.py:154-155, 223-233):
+    wide metadata columns -> long format -> broadcast join against the
+    ontology index. Unresolved rows keep null ids ('src' is a
+    missing_field; lang es/zh are missing enum options)."""
+    from labelspark_spark.operators import ontology as onto
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.col("lang").alias("metadata///enum///lang"),
+        F.col("n_chars").alias("metadata///number///n_chars"),
+        F.col("source").alias("metadata///string///src"),
+    )
+    idx = onto.ontology_index(spark, _RESOLVE_ONTOLOGY)
+    resolved = onto.resolve_metadata_schema_ids(
+        onto.unpivot_metadata(staged, ["doc_id"]), idx
+    )
+    return resolved.select(
+        "doc_id", "field_name", "declared_type", "value",
+        "field_schema_id", "kind", "option_schema_id",
+    )
+
+
+SQL_METADATA_RESOLVE = """
+WITH long AS (
+  SELECT doc_id, 'lang' AS field_name, 'enum' AS declared_type, lang AS value FROM documents
+  UNION ALL
+  SELECT doc_id, 'n_chars', 'number', CAST(n_chars AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT doc_id, 'src', 'string', source FROM documents
+), flds(field_name, field_schema_id, kind) AS (
+  VALUES ('lang', 'm/lang', 'enum'), ('n_chars', 'm/n_chars', 'number')
+), opts(field_name, option_name, option_schema_id) AS (
+  VALUES ('lang', 'en', 'm/lang/en'), ('lang', 'de', 'm/lang/de'), ('lang', 'fr', 'm/lang/fr')
+)
+SELECT long.doc_id, long.field_name, long.declared_type, long.value,
+       flds.field_schema_id, flds.kind, opts.option_schema_id
+FROM long
+LEFT JOIN flds ON long.field_name = flds.field_name
+LEFT JOIN opts ON long.field_name = opts.field_name
+              AND long.value = opts.option_name AND flds.kind = 'enum'
+"""
+
+
 def q_upsert_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 skip mode: left-anti against existing keys (client.py:217)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2040,6 +2187,9 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked window; the 50 already-verified r01 queries follow.  New round-2
 # queries are also added at the front.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- new in round 2 ---
+    "uploads_build_annotations": (q_uploads_build_annotations, SQL_UPLOADS_ANNOTATIONS),
+    "metadata_resolve": (q_metadata_resolve, SQL_METADATA_RESOLVE),
     # --- round-1 pytest-only queries, rotated into the checked window ---
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),

@@ -179,3 +179,76 @@ def test_create_defaults_skip_duplicates_like_reference(client, spark):
     client.create_data_rows_from_table(t2, "ds-dflt", row_data_col="row_data", global_key_col="key")
     keys = sorted(r.global_key for r in client.existing_global_keys("ds-dflt").collect())
     assert keys == ["kA", "kB"]
+
+
+def test_client_typed_annotation_roundtrip(client, spark):
+    # annotations.csv-shaped fixture through the full upload path: the
+    # spooled ndjson carries parsed typed payloads, not raw cell strings
+    t = spark.createDataFrame(
+        [
+            ("http://x/i.jpg", "ka", "[[[10, 20, 30, 40], []]]", "[['opt_a///sub_q///sub_a']]"),
+        ],
+        ["row_data", "key", "annotation///bbox///boxes", "annotation///radio///weather"],
+    )
+    client.create_data_rows_from_table(
+        t, "ds-ann", row_data_col="row_data", global_key_col="key", typed_annotations=True
+    )
+    posted = spark.read.json(client.transport.spool_path("ds-ann"))
+    row = posted.collect()[0]
+    anns = row["annotations"]
+    # read-back schema inference merges the per-entry maps into one
+    # struct<bbox,radio>; discriminate on non-null
+    bbox = json.loads([m["bbox"] for m in anns if m["bbox"] is not None][0])
+    assert bbox == {
+        "name": "boxes",
+        "bbox": {"top": 10.0, "left": 20.0, "height": 30.0, "width": 40.0},
+        "classifications": [],
+    }
+    radio = json.loads([m["radio"] for m in anns if m["radio"] is not None][0])
+    assert radio["answer"] == {"name": "opt_a"}
+    assert radio["classifications"] == [{"name": "sub_q", "answer": "sub_a"}]
+
+
+def test_connect_spark_metadata_creates_missing_then_clean(client, spark):
+    # partial remote ontology: lang exists with one option, score absent
+    client.transport.seed_ontology(
+        "proj-1",
+        [{
+            "schema_id": "m/lang", "name": "lang", "kind": "enum",
+            "options": [{"schema_id": "m/lang/en", "name": "en"}],
+        }],
+    )
+    t = spark.createDataFrame(
+        [("r1", "en", 5), ("r2", "de", 7)],
+        ["row_data", "metadata///enum///lang", "metadata///number///score"],
+    )
+    recon = client.connect_spark_metadata(t, "proj-1", key_cols=["row_data"])
+    issues = {(r.field_name, r.issue) for r in recon.collect()}
+    assert issues == {("lang", "missing_option"), ("score", "missing_field")}
+    # remote ontology was extended: second reconcile is clean
+    again = client.connect_spark_metadata(t, "proj-1", key_cols=["row_data"])
+    assert again.count() == 0
+    # and every row now resolves to a schema id
+    resolved = client.resolve_metadata(t, "proj-1", key_cols=["row_data"])
+    assert resolved.filter(F.col("field_schema_id").isNull()).count() == 0
+    enum_rows = resolved.filter(F.col("kind") == "enum")
+    assert enum_rows.filter(F.col("option_schema_id").isNull()).count() == 0
+
+
+def test_upsert_with_metadata_after_ontology_sync(client, spark):
+    # the upsert-with-metadata path: sync ontology, then upsert twice;
+    # spooled rows carry metadata fields and suffixed keys stay intact
+    t = spark.createDataFrame(
+        [("http://x/1.jpg", "mk1", "de")],
+        ["row_data", "key", "metadata///enum///lang"],
+    )
+    client.connect_spark_metadata(t, "proj-1", key_cols=["key"])
+    client.upsert_data_rows_from_table(t, "ds-meta", row_data_col="row_data", global_key_col="key")
+    client.upsert_data_rows_from_table(t, "ds-meta", row_data_col="row_data", global_key_col="key")
+    posted = spark.read.json(client.transport.spool_path("ds-meta"))
+    rows = posted.collect()
+    keys = sorted(r["data_row"]["global_key"] for r in rows)
+    assert keys == ["mk1", "mk1///1"]
+    for r in rows:
+        md = {m["name"]: m["value"] for m in r["data_row"]["metadata_fields"]}
+        assert md == {"lang": "de"}

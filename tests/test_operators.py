@@ -290,3 +290,87 @@ def test_delta_fallback_is_narrow(spark, tmp_path):
     # a nonexistent path must raise, not silently return something
     with pytest.raises(Exception):
         readers.read_delta(spark, str(tmp_path / "missing")).collect()
+
+
+def test_annotation_ndjsons_on_reference_fixture(spark):
+    # the reference's own test corpus: every annotation kind parses into
+    # the platform ndjson payload with zero Python in the plan
+    import json
+
+    df = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv("/root/reference/datasets/annotations.csv")
+    )
+    out = df.select(
+        "global_key",
+        uploads.annotation_ndjsons(
+            "annotation///bbox///sample_bounding_box", "bbox", "sample_bounding_box"
+        ).alias("bbox"),
+        uploads.annotation_ndjsons(
+            "annotation///bbox///sample_nested_bounding_box", "bbox", "nested_bbox"
+        ).alias("nbbox"),
+        uploads.annotation_ndjsons(
+            "annotation///polygon///sample_polygon", "polygon", "sample_polygon"
+        ).alias("poly"),
+        uploads.annotation_ndjsons(
+            "annotation///mask///sample_segmentation_mask", "mask", "seg_mask"
+        ).alias("mask"),
+        uploads.annotation_ndjsons(
+            "annotation///radio///sample_nested_radio_question", "radio", "nested_radio"
+        ).alias("nradio"),
+        uploads.annotation_ndjsons(
+            "annotation///checklist///sample_checklist_question", "checklist", "chk"
+        ).alias("chk"),
+        uploads.annotation_ndjsons(
+            "annotation///text///sample_free_text_question", "text", "ft"
+        ).alias("txt"),
+    ).collect()
+    r0 = next(r for r in out if "gCbn5IeZtE92OaUbyl1ZjQ" in r.global_key)
+    b = json.loads(r0.bbox[0])
+    assert b == {
+        "name": "sample_bounding_box",
+        "bbox": {"top": 1853.0, "left": 191.0, "height": 213.0, "width": 304.0},
+        "classifications": [],
+    }
+    nb = json.loads(r0.nbbox[0])
+    assert nb["classifications"] == [
+        {"name": "sample_tool_sub_text_question", "answer": "Test text"}
+    ]
+    p = json.loads(r0.poly[0])
+    assert p["polygon"][0] == {"x": 3363.98, "y": 1180.19}
+    m = json.loads(r0.mask[0])
+    assert m["mask"]["png"].startswith("iVBORw0KGgo")
+    nr = json.loads(r0.nradio[0])
+    assert nr["answer"] == {"name": "sample_branch_radio_answer_1"}
+    assert nr["classifications"] == [
+        {"name": "sample_sub_radio_question", "answer": "sample_sub_radio_answer_2"}
+    ]
+    # empty text cell -> no ndjsons
+    assert r0.txt == []
+    # multi-answer checklist on another row
+    multi = [r for r in out if len(r.chk) and "answer_2" in r.chk[0]]
+    assert multi and json.loads(multi[0].chk[0])["answers"] == [
+        {"name": "sample_checklist_answer_1"},
+        {"name": "sample_checklist_answer_2"},
+    ]
+
+
+def test_build_uploads_typed_annotations_single_projection(spark):
+    import json
+
+    df = spark.createDataFrame(
+        [("u1", "[[[1, 2, 3, 4], ['q///a']]]", "[['yes']]")],
+        ["row_data", "annotation///bbox///b", "annotation///radio///r"],
+    )
+    built = uploads.build_uploads(df, row_data_col="row_data", typed_annotations=True)
+    anns = built.select("uploads.annotations").collect()[0][0]
+    assert [list(m)[0] for m in anns] == ["bbox", "radio"]
+    bbox = json.loads(anns[0]["bbox"])
+    assert bbox["bbox"] == {"top": 1.0, "left": 2.0, "height": 3.0, "width": 4.0}
+    assert bbox["classifications"] == [{"name": "q", "answer": "a"}]
+    assert json.loads(anns[1]["radio"])["answer"] == {"name": "yes"}
+    # still zero Python in the plan
+    plan = built._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
