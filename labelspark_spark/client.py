@@ -75,6 +75,12 @@ class Transport(Protocol):
         reference's mdo.create_schema, create_labelbox_dataset.py:90)."""
         ...
 
+    def fetch_frames(self, frames_url: str) -> str:
+        """Raw ndjson frame payload for one data row's frames URL
+        (executor-side; the reference's requests.get per row,
+        get_videoframe_annotations.py:29)."""
+        ...
+
 
 class LocalTransport:
     """File-backed mock platform for tests and offline runs.
@@ -130,6 +136,22 @@ class LocalTransport:
         if not os.path.exists(path):
             return "[]"
         with open(path) as f:
+            return f.read()
+
+    def seed_frames(self, frames_url: str, ndjson: str) -> None:
+        d = os.path.join(self.root, "frames")
+        os.makedirs(d, exist_ok=True)
+        import hashlib
+
+        key = hashlib.md5(frames_url.encode()).hexdigest()
+        with open(os.path.join(d, key), "w", encoding="utf-8") as f:
+            f.write(ndjson)
+
+    def fetch_frames(self, frames_url: str) -> str:
+        import hashlib
+
+        key = hashlib.md5(frames_url.encode()).hexdigest()
+        with open(os.path.join(self.root, "frames", key), encoding="utf-8") as f:
             return f.read()
 
     def create_metadata_field(self, project_id: str, field: dict) -> None:
@@ -400,3 +422,33 @@ class Client:
         """Flattened analytics table (bronze_to_silver.py:13-76), fully
         distributed (no iterrows)."""
         return _bronze_to_silver(bronze, **kwargs)
+
+    def get_videoframe_annotations(
+        self,
+        bronze: DataFrame,
+        id_col: str = "DataRowID",
+        frames_url_col: str = "Label.frames",
+        frame_schema: str | None = None,
+    ) -> DataFrame:
+        """Frame-level bronze for video projects.
+
+        Reference (`get_videoframe_annotations.py:15-43`) fetches every
+        row's frames URL on the driver and returns a list of per-row
+        DataFrames. Here the fetch runs partition-local through the
+        Transport and the result is ONE long typed table keyed
+        (id, frameNumber) — feed it to :meth:`bronze_to_silver` with
+        ``key_cols=[id, 'frameNumber']`` for the frame-wide silver.
+        """
+        from labelspark_spark.operators.video import (
+            FRAME_SCHEMA,
+            fetch_frames,
+            parse_frames_ndjson,
+        )
+
+        fetched = fetch_frames(
+            bronze, self.transport.fetch_frames, id_col=id_col,
+            frames_url_col=frames_url_col,
+        )
+        return parse_frames_ndjson(
+            fetched, id_col=id_col, frame_schema=frame_schema or FRAME_SCHEMA
+        )

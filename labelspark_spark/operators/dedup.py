@@ -577,3 +577,60 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 6,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-blocked — the 100 TB path.
+
+    OR-construction over ``num_tables`` independent hyperplane bucket
+    tables: candidates are pairs sharing a bucket in ANY table
+    (equi-join on a single bigint (table, bucket) key — shuffle keyed on
+    buckets, never all-pairs), then every candidate is cosine-VERIFIED,
+    so false positives cost a verify, never a wrong answer.
+
+    Recall for cos >= t with angle θ=acos(t): per-plane collision
+    p=1-θ/π, per-table p^b, overall 1-(1-p^b)^L. Defaults (b=6, L=8)
+    give ~0.99 at cos=0.95. :func:`embedding_dup_pairs` (brute force)
+    stays as the recall oracle in tests.
+    """
+    from labelspark_spark.functions.vectors import cosine
+    from labelspark_spark.operators.similarity import _hyperplanes, lsh_bucket_expr
+
+    vec = F.col(vec_col)
+    # one bigint key per table: xxhash64(table_idx, bucket) — same trick
+    # as the minhash band keys (single-bigint shuffle key)
+    table_keys = [
+        F.xxhash64(F.lit(t), lsh_bucket_expr(vec, _hyperplanes(dim, num_planes, seed + t)))
+        for t in range(num_tables)
+    ]
+    # ids-only through the bucket join (16-byte shuffle rows; vectors
+    # rejoin onto the much smaller candidate set afterwards), staged
+    # projection + explode_outer for the same reasons as minhash_lsh_pairs
+    buckets = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.array(*table_keys)).alias("_key"),
+    )
+    left = buckets.select(F.col("_id").alias("id_a"), "_key")
+    right = buckets.select(F.col("_id").alias("id_b"), "_key")
+    cand = (
+        left.join(right.hint("merge"), ["_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), vec.cast("array<double>").alias("_v"))
+    scored = (
+        cand.join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "_va"), "id_a")
+        .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "_vb"), "id_b")
+        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"))
+    )
+    return scored.filter(F.col("cos") >= threshold)

@@ -213,6 +213,106 @@ def kmeans_fit(
     )
 
 
+def _assign_to_centroids(
+    df: DataFrame,
+    cent,
+    idc: str,
+    vecc: str,
+    n: int,
+    out_id: str,
+) -> DataFrame:
+    """Nearest-``n`` centroid assignment via broadcast cross join +
+    per-row rank (centroids are k*dim floats, always broadcastable)."""
+    w = Window.partitionBy(out_id).orderBy(F.col("_cdist").desc(), F.col("_cid").asc())
+    return (
+        df.select(F.col(idc).alias(out_id), F.col(vecc).alias("_v"))
+        .crossJoin(cent)
+        .withColumn(
+            "_cdist",
+            F.round(
+                cosine(F.col("_v").cast("array<double>"), F.col("_cvec").cast("array<double>")),
+                6,
+            ),
+        )
+        .withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= n)
+        .select(out_id, "_v", "_cid")
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    table: str = "ivf_index",
+    num_buckets: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> None:
+    """Build the IVF index ONCE and persist it bucketed by centroid id.
+
+    At scale the corpus->centroid assignment IS the index: re-deriving
+    it per query (as :func:`ivf_topk` does) repeats a full corpus pass
+    every call. This writes (vec_id, embedding, centroid_id) as a
+    bucketed managed table so :func:`ivf_probe` reads co-located
+    centroid lists with no assignment stage and no exchange.
+    """
+    from labelspark_spark.sources.writers import write_bucketed
+
+    cent = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")
+        )
+    )
+    assignment = _assign_to_centroids(corpus, cent, id_col, vec_col, 1, "vec_id").select(
+        F.col("vec_id"), F.col("_v").alias("embedding"), F.col("_cid").alias("centroid_id")
+    )
+    write_bucketed(assignment, table, bucket_cols=["centroid_id"], num_buckets=num_buckets)
+
+
+def ivf_probe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    table: str = "ivf_index",
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Probe a persisted IVF index: NO corpus-wide work.
+
+    Queries (small) are assigned to their ``nprobe`` centroids and
+    BROADCAST against the bucketed index scan — the index never
+    shuffles, never re-assigns, and only the probed centroid lists'
+    rows survive the join. The probe plan contains no cross join over
+    the corpus (asserted in tests/test_plan_quality.py).
+    """
+    spark = queries.sparkSession
+    index = spark.table(table)
+    cent = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")
+        )
+    )
+    q = F.broadcast(
+        _assign_to_centroids(queries, cent, query_id_col, vec_col, nprobe, "query_id")
+        .withColumnRenamed("_v", "_qv")
+        .withColumnRenamed("_cid", "centroid_id")
+    )
+    scored = index.join(q, "centroid_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            cosine(F.col("_qv").cast("array<double>"), F.col("embedding").cast("array<double>")),
+            6,
+        ).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -236,26 +336,10 @@ def ivf_topk(
             F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")
         )
     )
-
-    def assign(df: DataFrame, idc: str, vecc: str, n: int, out_id: str) -> DataFrame:
-        w = Window.partitionBy(out_id).orderBy(F.col("_cdist").desc(), F.col("_cid").asc())
-        return (
-            df.select(F.col(idc).alias(out_id), F.col(vecc).alias("_v"))
-            .crossJoin(cent)
-            .withColumn(
-                "_cdist",
-                F.round(
-                    cosine(F.col("_v").cast("array<double>"), F.col("_cvec").cast("array<double>")),
-                    6,
-                ),
-            )
-            .withColumn("_crank", F.row_number().over(w))
-            .filter(F.col("_crank") <= n)
-            .select(out_id, "_v", "_cid")
-        )
-
-    c = assign(corpus, id_col, vec_col, 1, "neighbor_id")
-    q = assign(queries, query_id_col, vec_col, nprobe, "query_id").withColumnRenamed("_v", "_qv")
+    c = _assign_to_centroids(corpus, cent, id_col, vec_col, 1, "neighbor_id")
+    q = _assign_to_centroids(
+        queries, cent, query_id_col, vec_col, nprobe, "query_id"
+    ).withColumnRenamed("_v", "_qv")
     scored = c.join(q, "_cid").select(
         "query_id",
         "neighbor_id",

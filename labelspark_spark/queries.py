@@ -966,6 +966,85 @@ LEFT JOIN opts ON long.field_name = opts.field_name
 """
 
 
+def q_video_frames_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame medallion flow (get_videoframe_annotations.py:15-43 +
+    bronze_to_silver.py:19-23): per-row frame ndjson payload -> long
+    typed bronze (split/explode/from_json, JVM-side) -> frame-keyed
+    silver pivot. Payloads are synthesized deterministically from doc_id
+    (3 frames per doc) so the oracle reconstructs the silver directly;
+    the network fetch itself is covered by the Transport client tests.
+    """
+    from labelspark_spark.operators import video as vid
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def frame_json(k: int):
+        dk = d + F.lit(k)
+        objs = F.when(
+            F.pmod(dk, F.lit(2)) == 0, F.lit('[{"title":"car"},{"title":"tree"}]')
+        ).otherwise(F.lit('[{"title":"car"}]'))
+        return F.concat(
+            F.lit(f'{{"frameNumber":{k},"objects":'), objs,
+            F.lit(',"classifications":[{"title":"weather","answer":"w'),
+            F.pmod(dk, F.lit(3)).cast("string"), F.lit('"}]}'),
+        )
+
+    payload = F.concat_ws("\n", frame_json(0), frame_json(1), frame_json(2))
+    staged = docs.select("doc_id", payload.alias("frames_payload"))
+    bronze = vid.parse_frames_ndjson(staged, id_col="doc_id")
+    return vid.video_frames_silver(
+        bronze, id_col="doc_id",
+        object_titles=["car", "tree"], question_titles=["weather"],
+    )
+
+
+SQL_VIDEO_FRAMES_SILVER = """
+SELECT doc_id, CAST(k AS INTEGER) AS frameNumber,
+       CAST(1 AS BIGINT) AS "car.count",
+       CASE WHEN (doc_id + k) % 2 = 0 THEN CAST(1 AS BIGINT) END AS "tree.count",
+       'w' || CAST((doc_id + k) % 3 AS VARCHAR) AS weather
+FROM documents, (VALUES (0), (1), (2)) AS t(k)
+"""
+
+
+def q_multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image-header codec (no stub): PNG/GIF container bytes are
+    GENERATED deterministically from doc_id (valid signatures + IHDR /
+    logical-screen headers), then width/height/mime are parsed back out
+    with pure JVM expressions (operators/multimodal.py:image_meta_native
+    — hex/conv on fixed offsets, no Python, no image library)."""
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 1000 + 1).cast("int")
+    h = (F.col("doc_id") % 500 + 1).cast("int")
+    wbe = F.lpad(F.hex(w), 8, "0")
+    hbe = F.lpad(F.hex(h), 8, "0")
+    png = F.concat(F.lit("89504E470D0A1A0A0000000D49484452"), wbe, hbe, F.lit("0806000000"))
+    wle4 = F.lpad(F.hex(w), 4, "0")
+    hle4 = F.lpad(F.hex(h), 4, "0")
+    gif = F.concat(
+        F.lit("474946383961"),
+        F.substring(wle4, 3, 2), F.substring(wle4, 1, 2),
+        F.substring(hle4, 3, 2), F.substring(hle4, 1, 2),
+    )
+    staged = docs.select(
+        "doc_id",
+        F.unhex(F.when(F.col("doc_id") % 3 == 0, gif).otherwise(png)).alias("content"),
+    )
+    return mm.image_meta_native(staged).select("doc_id", "mime", "width", "height")
+
+
+SQL_MULTIMODAL_DIMS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/gif' ELSE 'image/png' END AS mime,
+       CAST(doc_id % 1000 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 500 + 1 AS INTEGER) AS height
+FROM documents
+"""
+
+
 def q_upsert_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 skip mode: left-anti against existing keys (client.py:217)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1085,6 +1164,22 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
 """
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH blocking + in-bucket
+    cosine verify — the 100 TB path (bucket equi-join, never all-pairs).
+    Approximate by construction -> rows-only driver check; recall >= 0.9
+    vs the exact pairs is asserted in tests/test_approx_recall.py.
+
+    Plane/table counts are tuned to the threshold: cos 0.4 (the synthetic
+    embeddings' near-dup band) -> per-plane collision ~0.63, so b=3
+    planes, L=10 tables gives ~0.95 recall. At the production 0.95
+    threshold the defaults (b=6, L=8) apply with far finer buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_dup_pairs_lsh(
+        emb, "embedding", "vec_id", threshold=0.4, num_planes=3, num_tables=10
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2190,6 +2285,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- new in round 2 ---
     "uploads_build_annotations": (q_uploads_build_annotations, SQL_UPLOADS_ANNOTATIONS),
     "metadata_resolve": (q_metadata_resolve, SQL_METADATA_RESOLVE),
+    "video_frames_silver": (q_video_frames_silver, SQL_VIDEO_FRAMES_SILVER),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
+    "multimodal_dims": (q_multimodal_dims, SQL_MULTIMODAL_DIMS),
     # --- round-1 pytest-only queries, rotated into the checked window ---
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),

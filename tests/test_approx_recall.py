@@ -181,3 +181,64 @@ def test_kmeans_ivf_recall(spark):
     }
     recall = len(got & exact) / max(len(exact), 1)
     assert recall >= 0.5, f"kmeans-IVF recall too low: {recall}"
+
+
+def test_embedding_lsh_dedup_recall_and_precision(spark, emb=None):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dup_pairs_lsh(
+            emb, "embedding", "vec_id", threshold=0.4, num_planes=3, num_tables=10
+        ).collect()
+    }
+    recall = len(exact & approx) / max(len(exact), 1)
+    assert recall >= 0.9, f"LSH-blocked embedding dedup recall too low: {recall}"
+    # every candidate is cosine-verified: zero false positives
+    assert approx <= exact
+
+
+def test_embedding_lsh_dedup_plan_has_no_cartesian(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    plan = (
+        dedup.embedding_dup_pairs_lsh(emb, "embedding", "vec_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_build_probe_split(spark, tmp_path):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=4, dim=64, max_iters=3)
+    similarity.ivf_build(emb, cents, table="ivf_idx_t", num_buckets=4)
+    try:
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        probed = similarity.ivf_probe(queries, cents, table="ivf_idx_t", k=5, nprobe=2)
+        # same results as the per-call variant on the same centroids
+        percall = similarity.ivf_topk(emb, queries, cents, k=5, nprobe=2)
+        assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, percall.collect()))
+
+        # THE point of the split: the probe plan never touches the whole
+        # corpus — no cross join against the index side, no re-assignment;
+        # the only nested-loop join is the tiny query->centroid ranking
+        # AQE toString prints Final AND Initial plan copies — inspect
+        # only the final section to avoid double-counting operators
+        plan = (
+            probed._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        index_scans = plan.count("ivf_idx_t")
+        assert index_scans >= 1
+        # the index scan must feed a broadcast hash join (queries are the
+        # broadcast side), not a nested-loop/cartesian stage
+        assert "CartesianProduct" not in plan
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        assert bnlj <= 1, f"unexpected nested-loop joins in probe plan:\n{plan}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_idx_t")

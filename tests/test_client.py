@@ -252,3 +252,39 @@ def test_upsert_with_metadata_after_ontology_sync(client, spark):
     for r in rows:
         md = {m["name"]: m["value"] for m in r["data_row"]["metadata_fields"]}
         assert md == {"lang": "de"}
+
+
+def test_video_frame_ingest_through_transport(client, spark):
+    # partition-local frame fetch (mapInPandas) -> long typed bronze ->
+    # frame-keyed silver; replaces the reference's driver-side requests
+    # loop (get_videoframe_annotations.py:28-37)
+    client.transport.seed_frames(
+        "http://frames/v1",
+        '{"frameNumber":0,"objects":[{"title":"car"}],'
+        '"classifications":[{"title":"weather","answer":"sunny"}]}\n'
+        '{"frameNumber":1,"objects":[{"title":"car"},{"title":"car"}],'
+        '"classifications":[{"title":"weather","answer":"rain"}]}\n',
+    )
+    client.transport.seed_frames(
+        "http://frames/v2",
+        '{"frameNumber":0,"objects":[],"classifications":[]}\n',
+    )
+    bronze = spark.createDataFrame(
+        [("dr-v1", ("http://frames/v1",)), ("dr-v2", ("http://frames/v2",))],
+        "DataRowID string, Label struct<frames:string>",
+    )
+    frames = client.get_videoframe_annotations(bronze)
+    assert frames.count() == 3
+    silver = client.bronze_to_silver(
+        frames,
+        key_cols=["DataRowID", "frameNumber"],
+        objects_col="objects",
+        classifications_col="classifications",
+        object_titles=["car"],
+        question_titles=["weather"],
+    )
+    got = {(r["DataRowID"], r["frameNumber"]): r for r in silver.collect()}
+    assert got[("dr-v1", 0)]["car.count"] == 1
+    assert got[("dr-v1", 1)]["car.count"] == 2
+    assert got[("dr-v1", 1)]["weather"] == "rain"
+    assert got[("dr-v2", 0)]["car.count"] is None

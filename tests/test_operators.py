@@ -374,3 +374,45 @@ def test_build_uploads_typed_annotations_single_projection(spark):
     # still zero Python in the plan
     plan = built._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_image_header_codec_python_and_native(spark):
+    # real container bytes, no image library: PNG + GIF + JPEG (SOF scan
+    # behind a COM segment to exercise the variable-offset walk)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+    )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    com = b"hello"
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xfe" + (2 + len(com)).to_bytes(2, "big") + com  # COM segment
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    from labelspark_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(png) == {"mime": "image/png", "width": 640, "height": 480}
+    assert parse_image_header(gif) == {"mime": "image/gif", "width": 320, "height": 200}
+    assert parse_image_header(jpeg) == {"mime": "image/jpeg", "width": 1920, "height": 1080}
+    assert parse_image_header(b"junk") == {"mime": None, "width": None, "height": None}
+    assert parse_image_header(None)["mime"] is None
+
+    df = spark.createDataFrame(
+        [("png", png), ("gif", gif), ("jpg", jpeg)], ["media_id", "content"]
+    )
+    # Arrow-batched python parser handles all three
+    got = {r.media_id: r for r in multimodal.decode_image_meta(df).collect()}
+    assert (got["png"].width, got["png"].height) == (640, 480)
+    assert (got["gif"].width, got["gif"].height) == (320, 200)
+    assert (got["jpg"].width, got["jpg"].height) == (1920, 1080)
+    # JVM-native path agrees on the fixed-offset formats, nulls JPEG dims
+    nat = {r.media_id: r for r in multimodal.image_meta_native(df).collect()}
+    assert (nat["png"].mime, nat["png"].width, nat["png"].height) == ("image/png", 640, 480)
+    assert (nat["gif"].mime, nat["gif"].width, nat["gif"].height) == ("image/gif", 320, 200)
+    assert nat["jpg"].mime == "image/jpeg" and nat["jpg"].width is None
+    # native path stays Python-free
+    plan = multimodal.image_meta_native(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
