@@ -7,8 +7,44 @@ Reference: /root/reference (read-only); design notes in SURVEY.md.
 """
 
 from labelspark_spark.client import Client, LocalTransport
+from labelspark_spark.legacy import (
+    LABELBOX_DEFAULT_TYPE_DICTIONARY,
+    add_json_answers_to_dictionary,
+    bronze_to_silver,
+    create_dataset,
+    create_labelbox_dataset,
+    dataframe_schema_enrichment,
+    dictionary_collector,
+    flatten_bronze_table,
+    get_annotations,
+    get_videoframe_annotations,
+    is_json,
+    jsonToDataFrame,
+    spark_schema_to_string,
+    update_metadata,
+)
 from labelspark_spark.session import get_spark_session
 
 __version__ = "0.1.0"
 
-__all__ = ["Client", "LocalTransport", "get_spark_session", "__version__"]
+__all__ = [
+    "Client",
+    "LocalTransport",
+    "get_spark_session",
+    "__version__",
+    # reference module-level verb parity (labelspark/__init__.py:1-15)
+    "LABELBOX_DEFAULT_TYPE_DICTIONARY",
+    "add_json_answers_to_dictionary",
+    "bronze_to_silver",
+    "create_dataset",
+    "create_labelbox_dataset",
+    "dataframe_schema_enrichment",
+    "dictionary_collector",
+    "flatten_bronze_table",
+    "get_annotations",
+    "get_videoframe_annotations",
+    "is_json",
+    "jsonToDataFrame",
+    "spark_schema_to_string",
+    "update_metadata",
+]

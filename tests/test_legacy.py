@@ -1,0 +1,142 @@
+"""Module-level verb parity with the reference package
+(`labelspark/__init__.py:1-15`): every legacy name is importable from
+the package root and delegates to the distributed implementation.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import labelspark_spark as ls
+from labelspark_spark import Client, LocalTransport
+
+LABELS = [
+    {
+        "DataRowID": "dr-1",
+        "Agreement": "91",
+        "Label": {
+            "objects": [{"title": "car"}],
+            "classifications": [{"title": "weather", "answer": "sunny"}],
+        },
+    },
+    {
+        "DataRowID": "dr-2",
+        "Agreement": "55",
+        "Label": {
+            "objects": [{"title": "tree"}],
+            "classifications": [{"title": "weather", "answer": "rain"}],
+        },
+    },
+]
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    t = LocalTransport(str(tmp_path / "platform"))
+    t.seed_labels("proj-1", LABELS)
+    return Client(t, spark)
+
+
+def test_all_reference_names_importable():
+    for name in [
+        "add_json_answers_to_dictionary",
+        "bronze_to_silver",
+        "LABELBOX_DEFAULT_TYPE_DICTIONARY",
+        "create_dataset",
+        "create_labelbox_dataset",
+        "dataframe_schema_enrichment",
+        "flatten_bronze_table",
+        "get_annotations",
+        "get_videoframe_annotations",
+        "is_json",
+        "jsonToDataFrame",
+        "spark_schema_to_string",
+        "dictionary_collector",
+        "update_metadata",
+        "Client",
+    ]:
+        assert hasattr(ls, name), name
+
+
+def test_is_json_and_dictionary_collector(spark):
+    assert ls.is_json('{"a": 1}')
+    assert not ls.is_json("not json")
+    assert not ls.is_json(None)
+    row = spark.range(1).first()
+    assert ls.dictionary_collector.return_as_dict(row) == {"id": 0}
+
+
+def test_add_json_answers_first_wins_and_title_collapse():
+    d: dict = {}
+    d = ls.add_json_answers_to_dictionary("q1", json.dumps({"title": "yes"}), d)
+    assert d == {"q1": "yes"}
+    # first-wins: a second answer for the same question is ignored
+    d = ls.add_json_answers_to_dictionary("q1", "no", d)
+    assert d == {"q1": "yes"}
+    # list of dicts folds to comma-joined titles
+    d = ls.add_json_answers_to_dictionary("q2", [{"title": "a"}, {"title": "b"}], d)
+    assert d["q2"] == "a,b"
+    # literal-string list recurses per item (first one wins)
+    d = ls.add_json_answers_to_dictionary("q3", "[{'title': 'x'}, {'title': 'y'}]", d)
+    assert d["q3"] == "x"
+
+
+def test_spark_schema_to_string_accepts_json_value(spark):
+    df = spark.createDataFrame(
+        [({"a": 1, "b": {"c": "x"}},)], "s struct<a:int, b:struct<c:string>>"
+    )
+    paths = list(ls.spark_schema_to_string(df.schema.jsonValue()))
+    assert paths == ["s.a", "s.b.c"]
+    # StructType works too
+    assert list(ls.spark_schema_to_string(df.schema)) == ["s.a", "s.b.c"]
+
+
+def test_flatten_and_enrichment_delegates(client):
+    bronze = ls.get_annotations(client, "proj-1")
+    # enrichment applied: Agreement cast per the default dictionary
+    assert dict(bronze.dtypes)["Agreement"] == "int"
+    flat = ls.flatten_bronze_table(bronze)
+    assert "Label.objects" in flat.columns
+    silver = ls.bronze_to_silver(bronze.withColumnRenamed("DataRowID", "DataRow ID"))
+    assert silver.count() == 2
+
+
+def test_json_to_dataframe_ignores_sc(spark):
+    df = ls.jsonToDataFrame(json.dumps([{"a": 1}, {"a": 2}]), spark, sc=None)
+    assert df.count() == 2
+
+
+def test_create_dataset_legacy_verb(client, spark):
+    df = spark.createDataFrame(
+        [("photo1.jpg", "https://x/1"), ("photo2.jpg", "https://x/2")],
+        ["external_id", "row_data"],
+    )
+    result = ls.create_dataset(client, df, dataset_id="ds-legacy")
+    assert result["dataset_id"] == "ds-legacy"
+    spooled = client.transport.spool_path("ds-legacy")
+    assert spooled is not None
+
+
+def test_create_labelbox_dataset_returns_ids(client, spark):
+    df = spark.createDataFrame(
+        [("photo1.jpg", "https://x/1"), ("photo2.jpg", "https://x/2")],
+        ["external_id", "row_data"],
+    )
+    ds, out = ls.create_labelbox_dataset(client, df, dataset_name="ds-lb")
+    assert ds == "ds-lb"
+    assert "data_row_id" in out.columns
+    assert out.filter(out.data_row_id.isNull()).count() == 0
+
+
+def test_update_metadata_legacy_verb(client, spark):
+    client.transport.seed_metadata(
+        "ds-meta", [{"data_row_id": "dr-1", "split": "test"}]
+    )
+    df = spark.createDataFrame(
+        [("dr-1", "train"), ("dr-9", "val")], ["data_row_id", "split"]
+    )
+    out = ls.update_metadata(client, df, "split", "ds-meta")
+    got = {r["data_row_id"]: r["split"] for r in out.collect()}
+    assert got == {"dr-1": "test", "dr-9": "val"}
