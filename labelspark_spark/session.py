@@ -50,6 +50,12 @@ def get_spark_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): byte-based
+        # coalescing (false) looked attractive for the tiny LSH bucket
+        # shuffles, but it collapses CPU-dense small-byte stages (the
+        # n-gram verify's array_intersect work) onto too few tasks —
+        # measured 2.2x slower end-to-end at local[32]. Bytes are the
+        # wrong proxy for work on compute-bound pair verification.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
