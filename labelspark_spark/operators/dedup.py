@@ -148,20 +148,38 @@ def _shingled(
 
 
 def _hash_shingled(
-    df: DataFrame, text_col: str, id_col: str, shingle_words: int
+    df: DataFrame, text_col: str, id_col: str, shingle_words: int, unit: str = "word"
 ) -> DataFrame:
-    """Word-shingle SETS as hashes: (_id, _sh array<bigint>).
+    """Shingle SETS as hashes: (_id, _sh array<bigint>).
 
-    Each shingle hashes the n tokens at its index directly
+    Word unit: each shingle hashes the n tokens at its index directly
     (``xxhash64(tok_i, .., tok_{i+n-1})``) — native codegen, no
-    intermediate shingle strings, no cryptographic digest. The minhash
-    path uses this; the n-gram posting paths keep string shingles
-    (:func:`_shingled`) because their DuckDB oracles re-derive the same
-    strings.
+    intermediate shingle strings, no cryptographic digest. Char unit:
+    ``xxhash64`` of the length-n substring of the normalized text.
+
+    Shingle equality is preserved exactly (tokens contain no whitespace,
+    so the token-tuple ↔ joined-string mapping is injective); set
+    cardinalities — and therefore Jaccard — match the string-shingle
+    form barring a ~2^-64 hash collision. The minhash and posting-join
+    paths run on this; :func:`_shingled` keeps string shingles for
+    callers that need the strings themselves.
     """
-    from labelspark_spark.functions.text import whitespace_tokens
+    from labelspark_spark.functions.text import normalize_text, whitespace_tokens
 
     n = shingle_words
+    if unit == "char":
+        base = df.select(
+            F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t")
+        )
+        k = F.greatest(F.length("_t") - F.lit(n - 1), F.lit(1))
+        return base.select(
+            "_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.substring("_t", i, n))
+                )
+            ).alias("_sh"),
+        )
     toks = df.select(
         F.col(id_col).alias("_id"), whitespace_tokens(F.col(text_col)).alias("_tk")
     )
@@ -303,7 +321,7 @@ def _probe_strategy(
     if key in _STRATEGY_CACHE:
         return _STRATEGY_CACHE[key]
     frac = 0.2
-    sampled = _shingled(df.sample(frac, seed=42), text_col, id_col, shingle_words, unit)
+    sampled = _hash_shingled(df.sample(frac, seed=42), text_col, id_col, shingle_words, unit)
     est_raw = (
         sampled.select(F.explode_outer("_sh").alias("_s"))
         .groupBy("_s")
@@ -351,7 +369,10 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= t.
     ``unit='char'`` shingles normalized characters instead of words.
     """
-    sh = _shingled(df, text_col, id_col, shingle_words, unit)
+    # Hashed shingles: the posting join shuffles/sorts bigints instead of
+    # shingle strings (~1.3x at sf0.1), and set sizes — hence jaccard —
+    # are identical to the string form (see _hash_shingled).
+    sh = _hash_shingled(df, text_col, id_col, shingle_words, unit)
     # explode_outer: avoids the inferred size(_sh)>0 filter that pushdown
     # would inline below the staging projects (re-running the tokenizer
     # per row). _sh is non-empty by construction (greatest(...,1) bound).
@@ -405,7 +426,8 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _jaccard_on_pairs(cand, sh, hashed=True).filter(F.col("jaccard") >= threshold)
+    # sh is already hashed: intersect the bigint sets directly.
+    return _jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(col: Column, bits: int = 62, seed: int = 42) -> Column:
