@@ -176,15 +176,34 @@ def get_annotations(client, project_id: str, spark=None, sc=None) -> DataFrame:
     return dataframe_schema_enrichment(client.get_annotations(project_id))
 
 
-def get_videoframe_annotations(client, bronze_video_labels: DataFrame, **kwargs):
+def get_videoframe_annotations(first, second=None, spark=None, sc=None, *, client=None, **kwargs):
     """Frame-level bronze (`labelspark/get_videoframe_annotations.py:15-43`).
+
+    Accepts BOTH call shapes:
+
+    - reference positional: ``get_videoframe_annotations(bronze, api_key,
+      spark, sc)`` — ``api_key``/``spark``/``sc`` are accepted and
+      ignored (the fetch runs through the client's Transport, not raw
+      HTTP on the driver); pass the client via the ``client=`` kwarg.
+    - engine shape: ``get_videoframe_annotations(client, bronze)``.
 
     The reference fetches every row's frame URL on the driver and
     returns one DataFrame per row; here the fetch is partition-local
     and the result is ONE long (id, frameNumber) table — same
     information, join/groupBy-able, no driver loop.
     """
-    return client.get_videoframe_annotations(bronze_video_labels, **kwargs)
+    del spark, sc
+    if isinstance(first, DataFrame):
+        bronze, resolved = first, client
+        if resolved is None:
+            raise TypeError(
+                "get_videoframe_annotations(bronze, api_key, spark, sc) needs "
+                "client=<SparkClient>: the engine fetches frames through a "
+                "Transport, not a raw api_key"
+            )
+    else:
+        bronze, resolved = second, first
+    return resolved.get_videoframe_annotations(bronze, **kwargs)
 
 
 def create_dataset(
@@ -233,8 +252,30 @@ def create_labelbox_dataset(
     """
     del iam_integration
     if metadata_index:
-        key_cols = [c for c in ("row_data", "external_id") if c in spark_dataframe.columns]
-        client.connect_spark_metadata(spark_dataframe, dataset_name, key_cols)
+        meta_df = spark_dataframe
+        if isinstance(metadata_index, dict):
+            # reference syntax {plain_column_name: 'enum'|'string'|'number'|
+            # 'datetime'} (create_labelbox_dataset.py:43-73): alias each
+            # named plain column to the metadata convention form the
+            # unpivot expects; already-convention columns pass through.
+            from pyspark.sql import functions as F
+
+            from labelspark_spark.operators.uploads import DIVIDER
+
+            renames = {
+                col: f"metadata{DIVIDER}{typ}{DIVIDER}{col}"
+                for col, typ in metadata_index.items()
+                if col in meta_df.columns and not col.startswith(f"metadata{DIVIDER}")
+            }
+            if renames:
+                meta_df = meta_df.select(
+                    *[
+                        F.col(f"`{c}`").alias(renames.get(c, c))
+                        for c in meta_df.columns
+                    ]
+                )
+        key_cols = [c for c in ("row_data", "external_id") if c in meta_df.columns]
+        client.connect_spark_metadata(meta_df, dataset_name, key_cols)
     client.create_data_rows_from_table(
         spark_dataframe,
         dataset_name,

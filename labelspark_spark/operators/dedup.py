@@ -167,6 +167,12 @@ def _hash_shingled(
     from labelspark_spark.functions.text import normalize_text, whitespace_tokens
 
     n = shingle_words
+    # NULL text must not shingle: xxhash64 silently skips NULL args, so a
+    # null-text row would hash every shingle to the seed constant and all
+    # null-text docs would pair with each other at jaccard 1.0. The
+    # string-shingle path yields NULL shingles that never join-match;
+    # dropping null rows up front preserves that never-pairs semantics.
+    df = df.where(F.col(text_col).isNotNull())
     if unit == "char":
         base = df.select(
             F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t")

@@ -140,12 +140,24 @@ def parse_image_header(content: bytes | None) -> dict:
             if content[i] != 0xFF:
                 i += 1
                 continue
+            # 0xFF fill/padding bytes may precede a marker: skip them so
+            # the byte we read as "marker" is the real one (otherwise a
+            # fill byte falls into the segment-length branch and reads a
+            # bogus length, skipping straight past the SOF)
+            while i + 1 < n and content[i + 1] == 0xFF:
+                i += 1
+            if i + 9 >= n:
+                break
             marker = content[i + 1]
             if marker in (0xC0, 0xC1, 0xC2):
                 h = int.from_bytes(content[i + 5 : i + 7], "big")
                 w = int.from_bytes(content[i + 7 : i + 9], "big")
                 return {"mime": "image/jpeg", "width": w, "height": h}
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            if marker in (0xD9, 0xDA):
+                # EOI / start-of-scan: entropy-coded data follows, no
+                # length-bearing segments to walk — stop scanning
+                break
+            if marker in (0xD8, 0x01, 0x00) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
             seg_len = int.from_bytes(content[i + 2 : i + 4], "big")

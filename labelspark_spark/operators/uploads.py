@@ -336,6 +336,13 @@ def upsert_keys(
     batch itself repeats a key (``_rn > 1``): the reference collapses to
     one row per unique global key (uploader.py:80-99), so posting two
     identical new keys verbatim would still collide server-side.
+
+    The suffix counter is derived from the EXISTING key family, not just
+    the incoming batch: existing keys are grouped by base (the key with
+    any trailing ``{div}{n}`` stripped) and new suffixes start past the
+    family's max — so a third upsert of the same key yields
+    ``key{div}2`` instead of regenerating the ``key{div}1`` the second
+    upsert already spooled.
     """
     keys = existing.select(F.col(key_col).alias("_existing_key")).distinct()
     if mode == "skip":
@@ -343,21 +350,38 @@ def upsert_keys(
             F.broadcast(keys), df[key_col] == keys["_existing_key"], "left_anti"
         )
     if mode == "suffix":
-        flagged = df.join(
-            F.broadcast(keys), df[key_col] == keys["_existing_key"], "left"
+        import re as _re
+
+        sfx_re = _re.escape(divider) + r"(\d+)$"
+        fam = (
+            keys.select(
+                F.regexp_replace("_existing_key", sfx_re, "").alias("_base"),
+                F.coalesce(
+                    F.nullif(F.regexp_extract("_existing_key", sfx_re, 1), F.lit("")),
+                    F.lit("0"),
+                ).cast("int").alias("_sfx"),
+                (~F.col("_existing_key").rlike(sfx_re)).cast("int").alias("_is_bare"),
+            )
+            .groupBy("_base")
+            .agg(F.max("_sfx").alias("_max_sfx"), F.max("_is_bare").alias("_bare"))
         )
+        flagged = df.join(F.broadcast(fam), df[key_col] == fam["_base"], "left")
         order_expr = F.col(order_by) if order_by else F.monotonically_increasing_id()
         w = Window.partitionBy(key_col).orderBy(order_expr)
+        m = F.coalesce(F.col("_max_sfx"), F.lit(0))
+        bare_exists = F.coalesce(F.col("_bare"), F.lit(0)) == 1
+        # bare taken -> every incoming row suffixes past the family max;
+        # bare free -> first row keeps it, the rest suffix densely.
+        suffix_n = F.when(bare_exists, m + F.col("_rn")).otherwise(m + F.col("_rn") - 1)
         return (
             flagged.withColumn("_rn", F.row_number().over(w))
             .withColumn(
                 key_col,
-                F.when(
-                    F.col("_existing_key").isNotNull() | (F.col("_rn") > 1),
-                    F.concat(F.col(key_col), F.lit(divider), F.col("_rn").cast("string")),
-                ).otherwise(F.col(key_col)),
+                F.when(~bare_exists & (F.col("_rn") == 1), F.col(key_col)).otherwise(
+                    F.concat(F.col(key_col), F.lit(divider), suffix_n.cast("string"))
+                ),
             )
-            .drop("_existing_key", "_rn")
+            .drop("_base", "_max_sfx", "_bare", "_rn")
         )
     raise ValueError(f"mode must be 'skip' or 'suffix', got {mode!r}")
 

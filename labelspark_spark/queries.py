@@ -1091,7 +1091,12 @@ WITH inc AS (
   FROM inc
 )
 SELECT doc_id,
-       CASE WHEN hit OR rn > 1 THEN k || '///' || CAST(rn AS VARCHAR) ELSE k END AS global_key
+       -- family-aware counter: existing keys here are all bare (max
+       -- suffix 0), so hit rows suffix from 1 (= rn) and free-base rows
+       -- keep the bare key then suffix densely (= rn - 1)
+       CASE WHEN hit THEN k || '///' || CAST(rn AS VARCHAR)
+            WHEN rn > 1 THEN k || '///' || CAST(rn - 1 AS VARCHAR)
+            ELSE k END AS global_key
 FROM ranked
 """
 

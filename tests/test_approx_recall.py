@@ -38,6 +38,30 @@ def test_minhash_lsh_recall_vs_exact(spark):
         assert r.jaccard >= 0.5
 
 
+def test_null_text_rows_never_pair(spark):
+    # xxhash64 skips NULL args, so un-filtered null-text rows would all
+    # hash to the seed constant and pair with each other at jaccard 1.0;
+    # the shingle path must drop them (string-shingle semantics: NULL
+    # shingles never join-match)
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id int, text string",
+    )
+    for pairs in (
+        dedup.minhash_lsh_pairs(docs, threshold=0.3),
+        dedup.ngram_jaccard_pairs(docs, threshold=0.3),
+        dedup.ngram_jaccard_pairs(docs, threshold=0.3, unit="char"),
+    ):
+        ids = {x for r in pairs.collect() for x in (r.id_a, r.id_b)}
+        assert 1 not in ids and 2 not in ids, "null-text rows paired"
+        assert {3, 4} <= ids or ids == set()
+
+
 def test_minhash_signature_portable(spark):
     """Replay the md5-based minhash in pure Python — signatures must match."""
     import hashlib

@@ -130,6 +130,51 @@ def test_create_labelbox_dataset_returns_ids(client, spark):
     assert out.filter(out.data_row_id.isNull()).count() == 0
 
 
+def test_create_labelbox_dataset_metadata_index_plain_columns(client, spark):
+    # reference syntax {plain_column_name: type} (create_labelbox_dataset
+    # .py:43-73): plain columns are aliased to the metadata convention
+    # form before the ontology sync — no pre-renaming required
+    df = spark.createDataFrame(
+        [("https://x/1", "train"), ("https://x/2", "test")],
+        ["row_data", "split"],
+    )
+    ds, out = ls.create_labelbox_dataset(
+        client, df, dataset_name="ds-mdx", metadata_index={"split": "enum"}
+    )
+    assert ds == "ds-mdx"
+    # the sync reconciled the plain column: the remote ontology now has
+    # the field with both observed enum options
+    idx = client.export_ontology_index("ds-mdx")
+    opts = {
+        r.option_name
+        for r in idx.filter(idx.field_name == "split").collect()
+        if r.option_name is not None
+    }
+    assert opts == {"train", "test"}
+
+
+def test_get_videoframe_annotations_reference_positional_shape(client, spark):
+    client.transport.seed_frames(
+        "http://frames/legacy",
+        '{"frameNumber":0,"objects":[],"classifications":[]}\n'
+        '{"frameNumber":1,"objects":[],"classifications":[]}\n',
+    )
+    bronze = spark.createDataFrame(
+        [("dr-v1", ("http://frames/legacy",))],
+        "DataRowID string, Label struct<frames:string>",
+    )
+    # reference positional order: (bronze, api_key, spark, sc) — api_key/
+    # spark/sc accepted and ignored, client resolved from the kwarg
+    frames = ls.get_videoframe_annotations(
+        bronze, "fake-api-key", spark, None, client=client
+    )
+    assert frames.count() == 2
+    # the engine's (client, bronze) shape still works
+    assert ls.get_videoframe_annotations(client, bronze).count() == 2
+    with pytest.raises(TypeError, match="client="):
+        ls.get_videoframe_annotations(bronze, "fake-api-key", spark, None)
+
+
 def test_update_metadata_legacy_verb(client, spark):
     client.transport.seed_metadata(
         "ds-meta", [{"data_row_id": "dr-1", "split": "test"}]

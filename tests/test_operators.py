@@ -254,7 +254,22 @@ def test_upsert_suffix_in_batch_duplicates(spark):
     empty = spark.createDataFrame([], "key string")
     out = uploads.upsert_keys(df, empty, key_col="key", mode="suffix", order_by="id")
     got = {r.id: r.key for r in out.collect()}
-    assert got == {1: "k", 2: "k///2", 3: "other"}
+    assert got == {1: "k", 2: "k///1", 3: "other"}
+
+
+def test_upsert_suffix_counter_spans_existing_family(spark):
+    # the counter must account for already-suffixed keys in the existing
+    # set: a third upsert of 'k' may not regenerate 'k///1'
+    existing = spark.createDataFrame([("k",), ("k///1",)], ["key"])
+    df = spark.createDataFrame([(1, "k"), (2, "k")], ["id", "key"])
+    out = uploads.upsert_keys(df, existing, key_col="key", mode="suffix", order_by="id")
+    got = {r.id: r.key for r in out.collect()}
+    assert got == {1: "k///2", 2: "k///3"}
+    # bare key free but family occupied: keep bare, then continue past max
+    existing2 = spark.createDataFrame([("k///5",)], ["key"])
+    out2 = uploads.upsert_keys(df, existing2, key_col="key", mode="suffix", order_by="id")
+    got2 = {r.id: r.key for r in out2.collect()}
+    assert got2 == {1: "k", 2: "k///6"}
 
 
 def test_connected_components_warns_when_unconverged(spark):
@@ -399,6 +414,22 @@ def test_image_header_codec_python_and_native(spark):
     assert parse_image_header(jpeg) == {"mime": "image/jpeg", "width": 1920, "height": 1080}
     assert parse_image_header(b"junk") == {"mime": None, "width": None, "height": None}
     assert parse_image_header(None)["mime"] is None
+
+    # 0xFF fill bytes before a marker must not be read as length-bearing
+    # segments (a fill byte would consume the real marker as a bogus
+    # segment length and skip past the SOF)
+    jpeg_fill = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill/padding bytes
+        + b"\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    assert parse_image_header(jpeg_fill) == {
+        "mime": "image/jpeg", "width": 1920, "height": 1080,
+    }
+    # SOS with no SOF before it: stop at entropy-coded data, null dims
+    jpeg_sos = b"\xff\xd8" + b"\xff\xda" + (2).to_bytes(2, "big") + b"\x00" * 24
+    assert parse_image_header(jpeg_sos)["width"] is None
 
     df = spark.createDataFrame(
         [("png", png), ("gif", gif), ("jpg", jpeg)], ["media_id", "content"]
