@@ -202,6 +202,178 @@ def decode_image_meta(
     return df.select(id_col, content_col).mapInPandas(_decode, schema=out_schema)
 
 
+def png_encode_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder — pure stdlib (struct + zlib).
+
+    One IHDR + one IDAT (filter 0 per row) + IEND. Used to generate
+    real, spec-valid PNG containers for fixtures and declared queries;
+    the decoder below round-trips them.
+    """
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_decode(content: bytes | None):
+    """Pure-stdlib PNG PIXEL decode: zlib inflate + per-row unfilter.
+
+    Supports non-interlaced 8-bit-per-sample images in grayscale (0),
+    RGB (2), gray+alpha (4), and RGBA (6) — i.e. everything the encoder
+    above and typical ML fixtures produce. Returns
+    ``(width, height, channels, pixels: bytes)`` in row-major scanline
+    order, or ``None`` when the payload is not such a PNG. This unstubs
+    the pixel step of ``decode_features`` for PNG; JPEG/audio/video
+    pixel decode remains the documented NotImplementedError stub (no
+    image/audio libraries in this environment).
+    """
+    import zlib
+
+    if not content or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n = 8, len(content)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= n:
+        clen = int.from_bytes(content[pos : pos + 4], "big")
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            if len(data) < 13:
+                return None
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+            if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                return None
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if width is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    out = bytearray(height * stride)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for r in range(height):
+        fpos = r * (stride + 1)
+        filt = raw[fpos]
+        row = raw[fpos + 1 : fpos + 1 + stride]
+        base = r * stride
+        prev = out[base - stride : base] if r else bytes(stride)
+        if filt == 0:
+            out[base : base + stride] = row
+        elif filt == 1:  # Sub
+            for i in range(stride):
+                left = out[base + i - bpp] if i >= bpp else 0
+                out[base + i] = (row[i] + left) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                out[base + i] = (row[i] + prev[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = out[base + i - bpp] if i >= bpp else 0
+                out[base + i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                left = out[base + i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                p = left + prev[i] - ul
+                pa, pb, pc = abs(p - left), abs(p - prev[i]), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else prev[i] if pb <= pc else ul
+                out[base + i] = (row[i] + pred) & 0xFF
+        else:
+            return None
+    return width, height, channels, bytes(out)
+
+
+def png_pixel_decode_fn(content: bytes | None, kind: str) -> dict:
+    """``decode_fn`` adapter for :func:`decode_features`: REAL pixel
+    decode for PNG (mean sample value over all decoded bytes, dim =
+    decoded sample count); None features for anything else."""
+    decoded = png_decode(content)
+    if decoded is None:
+        return {"feat_mean": None, "feat_dim": 0}
+    w, h, c, px = decoded
+    return {"feat_mean": sum(px) / max(len(px), 1), "feat_dim": len(px)}
+
+
+def decode_pixels(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 64,
+) -> DataFrame:
+    """REAL pixel-level decode for PNG payloads via Arrow-batched
+    mapInPandas: (id, width, height, channels, mean_pixel). Non-PNG
+    rows yield nulls — the pixel codec for other formats is the
+    documented stub (no image/audio libs here)."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("channels", IntegerType(), True),
+            StructField("mean_pixel", DoubleType(), True),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = [png_decode(c) for c in chunk[content_col]]
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        "width": pd.array(
+                            [r[0] if r else None for r in rows], dtype="Int32"
+                        ),
+                        "height": pd.array(
+                            [r[1] if r else None for r in rows], dtype="Int32"
+                        ),
+                        "channels": pd.array(
+                            [r[2] if r else None for r in rows], dtype="Int32"
+                        ),
+                        "mean_pixel": [
+                            (sum(r[3]) / max(len(r[3]), 1)) if r else None
+                            for r in rows
+                        ],
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_decode, schema=out_schema)
+
+
 def _fake_decode(content: bytes | None, kind: str) -> dict:
     """Deterministic stand-in for a real codec: features derived from
     the bytes themselves so tests are stable."""
@@ -230,10 +402,14 @@ def decode_features(
     executor memory.
     """
     if require_real_codec:
-        raise NotImplementedError(
-            "real media codecs (PIL/av/librosa) are not installed in this "
-            "environment; pass decode_fn= or use the deterministic fake"
-        )
+        if kind == "image" and decode_fn is None:
+            decode_fn = png_pixel_decode_fn  # real stdlib PNG pixel codec
+        else:
+            raise NotImplementedError(
+                "real media codecs for JPEG/audio/video (PIL/av/librosa) are "
+                "not installed in this environment; PNG pixel decode is real "
+                "(png_pixel_decode_fn) — pass decode_fn= for other formats"
+            )
     fn = decode_fn or _fake_decode
 
     out_schema = StructType(

@@ -151,8 +151,69 @@ def test_multimodal_decode_stub(spark):
     got = {r.media_id: r for r in feats.collect()}
     assert got["m1"].feat_dim == 3
     assert got["m2"].feat_mean is None
+    # PNG pixel decode is real now; other kinds keep the honest stub
     with pytest.raises(NotImplementedError):
-        multimodal.decode_features(df, require_real_codec=True)
+        multimodal.decode_features(df, kind="audio", require_real_codec=True)
+    # image + real codec: non-PNG bytes decode to null features (no crash)
+    real = {r.media_id: r for r in
+            multimodal.decode_features(df, require_real_codec=True).collect()}
+    assert real["m1"].feat_mean is None and real["m1"].feat_dim == 0
+
+
+def test_png_pixel_roundtrip_and_filters(spark):
+    import zlib
+
+    mm = multimodal
+    # encoder -> decoder round trip (filter 0)
+    px = bytes((r * 7 + c * 3) % 256 for r in range(5) for c in range(4))
+    content = mm.png_encode_gray(px, 4, 5)
+    w, h, ch, out = mm.png_decode(content)
+    assert (w, h, ch) == (4, 5, 1) and out == px
+
+    # hand-built IDAT exercising every filter type (Sub/Up/Average/Paeth)
+    import struct
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    width, height = 4, 5
+    rows = [bytes((r * 11 + c * 5) % 256 for c in range(width)) for r in range(height)]
+    filtered = bytearray()
+    for r, filt in enumerate([0, 1, 2, 3, 4]):
+        row, prev = rows[r], rows[r - 1] if r else bytes(width)
+        filtered.append(filt)
+        for i in range(width):
+            left = row[i - 1] if i else 0
+            ul = prev[i - 1] if i else 0
+            if filt == 0:
+                filtered.append(row[i])
+            elif filt == 1:
+                filtered.append((row[i] - left) & 0xFF)
+            elif filt == 2:
+                filtered.append((row[i] - prev[i]) & 0xFF)
+            elif filt == 3:
+                filtered.append((row[i] - (left + prev[i]) // 2) & 0xFF)
+            else:
+                p = left + prev[i] - ul
+                pa, pb, pc = abs(p - left), abs(p - prev[i]), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else prev[i] if pb <= pc else ul
+                filtered.append((row[i] - pred) & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(filtered))) + chunk(b"IEND", b""))
+    w2, h2, ch2, out2 = mm.png_decode(png)
+    assert out2 == b"".join(rows)
+
+    # distributed decode_pixels: exact mean over known pixels
+    df2 = spark.createDataFrame(
+        [("p1", content), ("p2", b"not a png"), ("p3", None)],
+        ["media_id", "content"],
+    )
+    got2 = {r.media_id: r for r in mm.decode_pixels(df2).collect()}
+    assert (got2["p1"].width, got2["p1"].height) == (4, 5)
+    assert abs(got2["p1"].mean_pixel - sum(px) / len(px)) < 1e-9
+    assert got2["p2"].mean_pixel is None and got2["p3"].width is None
 
 
 def test_multimodal_frame_sampling(spark):
