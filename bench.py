@@ -40,6 +40,14 @@ BENCH_QUERIES = [
     "flatten_nested_arrays",
     "events_sliding",
     "quality_prep_pipeline",
+    # round-2 operator families (added r3 so capability growth shows up
+    # in BENCH deltas; totals are therefore not comparable to r1/r2 —
+    # compare per-query times)
+    "uploads_build_annotations",
+    "metadata_resolve",
+    "video_frames_silver",
+    "dedup_embedding_lsh",
+    "multimodal_dims",
 ]
 
 
@@ -65,11 +73,13 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 3)
         print(f"# cold {name}: {cold[name]:.3f}s", file=sys.stderr)
 
-    # Two measured passes, per-query min: the steady-state floor. A single
-    # pass is exposed to GC pauses / OS scheduling blips that have nothing
-    # to do with plan quality (observed 10x outliers on a 3s query).
+    # Three measured passes, per-query min: the steady-state floor. A
+    # single pass is exposed to GC pauses / OS scheduling blips that have
+    # nothing to do with plan quality (observed 10x outliers on a 3s
+    # query), and the heavier joins keep JIT-warming through pass 2
+    # (q3 decays 1.15 -> 0.85 -> 0.70 over repeated runs).
     timings: dict[str, float] = {}
-    for pass_no in (1, 2):
+    for pass_no in (1, 2, 3):
         for name in BENCH_QUERIES:
             fn, _ = REGISTRY[name]
             t0 = time.perf_counter()

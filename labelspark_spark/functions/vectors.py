@@ -50,3 +50,75 @@ def normalize(a: Column) -> Column:
     return F.when(n == 0, a.cast("array<double>")).otherwise(
         F.transform(a, lambda x: x / n)
     )
+
+
+def _sum_terms(terms: list[str]) -> str:
+    return " + ".join(terms)
+
+
+def norm_expr(a: str, dim: int) -> Column:
+    """L2 norm of a NAMED array column with a KNOWN dim, flat codegen
+    form. Hoist this into a per-ROW projection before pair scoring so
+    each vector's norm is computed once, not once per candidate pair."""
+    sq = _sum_terms(
+        [
+            f"cast(element_at({a}, {i}) as double) * cast(element_at({a}, {i}) as double)"
+            for i in range(1, dim + 1)
+        ]
+    )
+    return F.expr(f"sqrt({sq})")
+
+
+def cosine_from_parts(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a pair dot product and two PRE-COMPUTED norms.
+
+    Same expression tree as :func:`cosine` evaluated lazily — double
+    ops in the identical order, so results are bit-equal — but the
+    norms come from upstream per-row projections: pair-verify work
+    drops from three dim-length folds to one.
+    """
+    denom = norm_a * norm_b
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
+
+
+def dot_expr(a: str, b: str, dim: int) -> Column:
+    """Dot product of two NAMED array columns with a KNOWN dim, as one
+    flat codegen expression.
+
+    The higher-order-function form (:func:`dot`) evaluates its lambdas
+    interpreted, per element, outside whole-stage codegen — measured
+    ~5-8x slower on the pair-verify hot paths at sf0.1. Elements are
+    cast to double BEFORE the product (the HOF callers cast the whole
+    array first), and the sum is left-associated, so results are
+    bit-equal to the fold.
+    """
+    return F.expr(
+        _sum_terms(
+            [
+                f"cast(element_at({a}, {i}) as double) * cast(element_at({b}, {i}) as double)"
+                for i in range(1, dim + 1)
+            ]
+        )
+    )
+
+
+def plane_dot_sql(vec: str, plane: list[float]) -> str:
+    """Dot of a NAMED array column with a CONSTANT plane, as SQL text —
+    the plane folds into the codegen as double literals (`..D` suffix),
+    no array literal, no lambda."""
+    return _sum_terms(
+        [
+            f"cast(element_at({vec}, {i + 1}) as double) * {x!r}D"
+            for i, x in enumerate(plane)
+        ]
+    )
+
+
+def lsh_bucket_expr_sql(vec: str, planes: list[list[float]]) -> str:
+    """Random-hyperplane signature -> int bucket as SQL text (sign bit
+    per plane), flat codegen form of ``lsh_bucket_expr``."""
+    bits = [
+        f"CASE WHEN {plane_dot_sql(vec, p)} >= 0D THEN {2 ** i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"

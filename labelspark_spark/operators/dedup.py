@@ -20,6 +20,8 @@ engine-portable, so tests can replay it in Python/DuckDB.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -173,32 +175,31 @@ def _hash_shingled(
     # string-shingle path yields NULL shingles that never join-match;
     # dropping null rows up front preserves that never-pairs semantics.
     df = df.where(F.col(text_col).isNotNull())
+    # single F.expr strings, not per-element Column ops: the shingle
+    # builders are called on the bench hot path and the Column form costs
+    # hundreds of py4j round trips PER QUERY CONSTRUCTION (~0.5s driver
+    # time at local[32]); one parsed expression is the same plan
     if unit == "char":
         base = df.select(
             F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t")
         )
-        k = F.greatest(F.length("_t") - F.lit(n - 1), F.lit(1))
         return base.select(
             "_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.substring("_t", i, n))
-                )
-            ).alias("_sh"),
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(length(_t) - {n - 1}, 1)), "
+                f"i -> xxhash64(substring(_t, i, {n})))) AS _sh"
+            ),
         )
     toks = df.select(
         F.col(id_col).alias("_id"), whitespace_tokens(F.col(text_col)).alias("_tk")
     )
-    k = F.greatest(F.size("_tk") - F.lit(n - 1), F.lit(1))
-
-    def shingle_hash(i: Column) -> Column:
-        return F.xxhash64(*[F.element_at("_tk", i + F.lit(1 + j)) for j in range(n)])
-
+    elems = ", ".join(f"element_at(_tk, i + {j + 1})" for j in range(n))
     return toks.select(
         "_id",
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(0), k - F.lit(1)), shingle_hash)
-        ).alias("_sh"),
+        F.expr(
+            f"array_distinct(transform(sequence(0, greatest(size(_tk) - {n - 1}, 1) - 1), "
+            f"i -> xxhash64({elems}))) AS _sh"
+        ),
     )
 
 
@@ -209,20 +210,25 @@ def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame, hashed: bool = False) -> D
     collision; far cheaper per pair on long shingle arrays)."""
     if hashed:
         sh = sh.select(
-            "_id", F.transform("_sh", lambda s: _hash60(s)).alias("_sh")
+            "_id",
+            F.expr(
+                "transform(_sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) "
+                "as bigint)) AS _sh"
+            ),
         )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
-    union = (F.size("_sh_a") + F.size("_sh_b") - F.size(F.array_intersect("_sh_a", "_sh_b"))).cast(
-        "double"
-    )
     # No rounding: both engines compute the same int/int double division,
     # so the unrounded value is already bit-identical.
+    jaccard = F.expr(
+        "cast(size(array_intersect(_sh_a, _sh_b)) as double)"
+        " / cast(size(_sh_a) + size(_sh_b)"
+        "        - size(array_intersect(_sh_a, _sh_b)) as double) AS jaccard"
+    )
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .select("id_a", "id_b", jaccard)
     )
 
 
@@ -262,15 +268,16 @@ def minhash_lsh_pairs(
     # is whole-stage-codegen int math (measured ~1.4x). Map-side combine
     # shrinks the shuffle to one 32-col row per doc before it moves.
     # The top 32 bits feed the affine perms so a*h+b stays inside long.
+    # (expr strings throughout: the 32-permutation agg + 16 band keys as
+    # Column ops cost ~0.8s of py4j chatter per query CONSTRUCTION —
+    # measured at local[32]; the parsed form builds the identical plan)
     ex = sh.select(
         "_id",
-        F.explode_outer(
-            F.transform("_sh", lambda h: F.shiftrightunsigned(h, 32))
-        ).alias("_h"),
+        F.expr("explode_outer(transform(_sh, h -> shiftrightunsigned(h, 32))) AS _h"),
     )
     minned = ex.groupBy("_id").agg(
         *[
-            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME).alias(f"_m{i}")
+            F.expr(f"min(({a} * _h + {b}) % {MINHASH_PRIME}) AS _m{i}")
             for i, (a, b) in enumerate(params)
         ]
     )
@@ -280,18 +287,20 @@ def minhash_lsh_pairs(
     # end-to-end than string band keys at sf0.1. A 2^-64 key collision
     # can only ADD a candidate pair, which exact verification then
     # filters — never a wrong result.
-    band_keys = [
-        F.xxhash64(
-            F.lit(i),
-            *[F.col(f"_m{j}") for j in range(i * rows_per_band, (i + 1) * rows_per_band)],
+    band_keys = ", ".join(
+        "xxhash64({}, {})".format(
+            i,
+            ", ".join(f"_m{j}" for j in range(i * rows_per_band, (i + 1) * rows_per_band)),
         )
         for i in range(num_bands)
-    ]
+    )
     # explode_outer, NOT explode: InferFiltersFromGenerate would add a
     # size(arr)>0 filter that predicate-pushdown inlines BELOW the staged
     # projections, re-evaluating the whole minhash expression tree per row.
     # The band array is never empty, so outer semantics are identical.
-    buckets = minned.select("_id", F.explode_outer(F.array(*band_keys)).alias("_key"))
+    buckets = minned.select(
+        "_id", F.expr(f"explode_outer(array({band_keys})) AS _key")
+    )
     left = buckets.select(F.col("_id").alias("id_a"), "_key")
     right = buckets.select(F.col("_id").alias("id_b"), "_key")
     # merge hint: both sides are the same subplan, so sort-merge lets
@@ -623,6 +632,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold.
 
@@ -631,19 +641,82 @@ def embedding_dup_pairs(
     buckets to block first.
     Returns (id_a, id_b, cos) rounded to 6 dp.
     """
-    from labelspark_spark.functions.vectors import cosine
+    from labelspark_spark.functions.vectors import cosine_from_parts, dot_expr, norm_expr
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # norms hoisted per ROW (n folds), not per PAIR (n^2/2 folds)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm_expr(vec_col, dim).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm_expr(vec_col, dim).alias("_nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")), 6).alias("cos"),
+            F.round(
+                cosine_from_parts(dot_expr("_va", "_vb", dim), F.col("_na"), F.col("_nb")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def _verify_pairs_cosine(
+    cand: DataFrame,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-cosine verification of blocked candidate pairs, Arrow-batched.
+
+    The candidate ids rejoin the (broadcastable) vector side, then ONE
+    vectorized numpy pass scores each pair: two einsum norms + a dot,
+    rounded to 6 dp. A pure-SQL scoring expression here is a trap:
+    Catalyst pushes the ``cos >= threshold`` filter into the broadcast
+    join as a residual condition, so the dim-length dot is evaluated
+    TWICE per pair (condition + output projection) — measured ~10s of
+    the 14.5s sf0.1 runtime. The Python eval node is a natural pushdown
+    barrier: each pair is scored exactly once, and numpy does the math
+    at BLAS speed on raw float32 arrays (half the Arrow bytes of the
+    cast-to-double SQL path).
+
+    float64 accumulation order differs from the sequential SQL fold by
+    ~1 ulp; a candidate at |cos - threshold| ~ 1e-15 could flip — the
+    exact-verify-subset invariant is probabilistic at that epsilon, as
+    with any float reduction reorder.
+    """
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    a = vecs.toDF("id_a", "_va")
+    b = vecs.toDF("id_b", "_vb")
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        m_a = np.vstack(va.to_numpy()).astype(np.float64)
+        m_b = np.vstack(vb.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", m_a, m_b)
+        den = np.sqrt(np.einsum("ij,ij->i", m_a, m_a)) * np.sqrt(
+            np.einsum("ij,ij->i", m_b, m_b)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den == 0, 0.0, dots / den)
+        return pd.Series(np.round(out, 6))
+
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", _cos("_va", "_vb").alias("cos"))
+    )
+    return scored.filter(F.col("cos") >= threshold)
 
 
 def embedding_dup_pairs_lsh(
@@ -669,23 +742,48 @@ def embedding_dup_pairs_lsh(
     give ~0.99 at cos=0.95. :func:`embedding_dup_pairs` (brute force)
     stays as the recall oracle in tests.
     """
-    from labelspark_spark.functions.vectors import cosine
-    from labelspark_spark.operators.similarity import _hyperplanes, lsh_bucket_expr
+    from labelspark_spark.functions.vectors import (
+        cosine_from_parts,
+        dot_expr,
+        norm_expr,
+    )
+    from labelspark_spark.operators.similarity import _hyperplanes
 
-    vec = F.col(vec_col)
+    # All num_tables * num_planes plane dots in ONE Arrow-batched numpy
+    # matmul (vectorized Pandas UDF). The pure-codegen alternative — the
+    # planes folded in as double literals — builds a ~dim*planes*tables
+    # term expression tree that blows past the whole-stage-codegen method
+    # limit (4 MiB task binaries, janino fallback, interpreted eval:
+    # measured 14.5s for the signature stage alone at sf0.1); the matmul
+    # is O(n*dim*planes) BLAS with one small Arrow hop per batch. Sign
+    # flips vs the sequential fold can only occur at |dot| ~ fp-epsilon,
+    # which moves a vector between buckets but never past the exact
+    # cosine VERIFY below — results stay a subset of the true pairs.
+    planes = np.array(
+        [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)],
+        dtype=np.float64,
+    ).reshape(num_tables * num_planes, dim)
+    weights = (2 ** np.arange(num_planes)).astype(np.int64)
+    n_tables = num_tables
+
+    @F.pandas_udf("array<long>")
+    def _bucket_ids(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vs.to_numpy()).astype(np.float64)
+        signs = (m @ planes.T >= 0).astype(np.int64)
+        b = signs.reshape(len(vs), n_tables, -1) @ weights
+        return pd.Series(list(b))
+
     # one bigint key per table: xxhash64(table_idx, bucket) — same trick
-    # as the minhash band keys (single-bigint shuffle key)
-    table_keys = [
-        F.xxhash64(F.lit(t), lsh_bucket_expr(vec, _hyperplanes(dim, num_planes, seed + t)))
-        for t in range(num_tables)
-    ]
+    # as the minhash band keys (single-bigint shuffle key); posexplode
+    # supplies the table index
     # ids-only through the bucket join (16-byte shuffle rows; vectors
-    # rejoin onto the much smaller candidate set afterwards), staged
-    # projection + explode_outer for the same reasons as minhash_lsh_pairs
+    # rejoin onto the much smaller candidate set afterwards)
     buckets = df.select(
         F.col(id_col).alias("_id"),
-        F.explode_outer(F.array(*table_keys)).alias("_key"),
-    )
+        F.posexplode_outer(_bucket_ids(F.col(vec_col))).alias("_t", "_b"),
+    ).select("_id", F.xxhash64("_t", "_b").alias("_key"))
     left = buckets.select(F.col("_id").alias("id_a"), "_key")
     right = buckets.select(F.col("_id").alias("id_b"), "_key")
     cand = (
@@ -694,10 +792,56 @@ def embedding_dup_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    vecs = df.select(F.col(id_col).alias("_vid"), vec.cast("array<double>").alias("_v"))
-    scored = (
-        cand.join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "_va"), "id_a")
-        .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "_vb"), "id_b")
-        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"))
+    return _verify_pairs_cosine(cand, df, vec_col, id_col, threshold)
+
+
+def embedding_dup_pairs_ivf(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    k: int = 32,
+    nprobe: int = 2,
+    dim: int = 64,
+    max_iters: int = 3,
+) -> DataFrame:
+    """Cell-blocked (canopy-style / IVF) embedding near-dup pairs — the
+    scale path for LOW cosine thresholds.
+
+    Hyperplane LSH cannot block the ~0.4 band: per-plane collision at
+    cos 0.4 is 1 - acos(0.4)/pi ~ 0.63, so any plane count b that prunes
+    (2^b buckets) also kills recall (per-table 0.63^b), and restoring
+    recall needs ~0.63^-b tables — erasing the pruning. Clustered
+    corpora keep near pairs in the same k-means cell regardless of the
+    threshold, so the CELL id is the blocking key instead: in-engine
+    k-means fit (driver sees only k*dim floats), nprobe-cell assignment,
+    candidates = vectors sharing a probed cell (bucket equi-join keyed
+    on cell id — never all-pairs), exact cosine verify after.
+
+    Verify cost ~ sum of squared cell sizes ~ (nprobe * n)^2 / k: pick
+    k ~ n / target_cell_size and the work scales linearly with data.
+    :func:`embedding_dup_pairs` (brute force) stays the recall oracle
+    (tests/test_approx_recall.py).
+    """
+    from labelspark_spark.operators.similarity import _assign_to_centroids, kmeans_fit
+
+    cents = kmeans_fit(
+        df, k=k, dim=dim, max_iters=max_iters, vec_col=vec_col, id_col=id_col
     )
-    return scored.filter(F.col("cos") >= threshold)
+    cent = F.broadcast(
+        cents.select(F.col("centroid_id").alias("_cid"), F.col("centroid").alias("_cvec"))
+    )
+    # ids-only through the cell self-join; vectors rejoin onto the much
+    # smaller candidate set for the verify
+    assigned = _assign_to_centroids(df, cent, id_col, vec_col, nprobe, "_id", dim).select(
+        "_id", "_cid"
+    )
+    left = assigned.select(F.col("_id").alias("id_a"), "_cid")
+    right = assigned.select(F.col("_id").alias("id_b"), "_cid")
+    cand = (
+        left.join(right.hint("merge"), ["_cid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs_cosine(cand, df, vec_col, id_col, threshold)

@@ -18,10 +18,19 @@ deterministic (seeded LCG) so results reproduce everywhere.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from labelspark_spark.functions.vectors import cosine, dot
+from labelspark_spark.functions.vectors import (
+    cosine,
+    cosine_from_parts,
+    dot,
+    dot_expr,
+    lsh_bucket_expr_sql,
+    norm_expr,
+)
 
 
 def _rank_topk(
@@ -58,21 +67,32 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    dim: int = 64,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Queries are broadcast (small side); the corpus never shuffles.
     Returns (query_id, neighbor_id, cos, rank).
     """
+    # norms hoisted into per-ROW projections: pair scoring is ONE
+    # dim-length dot, not three folds per pair
     q = F.broadcast(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            norm_expr(vec_col, dim).alias("_qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm_expr(vec_col, dim).alias("_cn"),
+    )
     scored = c.crossJoin(q).select(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
+            cosine_from_parts(dot_expr("_qv", "_cv", dim), F.col("_qn"), F.col("_cn")), 6
         ).alias("cos"),
     )
     # two-phase: the cross-join output is |corpus| rows per query; a
@@ -125,23 +145,26 @@ def lsh_ann_topk(
     bound, not hash equality.
     """
     planes = _hyperplanes(dim, num_planes, seed)
+    bucket = F.expr(lsh_bucket_expr_sql(vec_col, planes))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("_bucket"),
+        norm_expr(vec_col, dim).alias("_cn"),
+        bucket.alias("_bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            lsh_bucket_expr(F.col(vec_col), planes).alias("_bucket"),
+            norm_expr(vec_col, dim).alias("_qn"),
+            bucket.alias("_bucket"),
         )
     )
     scored = c.join(q, "_bucket").select(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
+            cosine_from_parts(dot_expr("_qv", "_cv", dim), F.col("_qn"), F.col("_cn")), 6
         ).alias("cos"),
     )
     return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")
@@ -178,31 +201,20 @@ def kmeans_fit(
     centroids = [list(r.centroid) for r in init]
 
     for _ in range(max_iters):
-        cent_df = F.broadcast(
-            spark.createDataFrame(
-                [(i, v) for i, v in enumerate(centroids)],
-                f"centroid_id int, centroid array<double>",
-            )
+        near = _nearest_cells_udf(
+            np.arange(k, dtype=np.int64), np.array(centroids, dtype=np.float64), 1, 9
         )
-        w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("centroid_id").asc())
-        assigned = (
-            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-            .crossJoin(cent_df)
-            .withColumn(
-                "_cos",
-                F.round(cosine(F.col("_v").cast("array<double>"), F.col("centroid")), 9),
-            )
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
+        assigned = df.select(F.col(vec_col).alias("_v")).withColumn(
+            "_cid", F.element_at(near(F.col("_v")), 1)
         )
         new_rows = (
-            assigned.groupBy("centroid_id")
+            assigned.groupBy("_cid")
             .agg(F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("centroid"))
             .collect()
         )
         new_centroids = list(centroids)
         for r in new_rows:  # empty clusters keep their previous centroid
-            new_centroids[r.centroid_id] = list(r.centroid)
+            new_centroids[r._cid] = list(r.centroid)
         if new_centroids == centroids:
             break
         centroids = new_centroids
@@ -213,6 +225,36 @@ def kmeans_fit(
     )
 
 
+def _nearest_cells_udf(cids: "np.ndarray", cents: "np.ndarray", n: int, decimals: int):
+    """Arrow-batched nearest-``n``-centroid assignment: ONE numpy matmul
+    per batch against the (k x dim) centroid matrix.
+
+    Replaces the broadcast-crossJoin + window-rank formulation, whose
+    per-centroid flat dot expressions (k * dim terms) blew past
+    whole-stage codegen and whose rank shuffled k rows per input row.
+    Ranking matches the SQL form bit-for-bit at sane inputs: cosine
+    rounded to ``decimals``, ties broken by ascending centroid id
+    (centroids pre-sorted by id + stable argsort).
+    """
+    order = np.argsort(cids, kind="stable")
+    cids_s = cids[order]
+    cents_s = cents[order]
+    cnorm = np.sqrt(np.einsum("ij,ij->i", cents_s, cents_s))
+
+    @F.pandas_udf("array<int>")
+    def _near(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vs.to_numpy()).astype(np.float64)
+        den = np.sqrt(np.einsum("ij,ij->i", m, m))[:, None] * cnorm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den == 0, 0.0, (m @ cents_s.T) / den)
+        idx = np.argsort(-np.round(cos, decimals), axis=1, kind="stable")[:, :n]
+        return pd.Series(list(cids_s[idx].astype(np.int32)))
+
+    return _near
+
+
 def _assign_to_centroids(
     df: DataFrame,
     cent,
@@ -220,23 +262,24 @@ def _assign_to_centroids(
     vecc: str,
     n: int,
     out_id: str,
+    dim: int = 64,
 ) -> DataFrame:
-    """Nearest-``n`` centroid assignment via broadcast cross join +
-    per-row rank (centroids are k*dim floats, always broadcastable)."""
-    w = Window.partitionBy(out_id).orderBy(F.col("_cdist").desc(), F.col("_cid").asc())
+    """Nearest-``n`` centroid assignment. The centroid side is k*dim
+    floats BY DESIGN (kmeans_fit only ever materializes that much), so
+    it collects to a numpy matrix and the assignment is a vectorized
+    Pandas-UDF matmul over the (never-collected) vector side."""
+    rows = cent.select("_cid", "_cvec").collect()
+    cids = np.array([r._cid for r in rows], dtype=np.int64)
+    cents = np.array([list(r._cvec) for r in rows], dtype=np.float64)
+    near = _nearest_cells_udf(cids, cents, n, 6)
     return (
-        df.select(F.col(idc).alias(out_id), F.col(vecc).alias("_v"))
-        .crossJoin(cent)
-        .withColumn(
-            "_cdist",
-            F.round(
-                cosine(F.col("_v").cast("array<double>"), F.col("_cvec").cast("array<double>")),
-                6,
-            ),
+        df.select(
+            F.col(idc).alias(out_id),
+            F.col(vecc).alias("_v"),
+            norm_expr(vecc, dim).alias("_vnrm"),
         )
-        .withColumn("_crank", F.row_number().over(w))
-        .filter(F.col("_crank") <= n)
-        .select(out_id, "_v", "_cid")
+        .withColumn("_cid", F.explode(near(F.col("_v"))))
+        .select(out_id, "_v", "_cid", "_vnrm")
     )
 
 
@@ -249,6 +292,7 @@ def ivf_build(
     id_col: str = "vec_id",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
+    dim: int = 64,
 ) -> None:
     """Build the IVF index ONCE and persist it bucketed by centroid id.
 
@@ -265,7 +309,7 @@ def ivf_build(
             F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")
         )
     )
-    assignment = _assign_to_centroids(corpus, cent, id_col, vec_col, 1, "vec_id").select(
+    assignment = _assign_to_centroids(corpus, cent, id_col, vec_col, 1, "vec_id", dim).select(
         F.col("vec_id"), F.col("_v").alias("embedding"), F.col("_cid").alias("centroid_id")
     )
     write_bucketed(assignment, table, bucket_cols=["centroid_id"], num_buckets=num_buckets)
@@ -281,6 +325,7 @@ def ivf_probe(
     query_id_col: str = "query_id",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
+    dim: int = 64,
 ) -> DataFrame:
     """Probe a persisted IVF index: NO corpus-wide work.
 
@@ -298,18 +343,26 @@ def ivf_probe(
         )
     )
     q = F.broadcast(
-        _assign_to_centroids(queries, cent, query_id_col, vec_col, nprobe, "query_id")
+        _assign_to_centroids(queries, cent, query_id_col, vec_col, nprobe, "query_id", dim)
         .withColumnRenamed("_v", "_qv")
+        .withColumnRenamed("_vnrm", "_qn")
         .withColumnRenamed("_cid", "centroid_id")
     )
-    scored = index.join(q, "centroid_id").select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            cosine(F.col("_qv").cast("array<double>"), F.col("embedding").cast("array<double>")),
-            6,
-        ).alias("cos"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    scored = (
+        index.withColumn("_inrm", norm_expr("embedding", dim))
+        .join(q, "centroid_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_from_parts(
+                    dot_expr("_qv", "embedding", dim), F.col("_qn"), F.col("_inrm")
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")
 
 
@@ -324,6 +377,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
+    dim: int = 64,
 ) -> DataFrame:
     """IVF ANN: corpus rows indexed by nearest centroid; each query
     probes its ``nprobe`` nearest centroid lists.
@@ -336,15 +390,15 @@ def ivf_topk(
             F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")
         )
     )
-    c = _assign_to_centroids(corpus, cent, id_col, vec_col, 1, "neighbor_id")
+    c = _assign_to_centroids(corpus, cent, id_col, vec_col, 1, "neighbor_id", dim)
     q = _assign_to_centroids(
-        queries, cent, query_id_col, vec_col, nprobe, "query_id"
-    ).withColumnRenamed("_v", "_qv")
+        queries, cent, query_id_col, vec_col, nprobe, "query_id", dim
+    ).withColumnRenamed("_v", "_qv").withColumnRenamed("_vnrm", "_qn")
     scored = c.join(q, "_cid").select(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine(F.col("_qv").cast("array<double>"), F.col("_v").cast("array<double>")), 6
+            cosine_from_parts(dot_expr("_qv", "_v", dim), F.col("_qn"), F.col("_vnrm")), 6
         ).alias("cos"),
     ).distinct()
     return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")

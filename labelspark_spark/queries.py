@@ -1196,6 +1196,73 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via k-means CELL blocking + in-cell
+    cosine verify — the scale path for LOW thresholds, where hyperplane
+    LSH cannot prune without killing recall (per-plane collision at
+    cos 0.4 is ~0.63; see embedding_dup_pairs_ivf's docstring for the
+    math). Approximate -> rows-only driver check; recall >= 0.9 vs the
+    exact pairs is asserted in tests/test_approx_recall.py and made
+    driver-visible by `dedup_embedding_ivf_recall`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_dup_pairs_ivf(
+        emb, "embedding", "vec_id", threshold=0.4, k=16, nprobe=4
+    )
+
+
+def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination hits: per-training-doc count of
+    distinct word 3-grams shared with the benchmark corpus (src0 plays
+    the benchmark). Posting-list equi-join on hashed shingles — the
+    benchmark side reduces to a distinct broadcastable hash set; the
+    training corpus never shuffles."""
+    import labelspark_spark.operators.contamination as ct
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return ct.contamination_hits(train, bench, "text", "doc_id", n=3)
+
+
+SQL_DECONTAM_HITS = f"""
+WITH toks AS (
+  SELECT doc_id, source, {TOKS_SQL.format(c=NORM_SQL.format(c='text'))} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE source = 'src0'
+), posting AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE source <> 'src0'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM posting JOIN bench USING (shingle)
+GROUP BY doc_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving training corpus after decontamination: docs with
+    ANY benchmark 3-gram overlap are anti-joined out."""
+    import labelspark_spark.operators.contamination as ct
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return ct.decontaminate(train, bench, "text", "doc_id", n=3).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_DECONTAMINATE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE source <> 'src0'
+  AND doc_id NOT IN (SELECT doc_id FROM ({SQL_DECONTAM_HITS}) h WHERE n_hits >= 1)
+"""
+
+
 # --------------------------------------------------------------------------
 # north-star: similarity search
 # --------------------------------------------------------------------------
@@ -2368,6 +2435,24 @@ FROM ({SQL_DEDUP_EMBEDDING}) exact
 """
 
 
+def q_dedup_embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-blocked (IVF) embedding dedup quality: exact all-pairs cosine
+    >= 0.4 is oracle-replayed; the cell-blocked pairs must be a subset
+    (cosine-verified, so false_positives = 0) with recall >= 0.9
+    (nprobe=4 of k=16 cells; measured 0.94 @ sf0.001, 1.0 @ sf0.01)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = dd.embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    approx = dd.embedding_dup_pairs_ivf(
+        emb, "embedding", "vec_id", threshold=0.4, k=16, nprobe=4
+    ).select("id_a", "id_b")
+    return _recall_row(exact, approx, 9, 10)
+
+
+SQL_DEDUP_EMBEDDING_IVF_RECALL = SQL_DEDUP_EMBEDDING_LSH_RECALL
+
+
 def q_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch quality, driver-visible: exact per-type distinct users
     is oracle-replayed; the sketch estimate must land within 5% (default
@@ -2757,6 +2842,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
     "join_anti": (q_join_anti, SQL_JOIN_ANTI),
+    # --- new in round 3, appended BELOW the 50-entry driver window so the
+    #     r1-rotation above stays covered; pytest carries these until a
+    #     later rotation ---
+    "dedup_embedding_ivf": (q_dedup_embedding_ivf, None),
+    "dedup_embedding_ivf_recall": (
+        q_dedup_embedding_ivf_recall,
+        SQL_DEDUP_EMBEDDING_IVF_RECALL,
+    ),
+    "decontam_hits": (q_decontam_hits, SQL_DECONTAM_HITS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
 }
 
 

@@ -225,6 +225,36 @@ def test_embedding_lsh_dedup_recall_and_precision(spark, emb=None):
     assert approx <= exact
 
 
+def test_embedding_ivf_dedup_recall_and_precision(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dup_pairs_ivf(
+            emb, "embedding", "vec_id", threshold=0.4, k=16, nprobe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / max(len(exact), 1)
+    assert recall >= 0.9, f"IVF-blocked embedding dedup recall too low: {recall}"
+    # every candidate is cosine-verified: zero false positives
+    assert approx <= exact
+
+
+def test_embedding_ivf_dedup_plan_has_no_cartesian(spark):
+    # the kmeans FIT iterates broadcast cross joins (k*dim floats — fine);
+    # the pair-generation plan itself must be a cell-keyed equi-join with
+    # no corpus-x-corpus nested loop
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    plan = (
+        dedup.embedding_dup_pairs_ivf(emb, "embedding", "vec_id", k=4, nprobe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_embedding_lsh_dedup_plan_has_no_cartesian(spark):
     emb = read_table(spark, SF_SMOKE, "embeddings")
     plan = (
