@@ -102,23 +102,3 @@ def dot_expr(a: str, b: str, dim: int) -> Column:
     )
 
 
-def plane_dot_sql(vec: str, plane: list[float]) -> str:
-    """Dot of a NAMED array column with a CONSTANT plane, as SQL text —
-    the plane folds into the codegen as double literals (`..D` suffix),
-    no array literal, no lambda."""
-    return _sum_terms(
-        [
-            f"cast(element_at({vec}, {i + 1}) as double) * {x!r}D"
-            for i, x in enumerate(plane)
-        ]
-    )
-
-
-def lsh_bucket_expr_sql(vec: str, planes: list[list[float]]) -> str:
-    """Random-hyperplane signature -> int bucket as SQL text (sign bit
-    per plane), flat codegen form of ``lsh_bucket_expr``."""
-    bits = [
-        f"CASE WHEN {plane_dot_sql(vec, p)} >= 0D THEN {2 ** i} ELSE 0 END"
-        for i, p in enumerate(planes)
-    ]
-    return "(" + " + ".join(bits) + ")"

@@ -742,11 +742,6 @@ def embedding_dup_pairs_lsh(
     give ~0.99 at cos=0.95. :func:`embedding_dup_pairs` (brute force)
     stays as the recall oracle in tests.
     """
-    from labelspark_spark.functions.vectors import (
-        cosine_from_parts,
-        dot_expr,
-        norm_expr,
-    )
     from labelspark_spark.operators.similarity import _hyperplanes
 
     # All num_tables * num_planes plane dots in ONE Arrow-batched numpy

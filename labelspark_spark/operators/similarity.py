@@ -23,14 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from labelspark_spark.functions.vectors import (
-    cosine,
-    cosine_from_parts,
-    dot,
-    dot_expr,
-    lsh_bucket_expr_sql,
-    norm_expr,
-)
+from labelspark_spark.functions.vectors import cosine, dot
 
 
 def _rank_topk(
@@ -74,25 +67,21 @@ def brute_force_topk(
     Queries are broadcast (small side); the corpus never shuffles.
     Returns (query_id, neighbor_id, cos, rank).
     """
-    # norms hoisted into per-ROW projections: pair scoring is ONE
-    # dim-length dot, not three folds per pair
+    # HOF cosine, not the flat dim-term expression: pair count here is
+    # Q*N with Q broadcast-small by contract, so per-pair eval cost is
+    # negligible — while the flat form's ~7*dim-node tree costs ~0.5s of
+    # driver-side analysis PER PLAN BUILD (measured; it dominated the
+    # whole query at sf0.1). Flat codegen stays reserved for the one
+    # quadratic-pair JVM site (dedup.embedding_dup_pairs).
     q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
-            norm_expr(vec_col, dim).alias("_qn"),
-        )
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        norm_expr(vec_col, dim).alias("_cn"),
-    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = c.crossJoin(q).select(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_from_parts(dot_expr("_qv", "_cv", dim), F.col("_qn"), F.col("_cn")), 6
+            cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
         ).alias("cos"),
     )
     # two-phase: the cross-join output is |corpus| rows per query; a
@@ -145,18 +134,16 @@ def lsh_ann_topk(
     bound, not hash equality.
     """
     planes = _hyperplanes(dim, num_planes, seed)
-    bucket = F.expr(lsh_bucket_expr_sql(vec_col, planes))
+    bucket = lsh_bucket_expr(F.col(vec_col), planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        norm_expr(vec_col, dim).alias("_cn"),
         bucket.alias("_bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            norm_expr(vec_col, dim).alias("_qn"),
             bucket.alias("_bucket"),
         )
     )
@@ -164,7 +151,7 @@ def lsh_ann_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_from_parts(dot_expr("_qv", "_cv", dim), F.col("_qn"), F.col("_cn")), 6
+            cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
         ).alias("cos"),
     )
     return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")
@@ -273,13 +260,9 @@ def _assign_to_centroids(
     cents = np.array([list(r._cvec) for r in rows], dtype=np.float64)
     near = _nearest_cells_udf(cids, cents, n, 6)
     return (
-        df.select(
-            F.col(idc).alias(out_id),
-            F.col(vecc).alias("_v"),
-            norm_expr(vecc, dim).alias("_vnrm"),
-        )
+        df.select(F.col(idc).alias(out_id), F.col(vecc).alias("_v"))
         .withColumn("_cid", F.explode(near(F.col("_v"))))
-        .select(out_id, "_v", "_cid", "_vnrm")
+        .select(out_id, "_v", "_cid")
     )
 
 
@@ -345,18 +328,17 @@ def ivf_probe(
     q = F.broadcast(
         _assign_to_centroids(queries, cent, query_id_col, vec_col, nprobe, "query_id", dim)
         .withColumnRenamed("_v", "_qv")
-        .withColumnRenamed("_vnrm", "_qn")
         .withColumnRenamed("_cid", "centroid_id")
     )
     scored = (
-        index.withColumn("_inrm", norm_expr("embedding", dim))
-        .join(q, "centroid_id")
+        index.join(q, "centroid_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                cosine_from_parts(
-                    dot_expr("_qv", "embedding", dim), F.col("_qn"), F.col("_inrm")
+                cosine(
+                    F.col("_qv").cast("array<double>"),
+                    F.col("embedding").cast("array<double>"),
                 ),
                 6,
             ).alias("cos"),
@@ -393,12 +375,12 @@ def ivf_topk(
     c = _assign_to_centroids(corpus, cent, id_col, vec_col, 1, "neighbor_id", dim)
     q = _assign_to_centroids(
         queries, cent, query_id_col, vec_col, nprobe, "query_id", dim
-    ).withColumnRenamed("_v", "_qv").withColumnRenamed("_vnrm", "_qn")
+    ).withColumnRenamed("_v", "_qv")
     scored = c.join(q, "_cid").select(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_from_parts(dot_expr("_qv", "_v", dim), F.col("_qn"), F.col("_vnrm")), 6
+            cosine(F.col("_qv").cast("array<double>"), F.col("_v").cast("array<double>")), 6
         ).alias("cos"),
     ).distinct()
     return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")
