@@ -2595,6 +2595,20 @@ def _replay_to_memory(agg: DataFrame, name: str, mode: str) -> None:
         q.stop()
 
 
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """The events parquet stores ``ts`` as timestamp[us]; some writers
+    emit epoch-nanos longs or timestamp_ntz instead. Watermarks require
+    TIMESTAMP (with zone), so normalize all three: integral epoch-nanos
+    via timestamp_micros, ntz via cast (session is pinned UTC so the
+    cast is value-preserving)."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype in ("bigint", "int", "long"):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 hard-signal: a REAL file-source stream (not the batch twin)
     replays the events table through the watermarked tumbling-window
@@ -2603,10 +2617,8 @@ def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the final state exactly the batch aggregation."""
     from labelspark_spark.streaming import events as se
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     d = _stage_stream_dir(sf_dir, copies=1)
-    stream = se.read_events_stream(spark, d)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(se.read_events_stream(spark, d))
     agg = se.tumbling_counts(stream).drop("sum_value")
     _replay_to_memory(agg, "events_stream_replay_sink", "complete")
     return spark.table("events_stream_replay_sink").select(
@@ -2631,10 +2643,8 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type against the batch distinct count."""
     from labelspark_spark.streaming import events as se
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     d = _stage_stream_dir(sf_dir, copies=2)
-    stream = se.read_events_stream(spark, d)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(se.read_events_stream(spark, d))
     deduped = se.streaming_dedup(stream, keys=["event_id"])
     _replay_to_memory(deduped, "events_stream_dedup_sink", "append")
     return (
