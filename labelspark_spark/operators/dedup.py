@@ -728,6 +728,8 @@ def embedding_dup_pairs_lsh(
     num_planes: int = 6,
     num_tables: int = 8,
     seed: int = 42,
+    sig_bits: int = 384,
+    prefilter_sigma: float = 3.0,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-blocked — the 100 TB path.
 
@@ -741,7 +743,23 @@ def embedding_dup_pairs_lsh(
     p=1-θ/π, per-table p^b, overall 1-(1-p^b)^L. Defaults (b=6, L=8)
     give ~0.99 at cos=0.95. :func:`embedding_dup_pairs` (brute force)
     stays as the recall oracle in tests.
+
+    Between blocking and the exact verify sits a JVM-side HAMMING
+    PREFILTER over a ``sig_bits``-plane sign signature (random
+    hyperplane / SRP sketch, Charikar STOC'02): a pair at cosine t has
+    expected disagreeing-bit fraction θ(t)/π, so candidates whose
+    measured fraction exceeds that mean by ``prefilter_sigma`` binomial
+    std-devs are pruned before the Arrow hop. At coarse thresholds
+    (e.g. 0.4, where 3-plane buckets retain ~70% of ALL pairs) this
+    kills ~99% of junk candidates for ~0.1% true-pair loss (3σ), and it
+    runs BEFORE the pair-distinct so the dedup shuffle shrinks with it.
+    Signature words ride the bucket shuffle as ``sig_bits/64`` bigints;
+    the hamming sum is pure ``bit_count(xor)`` fold — no Python, no
+    vectors, until the surviving ~1% reach the exact verify (which
+    keeps false_positives = 0 regardless). ``sig_bits=0`` disables.
     """
+    import math
+
     from labelspark_spark.operators.similarity import _hyperplanes
 
     # All num_tables * num_planes plane dots in ONE Arrow-batched numpy
@@ -760,33 +778,58 @@ def embedding_dup_pairs_lsh(
     ).reshape(num_tables * num_planes, dim)
     weights = (2 ** np.arange(num_planes)).astype(np.int64)
     n_tables = num_tables
+    n_words = max(sig_bits, 0) // 64
+    sig_bits = n_words * 64
+    # independent plane family for the sketch (seed offset past any
+    # plausible table count) — bucket planes reused as sketch bits would
+    # bias the measured fraction low on colliding pairs
+    sig_planes = np.array(
+        _hyperplanes(dim, sig_bits, seed + 7919) if n_words else [],
+        dtype=np.float64,
+    ).reshape(sig_bits, dim)
+    w64 = 1 << np.arange(64, dtype=np.uint64)
 
-    @F.pandas_udf("array<long>")
-    def _bucket_ids(vs: pd.Series) -> pd.Series:
+    @F.pandas_udf("bk array<long>, sig array<long>")
+    def _keys(vs: pd.Series) -> pd.DataFrame:
         if len(vs) == 0:
-            return pd.Series([], dtype=object)
+            return pd.DataFrame({"bk": [], "sig": []})
         m = np.vstack(vs.to_numpy()).astype(np.float64)
         signs = (m @ planes.T >= 0).astype(np.int64)
-        b = signs.reshape(len(vs), n_tables, -1) @ weights
-        return pd.Series(list(b))
+        bk = signs.reshape(len(vs), n_tables, -1) @ weights
+        if n_words:
+            s = (m @ sig_planes.T >= 0).astype(np.uint64)
+            # pack 64 sign bits per word; uint64 view -> Spark long
+            words = (s.reshape(len(vs), n_words, 64) * w64).sum(axis=2)
+            sig = list(words.view(np.int64))
+        else:
+            sig = [np.zeros(0, dtype=np.int64)] * len(vs)
+        return pd.DataFrame({"bk": list(bk), "sig": sig})
 
     # one bigint key per table: xxhash64(table_idx, bucket) — same trick
     # as the minhash band keys (single-bigint shuffle key); posexplode
-    # supplies the table index
-    # ids-only through the bucket join (16-byte shuffle rows; vectors
-    # rejoin onto the much smaller candidate set afterwards)
-    buckets = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode_outer(_bucket_ids(F.col(vec_col))).alias("_t", "_b"),
-    ).select("_id", F.xxhash64("_t", "_b").alias("_key"))
-    left = buckets.select(F.col("_id").alias("id_a"), "_key")
-    right = buckets.select(F.col("_id").alias("id_b"), "_key")
-    cand = (
-        left.join(right.hint("merge"), ["_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # supplies the table index. Only ids + the small sig words cross the
+    # bucket shuffle; vectors rejoin onto the surviving candidates.
+    keyed = df.select(F.col(id_col).alias("_id"), _keys(F.col(vec_col)).alias("_k"))
+    buckets = keyed.select(
+        "_id",
+        F.col("_k.sig").alias("_sig"),
+        F.posexplode_outer("_k.bk").alias("_t", "_b"),
+    ).select("_id", "_sig", F.xxhash64("_t", "_b").alias("_key"))
+    left = buckets.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"), "_key")
+    right = buckets.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"), "_key")
+    pairs = left.join(right.hint("merge"), ["_key"]).filter(F.col("id_a") < F.col("id_b"))
+    if n_words:
+        frac = math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        cutoff = math.floor(
+            frac * sig_bits
+            + prefilter_sigma * math.sqrt(max(frac * (1 - frac) * sig_bits, 0.0))
+        )
+        hamming = F.expr(
+            "aggregate(zip_with(_sa, _sb, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)"
+        )
+        # prune BEFORE the pair-distinct so the dedup shuffle shrinks too
+        pairs = pairs.filter(hamming <= F.lit(int(cutoff)))
+    cand = pairs.select("id_a", "id_b").distinct()
     return _verify_pairs_cosine(cand, df, vec_col, id_col, threshold)
 
 

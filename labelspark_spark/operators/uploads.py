@@ -153,19 +153,32 @@ def build_uploads(
 _EMPTY_SUBCLS = "array<struct<name:string,answer:string>>"
 
 
-def _entry_strings(cell, kind: str):
-    """Split one annotation cell into per-entry JSON strings.
+def _bind(value, fn):
+    """HOF let-binding: evaluate ``value`` ONCE and pass it to ``fn``.
+
+    PySpark Column reuse duplicates the expression tree — ``g[0]`` ..
+    ``g[3]`` over a shared ``from_json`` Column re-parses the JSON four
+    times per element (interpreted HOF eval has no CSE). Wrapping the
+    value in a single-element array and transforming binds it to a
+    lambda variable the engine evaluates once.
+    """
+    return F.transform(F.array(value), fn)[0]
+
+
+def _entry_parts(cell):
+    """Split one annotation cell into per-entry part-string arrays.
 
     Cell payloads are stringified nested lists (datasets/annotations.csv,
     parsed by the reference with ast.literal_eval semantics at
     add_json_answers_to_dictionary.py:7). Spark's JSON parser accepts the
     single-quoted variant (allowSingleQuotes defaults true), and parsing
-    into ``array<string>`` captures each nested entry as its raw JSON
-    text — so `[[geom, [subs]], ...]` becomes one string per entry with
-    no Python in the loop.
+    into ``array<array<string>>`` splits BOTH outer levels in one pass:
+    each entry becomes an array of part strings — scalar parts as their
+    values, nested arrays as raw JSON text for the per-kind parsers.
     """
     return F.coalesce(
-        F.from_json(cell, "array<string>"), F.array().cast("array<string>")
+        F.from_json(cell, "array<array<string>>"),
+        F.array().cast("array<array<string>>"),
     )
 
 
@@ -181,14 +194,41 @@ def _tool_subclassifications(subs_json, divider: str):
     )
     return F.transform(
         subs,
-        lambda s: F.struct(
-            F.split(s, divider)[0].alias("name"),
-            F.element_at(F.split(s, divider), 2).alias("answer"),
+        lambda s: _bind(
+            F.split(s, divider),
+            lambda ss: F.struct(
+                ss[0].alias("name"), F.element_at(ss, 2).alias("answer")
+            ),
         ),
     )
 
 
+_ANN_EXPR_CACHE: dict[tuple[str, str, str, str], object] = {}
+_ANN_EXPR_CTX: list[object] = [None]
+
+
 def annotation_ndjsons(col_name: str, kind: str, feature: str, divider: str = DIVIDER):
+    """Memoized wrapper over :func:`_annotation_ndjsons`.
+
+    The per-kind parse tree is ~hundreds of Column constructions (py4j
+    round trips) — ~1s of DRIVER time per build at 8 annotation columns,
+    paid per query invocation, none of it executor work. Unresolved
+    Columns are plan templates, safely reusable across queries; the memo
+    is keyed per SparkContext because the underlying JVM objects die
+    with the py4j gateway."""
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if _ANN_EXPR_CTX[0] is not ctx:
+        _ANN_EXPR_CACHE.clear()
+        _ANN_EXPR_CTX[0] = ctx
+    key = (col_name, kind, feature, divider)
+    if key not in _ANN_EXPR_CACHE:
+        _ANN_EXPR_CACHE[key] = _annotation_ndjsons(col_name, kind, feature, divider)
+    return _ANN_EXPR_CACHE[key]
+
+
+def _annotation_ndjsons(col_name: str, kind: str, feature: str, divider: str = DIVIDER):
     """One annotation convention column -> array<string> of ndjson payloads.
 
     Payload shapes follow the platform's public ndjson import format, one
@@ -213,43 +253,45 @@ def annotation_ndjsons(col_name: str, kind: str, feature: str, divider: str = DI
         raise ValueError(f"unknown annotation kind {kind!r}")
     cell = F.col(f"`{col_name}`")
     name = F.lit(feature).alias("name")
-    entries = _entry_strings(cell, kind)
+    # both outer levels split in ONE from_json; every remaining parse
+    # below is let-bound via _bind so it runs once per element
+    entries = _entry_parts(cell)
 
     if kind in ("bbox", "point"):
         def _geo(e):
-            parts = F.from_json(e, "array<string>")
-            g = F.from_json(parts[0], "array<double>")
-            geom = (
-                F.struct(
-                    g[0].alias("top"), g[1].alias("left"),
-                    g[2].alias("height"), g[3].alias("width"),
-                ).alias("bbox")
-                if kind == "bbox"
-                else F.struct(g[0].alias("x"), g[1].alias("y")).alias("point")
+            subs = _tool_subclassifications(F.element_at(e, 2), divider)
+            return _bind(
+                F.from_json(e[0], "array<double>"),
+                lambda g: F.to_json(F.struct(
+                    name,
+                    (
+                        F.struct(
+                            g[0].alias("top"), g[1].alias("left"),
+                            g[2].alias("height"), g[3].alias("width"),
+                        ).alias("bbox")
+                        if kind == "bbox"
+                        else F.struct(g[0].alias("x"), g[1].alias("y")).alias("point")
+                    ),
+                    subs.alias("classifications"),
+                )),
             )
-            return F.to_json(F.struct(
-                name, geom,
-                _tool_subclassifications(F.element_at(parts, 2), divider).alias("classifications"),
-            ))
         return F.transform(entries, _geo)
 
     if kind in ("polygon", "line"):
         def _poly(e):
-            parts = F.from_json(e, "array<string>")
-            pts = F.from_json(parts[0], "array<array<double>>")
             ring = F.transform(
-                pts, lambda p: F.struct(p[0].alias("x"), p[1].alias("y"))
+                F.from_json(e[0], "array<array<double>>"),
+                lambda p: F.struct(p[0].alias("x"), p[1].alias("y")),
             ).alias(kind)
             return F.to_json(F.struct(
                 name, ring,
-                _tool_subclassifications(F.element_at(parts, 2), divider).alias("classifications"),
+                _tool_subclassifications(F.element_at(e, 2), divider).alias("classifications"),
             ))
         return F.transform(entries, _poly)
 
     if kind == "mask":
         def _mask(e):
-            parts = F.from_json(e, "array<string>")
-            png = F.from_json(parts[0], "array<string>")[0]
+            png = F.from_json(e[0], "array<string>")[0]
             return F.to_json(F.struct(
                 name,
                 F.struct(png.alias("png")).alias("mask"),
@@ -259,33 +301,32 @@ def annotation_ndjsons(col_name: str, kind: str, feature: str, divider: str = DI
 
     if kind == "radio":
         def _radio(e):
-            path = F.from_json(e, "array<string>")[0]
-            segs = F.split(path, divider)
-            nested = F.when(
-                F.size(segs) >= 3,
-                F.array(F.struct(segs[1].alias("name"), segs[2].alias("answer"))),
-            ).otherwise(F.array().cast(_EMPTY_SUBCLS))
-            return F.to_json(F.struct(
-                name,
-                F.struct(segs[0].alias("name")).alias("answer"),
-                nested.alias("classifications"),
-            ))
+            return _bind(
+                F.split(e[0], divider),
+                lambda segs: F.to_json(F.struct(
+                    name,
+                    F.struct(segs[0].alias("name")).alias("answer"),
+                    F.when(
+                        F.size(segs) >= 3,
+                        F.array(
+                            F.struct(segs[1].alias("name"), segs[2].alias("answer"))
+                        ),
+                    ).otherwise(F.array().cast(_EMPTY_SUBCLS)).alias("classifications"),
+                )),
+            )
         return F.transform(entries, _radio)
 
     if kind == "checklist":
         def _check(e):
-            items = F.from_json(e, "array<string>")
             answers = F.transform(
-                items, lambda i: F.struct(F.split(i, divider)[0].alias("name"))
+                e, lambda i: F.struct(F.split(i, divider)[0].alias("name"))
             )
             return F.to_json(F.struct(name, answers.alias("answers")))
         return F.transform(entries, _check)
 
     # kind == "text"
     def _text(e):
-        return F.to_json(F.struct(
-            name, F.from_json(e, "array<string>")[0].alias("answer")
-        ))
+        return F.to_json(F.struct(name, e[0].alias("answer")))
     return F.transform(entries, _text)
 
 
