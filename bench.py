@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "video_frames_silver",
     "dedup_embedding_lsh",
     "multimodal_dims",
+    # round-4 training-data pipeline families
+    "text_repetition",
+    "scd2_history",
+    "vocab_topk",
+    "chunk_pack",
+    "salted_agg",
 ]
 
 

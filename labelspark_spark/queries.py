@@ -2730,25 +2730,452 @@ FROM embeddings
 
 
 # --------------------------------------------------------------------------
+# round 4: training-data pipeline widening — repetition quality, PII
+# scrubbing, domain blocklists, stratified sampling, SCD2 history,
+# vocabulary building, sequence chunking, skew-safe salted aggregation
+# --------------------------------------------------------------------------
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-line/n-gram quality rule (Gopher/MassiveText Rae et al.
+    2021 §A1.1; C4 Raffel et al. 2020): fraction of duplicated word
+    trigrams per document. Pure codegen — tokenize once, build trigrams
+    with a sequence/transform fold (no explode, no shuffle: row-local,
+    embarrassingly parallel at 100 TB). Integer ppm output keeps the
+    cross-engine hash exact (double rounding diverges between engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    n = F.size(toks)
+    tris = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    n_tri = n - 2
+    dup_frac = (n_tri - F.size(F.array_distinct(tris))).cast("double") / n_tri
+    return docs.select(
+        "doc_id",
+        F.when(n >= 3, n_tri).otherwise(F.lit(0)).alias("n_trigrams"),
+        F.when(n >= 3, F.floor(dup_frac * 1000000 + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dup_ppm"),
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS toks,
+         len(string_split_regex(text, ' +')) AS n
+  FROM documents
+), tri AS (
+  SELECT doc_id, n,
+         CASE WHEN n >= 3 THEN list_transform(
+             generate_series(1, n - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         END AS tris
+  FROM tok
+)
+SELECT doc_id,
+       CASE WHEN n >= 3 THEN n - 2 ELSE 0 END AS n_trigrams,
+       CASE WHEN n >= 3 THEN CAST(FLOOR(
+           (n - 2 - len(list_distinct(tris))) * 1000000.0 / (n - 2) + 0.5
+         ) AS BIGINT) ELSE 0 END AS dup_ppm
+FROM tri
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (standard pretraining hygiene; same regex
+    class as the reference's no-op passthrough for text columns): redact
+    emails and phone numbers, count redactions. The PII strings are
+    synthesized deterministically from doc_id so the oracle can replay
+    them; the scrub itself is regexp_replace/regexp_count — engine-
+    portable patterns (no lookaround), zero shuffle, row-local."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("contact user"), d,
+        F.lit("@ex"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" re: "), F.substring("text", 1, 40),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\+1-555-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(email_re)).cast("bigint").alias("n_emails"),
+        F.regexp_count(raw, F.lit(phone_re)).cast("bigint").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+SQL_PII_SCRUB = """
+WITH staged AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@ex'
+           || CAST(doc_id % 7 AS VARCHAR) || '.com or +1-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' re: ' || substr(text, 1, 40) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+FROM staged
+"""
+
+
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering (C4-style badlist removal): extract
+    the host from a per-doc URL, drop docs whose host is on the
+    blocklist via BROADCAST anti-join — at 100 TB the blocklist is the
+    tiny side, the corpus never shuffles. Hosts derive from the stable
+    `source` column so the oracle replays them."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_host = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_extract(url, "^https://([^/]+)/", 1).alias("host"),
+    )
+    blocked = spark.createDataFrame(
+        [(f"src{i}.example.com",) for i in (1, 4, 7, 13)], "host string"
+    )
+    return (
+        with_host.join(F.broadcast(blocked), "host", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+SQL_DOMAIN_FILTER = """
+WITH with_host AS (
+  SELECT doc_id, source,
+         regexp_extract('https://' || source || '.example.com/p/'
+                        || CAST(doc_id AS VARCHAR), '^https://([^/]+)/', 1) AS host
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM with_host
+WHERE host NOT IN ('src1.example.com', 'src4.example.com',
+                   'src7.example.com', 'src13.example.com')
+GROUP BY source
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (data-mixing rates per
+    language stratum): membership is a pure md5-derived hash of the doc
+    id — leak-proof, re-run-stable, no stored assignment, identical on
+    any engine. Row-local filter then partial-agg count: one narrow
+    shuffle of |strata| rows at any scale."""
+    from labelspark_spark.operators.dedup import _hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _hash60(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(50))
+        .when(F.col("lang") == "de", F.lit(30))
+        .otherwise(F.lit(10))
+    )
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM documents
+WHERE CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 100
+      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END
+GROUP BY lang
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from an event
+    stream (the standard CDC -> warehouse dimension pattern): collapse
+    consecutive same-type events per user into validity intervals with
+    lag/lead windows. One shuffle on user_id; window order is total
+    ((ts, event_id) — event_id is unique) so the result is
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_chg"),
+    )
+    seg = marked.withColumn(
+        "segment", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    agg = seg.groupBy("user_id", "segment", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("segment")
+    # explicit 6-digit fraction: engines disagree on trailing-zero
+    # trimming when a raw timestamp is cast to string
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return agg.select(
+        "user_id",
+        F.col("segment").cast("bigint").alias("version"),
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format(F.lead("valid_from").over(w2), fmt).alias("valid_to"),
+        "n_events",
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seg AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS segment
+  FROM marked
+), agg AS (
+  SELECT user_id, segment, event_type, MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM seg GROUP BY user_id, segment, event_type
+)
+SELECT user_id, CAST(segment AS BIGINT) AS version, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY segment),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       n_events
+FROM agg
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (tokenizer prep): token frequencies with
+    a deterministic total order (count desc, token asc) and dense ids
+    for the top 100. Explode -> two-stage hash agg (map-side partials)
+    -> single-partition top-k window on the already-tiny aggregate —
+    the corpus shuffles once, keyed on token."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " +")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.select("token", "n", F.row_number().over(w).alias("token_id"))
+        .filter(F.col("token_id") <= 100)
+    )
+
+
+SQL_VOCAB_TOPK = """
+WITH counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split_regex(lower(text), ' +')) AS token FROM documents)
+  WHERE token <> '' GROUP BY token
+)
+SELECT token, n, token_id FROM (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token) AS token_id
+  FROM counts
+) WHERE token_id <= 100
+"""
+
+
+def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking for training (fixed token budget per sample):
+    split each document's token stream into 32-token chunks. The chunk
+    table is built ROW-LOCALLY with sequence/slice (no posexplode-
+    then-group shuffle — at 100 TB the naive explode shuffles every
+    token; this shuffles nothing) and then exploded once to the chunk
+    grain."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / 32).cast("int")),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.size(F.slice(toks, i * 32 + 1, 32)).cast("bigint").alias("n_tokens"),
+            F.element_at(toks, i * 32 + 1).alias("first_token"),
+        ),
+    )
+    return (
+        docs.filter(n > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.n_tokens", "c.first_token")
+    )
+
+
+SQL_CHUNK_PACK = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS toks,
+         len(string_split_regex(text, ' +')) AS n
+  FROM documents WHERE len(string_split_regex(text, ' +')) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(least(32, n - i*32) AS BIGINT) AS n_tokens,
+       toks[i*32 + 1] AS first_token
+FROM tok, unnest(generate_series(0, CAST(floor((n - 1) / 32) AS INTEGER))) AS t(i)
+"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: a hot grouping key (6 return-
+    flag/status combos over all of lineitem — the classic skew shape)
+    is salted into 16 sub-keys for the wide shuffle, then the partials
+    merge in a second, tiny aggregation. Same answer as the direct
+    GROUP BY (the oracle IS the direct GROUP BY); at 1000 executors the
+    salt spreads each hot key over 16 reducers instead of one straggler.
+    Decimal sums keep the merge exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "l_linestatus", "_salt").agg(
+        F.sum("l_quantity").alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        partial.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("_sq").cast("decimal(20,2)").alias("sum_qty"),
+            F.sum("_n").alias("n_items"),
+        )
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DECIMAL(20,2)) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
 # name -> (spark_fn, oracle_sql_or_None)
 #
 # ORDERING MATTERS: the driver's correctness harness checks a prefix window of
-# this registry (50 entries per round).  Round-3 rotation: the 10 new round-3
-# queries lead, followed by the 40 queries whose last driver row was
-# CORRECTNESS_r01 (r2 changed dedup internals underneath them — the judge asked
-# for the hard signal to re-cover them).  The 50 queries verified in
-# CORRECTNESS_r02 follow; all remain covered by tests/test_oracle_parity.py.
+# this registry (50 entries per round).  Round-4 rotation: the 8 new round-4
+# queries lead, then the two streaming replays that failed r03 on the
+# TIMESTAMP_NTZ testdata change (fixed this round), the 4 round-3 appendees
+# that have never had a driver row, the LSH recall query whose operator
+# internals changed this round, and as much of the block whose last driver row
+# is CORRECTNESS_r02 as fits.  Everything below the window stays covered by
+# tests/test_oracle_parity.py against the same DuckDB oracle.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- new in round 3: approx-operator quality, streaming replays,
-    #     persisted IVF probe, real pixel decode, normalization ---
-    "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
+    # --- new in round 4: training-data pipeline widening ---
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "domain_filter": (q_domain_filter, SQL_DOMAIN_FILTER),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "chunk_pack": (q_chunk_pack, SQL_CHUNK_PACK),
+    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---
+    "events_stream_replay": (q_events_stream_replay, SQL_EVENTS_STREAM_REPLAY),
+    "events_stream_dedup": (q_events_stream_dedup, SQL_EVENTS_STREAM_DEDUP),
+    # --- appended below the r3 window, never driver-checked yet ---
+    "dedup_embedding_ivf": (q_dedup_embedding_ivf, None),
+    "dedup_embedding_ivf_recall": (
+        q_dedup_embedding_ivf_recall,
+        SQL_DEDUP_EMBEDDING_IVF_RECALL,
+    ),
+    "decontam_hits": (q_decontam_hits, SQL_DECONTAM_HITS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    # --- r4 code changes touched the LSH dedup internals: re-attest ---
     "dedup_embedding_lsh_recall": (
         q_dedup_embedding_lsh_recall,
         SQL_DEDUP_EMBEDDING_LSH_RECALL,
     ),
+    # --- last driver row r02: rotated into the checked window ---
+    "uploads_build_annotations": (q_uploads_build_annotations, SQL_UPLOADS_ANNOTATIONS),
+    "metadata_resolve": (q_metadata_resolve, SQL_METADATA_RESOLVE),
+    "video_frames_silver": (q_video_frames_silver, SQL_VIDEO_FRAMES_SILVER),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
+    "multimodal_dims": (q_multimodal_dims, SQL_MULTIMODAL_DIMS),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "window_rank_funcs": (q_window_rank_funcs, SQL_WINDOW_RANK),
+    "agg_stats": (q_agg_stats, SQL_AGG_STATS),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
+    "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
+    "flatten_nested_arrays": (q_flatten_nested_arrays, SQL_FLATTEN_NESTED),
+    "dedup_char_ngram": (q_dedup_char_ngram, SQL_DEDUP_CHAR_NGRAM),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "string_funcs2": (q_string_funcs2, SQL_STRING_FUNCS2),
+    "date_arith": (q_date_arith, SQL_DATE_ARITH),
+    "quality_prep_pipeline": (q_quality_prep_pipeline, SQL_QUALITY_PREP),
+    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT),
+    "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
+    "date_spine": (q_date_spine, SQL_DATE_SPINE),
+    "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
+    "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
+    "argmax_group": (q_argmax_group, SQL_ARGMAX),
+    "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM),
+    "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
+    "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
+    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
+    # ---------------- below the 50-entry driver window ----------------
+    # last driver row r02, deferred to the next rotation (stable, code
+    # untouched since; pytest oracle parity still covers every entry)
+    "hll_distinct": (q_hll_distinct, None),
+    "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
+    "percentiles_approx": (q_percentiles_approx, None),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "similarity_kmeans_ivf": (q_similarity_kmeans_ivf, None),
+    "scan_project": (q_scan_project, SQL_SCAN_PROJECT),
+    "cast_enrich": (q_cast_enrich, SQL_CAST_ENRICH),
+    "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
+    "join_left_outer": (q_join_left_outer, SQL_JOIN_LEFT),
+    "join_right_outer": (q_join_right_outer, SQL_JOIN_RIGHT),
+    "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL),
+    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
+    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
+    # r03-verified block (green rows in CORRECTNESS_r03)
+    "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
     "hll_error_bound": (q_hll_error_bound, SQL_HLL_ERROR_BOUND),
     "percentiles_approx_error": (
         q_percentiles_approx_error,
@@ -2756,11 +3183,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "similarity_ivf_recall": (q_similarity_ivf_recall, SQL_SIMILARITY_IVF_RECALL),
     "similarity_ivf_probe": (q_similarity_ivf_probe, None),
-    "events_stream_replay": (q_events_stream_replay, SQL_EVENTS_STREAM_REPLAY),
-    "events_stream_dedup": (q_events_stream_dedup, SQL_EVENTS_STREAM_DEDUP),
     "multimodal_pixels": (q_multimodal_pixels, SQL_MULTIMODAL_PIXELS),
     "embedding_normalize": (q_embedding_normalize, SQL_EMBEDDING_NORMALIZE),
-    # --- last driver row r01: rotated back into the checked window ---
     "join_broadcast_lookup": (q_join_broadcast_lookup, SQL_JOIN_BROADCAST),
     "join_cross": (q_join_cross, SQL_JOIN_CROSS),
     "agg_counts": (q_agg_counts, SQL_AGG_COUNTS),
@@ -2801,67 +3225,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    # --- driver-verified in CORRECTNESS_r02 (outside the r3 window) ---
-    "uploads_build_annotations": (q_uploads_build_annotations, SQL_UPLOADS_ANNOTATIONS),
-    "metadata_resolve": (q_metadata_resolve, SQL_METADATA_RESOLVE),
-    "video_frames_silver": (q_video_frames_silver, SQL_VIDEO_FRAMES_SILVER),
-    "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
-    "multimodal_dims": (q_multimodal_dims, SQL_MULTIMODAL_DIMS),
-    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
-    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "range_join": (q_range_join, SQL_RANGE_JOIN),
-    "window_rank_funcs": (q_window_rank_funcs, SQL_WINDOW_RANK),
-    "agg_stats": (q_agg_stats, SQL_AGG_STATS),
-    "percentiles": (q_percentiles, SQL_PERCENTILES),
-    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
-    "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
-    "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
-    "flatten_nested_arrays": (q_flatten_nested_arrays, SQL_FLATTEN_NESTED),
-    "dedup_char_ngram": (q_dedup_char_ngram, SQL_DEDUP_CHAR_NGRAM),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
-    "string_funcs2": (q_string_funcs2, SQL_STRING_FUNCS2),
-    "date_arith": (q_date_arith, SQL_DATE_ARITH),
-    "quality_prep_pipeline": (q_quality_prep_pipeline, SQL_QUALITY_PREP),
-    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT),
-    "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
-    "date_spine": (q_date_spine, SQL_DATE_SPINE),
-    "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
-    "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
-    "argmax_group": (q_argmax_group, SQL_ARGMAX),
-    "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM),
-    "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
-    "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
-    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
-    "hll_distinct": (q_hll_distinct, None),
-    "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
-    "percentiles_approx": (q_percentiles_approx, None),
-    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
-    "similarity_kmeans_ivf": (q_similarity_kmeans_ivf, None),
-    "scan_project": (q_scan_project, SQL_SCAN_PROJECT),
-    "cast_enrich": (q_cast_enrich, SQL_CAST_ENRICH),
-    "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
-    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
-    "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
-    "join_left_outer": (q_join_left_outer, SQL_JOIN_LEFT),
-    "join_right_outer": (q_join_right_outer, SQL_JOIN_RIGHT),
-    "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL),
-    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
-    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
-    # --- new in round 3, appended BELOW the 50-entry driver window so the
-    #     r1-rotation above stays covered; pytest carries these until a
-    #     later rotation ---
-    "dedup_embedding_ivf": (q_dedup_embedding_ivf, None),
-    "dedup_embedding_ivf_recall": (
-        q_dedup_embedding_ivf_recall,
-        SQL_DEDUP_EMBEDDING_IVF_RECALL,
-    ),
-    "decontam_hits": (q_decontam_hits, SQL_DECONTAM_HITS),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
 }
 
 

@@ -167,3 +167,52 @@ def test_parquet_aggregate_pushdown(spark):
         F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx"), F.count(F.lit(1)).alias("n")
     ).first()
     assert (stats["min_l_quantity"], stats["max_l_quantity"], stats["count"]) == (real.mn, real.mx, real.n)
+
+
+def test_domain_filter_is_broadcast_anti(spark):
+    from labelspark_spark.queries import q_domain_filter
+
+    plan = explain.formatted_plan(q_domain_filter(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_chunk_pack_is_shuffle_free(spark):
+    # row-local sequence/slice chunking: the naive explode-then-group
+    # shuffles every token; this must shuffle nothing
+    from labelspark_spark.queries import q_chunk_pack
+
+    plan = explain.formatted_plan(q_chunk_pack(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_text_repetition_is_shuffle_free_and_python_free(spark):
+    from labelspark_spark.queries import q_text_repetition
+
+    plan = explain.formatted_plan(q_text_repetition(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salted_agg_is_two_stage(spark):
+    # partial+final per aggregation level: 4 HashAggregates, and the
+    # wide (salted) exchange keys include the salt column
+    from labelspark_spark.queries import q_salted_agg
+
+    plan = explain.formatted_plan(q_salted_agg(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 4
+    assert "_salt" in plan
+
+
+def test_embedding_lsh_prefilter_before_distinct(spark):
+    # the hamming prefilter must sit under the pair-distinct aggregate
+    # (prune BEFORE the dedup shuffle), and the plan stays cartesian-free
+    from labelspark_spark.operators.dedup import embedding_dup_pairs_lsh
+    from labelspark_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    df = embedding_dup_pairs_lsh(
+        emb, "embedding", "vec_id", threshold=0.4, num_planes=3, num_tables=10
+    )
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan

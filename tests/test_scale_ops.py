@@ -85,8 +85,9 @@ def test_stateful_user_session_stats(spark, tmp_path):
     d.mkdir()
     shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-0.parquet")
 
-    stream = se.read_events_stream(spark, str(d))
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from labelspark_spark.queries import _normalize_ts
+
+    stream = _normalize_ts(se.read_events_stream(spark, str(d)))
     # NoTimeout mode: bounded replay must quiesce (with processing-time
     # timeouts the engine schedules cleanup batches forever and
     # processAllAvailable never returns — see user_session_stats docstring)
