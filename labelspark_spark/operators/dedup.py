@@ -815,21 +815,41 @@ def embedding_dup_pairs_lsh(
         F.col("_k.sig").alias("_sig"),
         F.posexplode_outer("_k.bk").alias("_t", "_b"),
     ).select("_id", "_sig", F.xxhash64("_t", "_b").alias("_key"))
-    left = buckets.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"), "_key")
-    right = buckets.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"), "_key")
-    pairs = left.join(right.hint("merge"), ["_key"]).filter(F.col("id_a") < F.col("id_b"))
+    # self-join via alias; exchange reuse does NOT trigger here (PythonUDF
+    # result-ids defeat plan canonicalization), so the bucket/signature
+    # UDF runs once per side — acceptable: it's one BLAS matmul over the
+    # corpus, dwarfed by the pair expansion it prevents downstream
+    lhs = buckets.alias("L")
+    rhs = buckets.alias("R")
+    cond = (F.col("L._key") == F.col("R._key")) & (F.col("L._id") < F.col("R._id"))
     if n_words:
         frac = math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
         cutoff = math.floor(
             frac * sig_bits
             + prefilter_sigma * math.sqrt(max(frac * (1 - frac) * sig_bits, 0.0))
         )
-        hamming = F.expr(
-            "aggregate(zip_with(_sa, _sb, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)"
+        # unrolled per-word sum: n_words is a build-time constant, and the
+        # explicit bit_count(xor) terms stay inside whole-stage codegen
+        # (zip_with/aggregate HOFs drop to interpreted eval per pair).
+        # The prune rides INSIDE the join condition: failing pairs die in
+        # the sort-merge inner loop instead of materializing 10x-per-pair
+        # wide rows for a downstream filter — and everything surviving
+        # shrinks the pair-distinct shuffle too.
+        hamming = sum(
+            (
+                F.bit_count(
+                    F.col("L._sig")[w].bitwiseXOR(F.col("R._sig")[w])
+                )
+                for w in range(n_words)
+            ),
+            F.lit(0),
         )
-        # prune BEFORE the pair-distinct so the dedup shuffle shrinks too
-        pairs = pairs.filter(hamming <= F.lit(int(cutoff)))
-    cand = pairs.select("id_a", "id_b").distinct()
+        cond = cond & (hamming <= F.lit(int(cutoff)))
+    cand = (
+        lhs.join(rhs.hint("merge"), cond)
+        .select(F.col("L._id").alias("id_a"), F.col("R._id").alias("id_b"))
+        .distinct()
+    )
     return _verify_pairs_cosine(cand, df, vec_col, id_col, threshold)
 
 

@@ -40,8 +40,9 @@ def test_tumbling_stream_matches_batch(spark, events_dir):
     batch = se.tumbling_counts(batch_events).collect()
     expected = {(r.window_start, r.window_end, r.event_type): r.n_events for r in batch}
 
-    stream = se.read_events_stream(spark, events_dir)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from labelspark_spark.queries import _normalize_ts
+
+    stream = _normalize_ts(se.read_events_stream(spark, events_dir))
     q = se.write_stream_to_memory(
         se.tumbling_counts(stream), "tumbling_out", mode="append"
     )
@@ -60,8 +61,9 @@ def test_tumbling_stream_matches_batch(spark, events_dir):
 
 
 def test_streaming_dedup(spark, events_dir):
-    stream = se.read_events_stream(spark, events_dir)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from labelspark_spark.queries import _normalize_ts
+
+    stream = _normalize_ts(se.read_events_stream(spark, events_dir))
     doubled = stream.union(stream)  # duplicate every event
     q = se.write_stream_to_memory(
         se.streaming_dedup(doubled, keys=["event_id"]), "dedup_out", mode="append"
@@ -132,3 +134,27 @@ def test_watermark_drops_late_events(spark, tmp_path):
         assert rows.get("11:00") == 1, rows
     finally:
         q.stop()
+
+
+def test_normalize_ts_covers_all_physical_event_types(spark):
+    """The driver's testdata builds have shipped events.ts as
+    TIMESTAMP(NANOS) (reads as bigint under nanosAsLong) AND as
+    TIMESTAMP_NTZ(us) (rejected by EventTimeWatermark unless cast):
+    _normalize_ts must land every variant on plain TIMESTAMP with the
+    same wall-clock values."""
+    import datetime
+
+    from labelspark_spark.queries import _normalize_ts
+
+    wall = datetime.datetime(2025, 1, 1, 10, 30, 0, 123456)
+    nanos = int(wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) * 1000
+
+    as_long = spark.createDataFrame([(nanos,)], "ts bigint")
+    as_ntz = spark.sql(f"SELECT TIMESTAMP_NTZ'{wall}' AS ts")
+    as_ts = spark.sql(f"SELECT TIMESTAMP'{wall}' AS ts")
+
+    for df in (as_long, as_ntz, as_ts):
+        out = _normalize_ts(df)
+        assert dict(out.dtypes)["ts"] == "timestamp", out.dtypes
+        got = out.first().ts
+        assert got.replace(tzinfo=None) == wall, (df.dtypes, got)
