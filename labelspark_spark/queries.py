@@ -3080,6 +3080,61 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END PRODUCT: near-dup pairs -> connected components ->
+    one canonical doc kept per cluster (longest text, doc_id tiebreak),
+    singletons kept as their own cluster. One window shuffle on the
+    component key after the cluster build; the drop-list is
+    (n_members - 1) per cluster. Oracle replays the transitive closure
+    as a recursive CTE + the same total-order pick."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2, shingle_words=3)
+    comp = dd.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+    labeled = docs.join(comp, "doc_id", "left").select(
+        "doc_id", "n_chars", F.coalesce("component", "doc_id").alias("component")
+    )
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = labeled.select(
+        "component", "doc_id", F.row_number().over(w).alias("_rn")
+    )
+    return ranked.groupBy("component").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+    )
+
+
+SQL_DEDUP_CANONICALIZE = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_NGRAM}),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+),
+comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component FROM reach GROUP BY src),
+labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT component, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+  FROM labeled
+)
+SELECT component, MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked GROUP BY component
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3104,6 +3159,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "chunk_pack": (q_chunk_pack, SQL_CHUNK_PACK),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "dedup_canonicalize": (q_dedup_canonicalize, SQL_DEDUP_CANONICALIZE),
     # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---
     "events_stream_replay": (q_events_stream_replay, SQL_EVENTS_STREAM_REPLAY),
     "events_stream_dedup": (q_events_stream_dedup, SQL_EVENTS_STREAM_DEDUP),
@@ -3155,8 +3211,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
-    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     # ---------------- below the 50-entry driver window ----------------
+    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     # last driver row r02, deferred to the next rotation (stable, code
     # untouched since; pytest oracle parity still covers every entry)
     "hll_distinct": (q_hll_distinct, None),
