@@ -3080,6 +3080,86 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixing weights per source domain (the
+    multilingual/domain re-balancing rule of mBERT/XLM-R: p_i^T
+    renormalized, T=0.7 upsamples the tail). One tiny aggregate ->
+    broadcast total -> row-local powers; integer ppm output keeps the
+    cross-engine hash exact."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = counts.select(
+        "source", "n_docs", F.pow(F.col("n_docs").cast("double"), F.lit(0.7)).alias("_p")
+    )
+    tot = powed.agg(F.sum("_p").alias("_tot"))
+    return powed.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(F.col("_p") / F.col("_tot") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )
+
+
+SQL_MIXING_WEIGHTS = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), powed AS (
+  SELECT source, n_docs, POW(CAST(n_docs AS DOUBLE), 0.7) AS p FROM counts
+)
+SELECT source, n_docs,
+       CAST(FLOOR(p / (SELECT SUM(p) FROM powed) * 1000000 + 0.5) AS BIGINT) AS weight_ppm
+FROM powed
+"""
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration over the corpus: adjacent-token-pair
+    frequencies (the merge candidates a tokenizer trainer would fuse
+    next), built ROW-LOCALLY with sequence/transform (no per-token
+    shuffle — only the pair-count aggregation shuffles, keyed on the
+    pair), deterministic top-50 by (count desc, pair asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " +")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return counts.select("pair", "n", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= 50
+    )
+
+
+SQL_BPE_MERGE_CANDIDATES = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), ' +') AS toks,
+         len(string_split_regex(lower(text), ' +')) AS n
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, n - 1),
+                               i -> toks[i] || ' ' || toks[i+1])) AS pair
+  FROM tok WHERE n >= 2
+), counts AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n, rank FROM (
+  SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank FROM counts
+) WHERE rank <= 50
+"""
+
+
 def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup END PRODUCT: near-dup pairs -> connected components ->
     one canonical doc kept per cluster (longest text, doc_id tiebreak),
@@ -3160,6 +3240,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_pack": (q_chunk_pack, SQL_CHUNK_PACK),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "dedup_canonicalize": (q_dedup_canonicalize, SQL_DEDUP_CANONICALIZE),
+    "mixing_weights": (q_mixing_weights, SQL_MIXING_WEIGHTS),
+    "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
     # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---
     "events_stream_replay": (q_events_stream_replay, SQL_EVENTS_STREAM_REPLAY),
     "events_stream_dedup": (q_events_stream_dedup, SQL_EVENTS_STREAM_DEDUP),
@@ -3209,9 +3291,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM),
     "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
     "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
+    # ---------------- below the 50-entry driver window ----------------
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
-    # ---------------- below the 50-entry driver window ----------------
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     # last driver row r02, deferred to the next rotation (stable, code
     # untouched since; pytest oracle parity still covers every entry)
