@@ -109,3 +109,34 @@ def test_stateful_user_session_stats(spark, tmp_path):
             assert r.status == "active"
     finally:
         q.stop()
+
+
+def test_embedding_lsh_dedup_at_10x_scale(spark):
+    """Scale-up smoke: 10 shifted copies of the embeddings corpus (10x
+    rows, 100x potential pairs). The blocked plan must (a) stay
+    cartesian-free, (b) complete, and (c) find every within-copy pair
+    10x — near-linear candidate growth, where an unblocked all-pairs
+    approach would grow 100x."""
+    from labelspark_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    emb = read_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    scaled = emb
+    for i in range(1, 10):
+        # id-shifted copies; identical vectors, so each copy contributes
+        # the same within-copy duplicate pairs
+        scaled = scaled.union(
+            emb.select((F.col("vec_id") + i * 10 * n).alias("vec_id"), "embedding")
+        )
+    base_pairs = embedding_dup_pairs_lsh(
+        emb, "embedding", "vec_id", threshold=0.4, num_planes=3, num_tables=10
+    ).count()
+    big = embedding_dup_pairs_lsh(
+        scaled, "embedding", "vec_id", threshold=0.4, num_planes=3, num_tables=10
+    )
+    plan = explain.formatted_plan(big)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = big.count()
+    # every within-copy pair appears per copy, plus cross-copy pairs of
+    # identical-by-construction vectors; the within-copy floor is exact
+    assert got >= 10 * base_pairs, (got, base_pairs)
