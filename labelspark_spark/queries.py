@@ -3160,6 +3160,78 @@ SELECT pair, n, rank FROM (
 """
 
 
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label propagation (weak supervision / pseudo-labeling): each
+    vector takes the majority label of its 5 nearest neighbors by
+    cosine, ties broken (votes desc, label asc); neighbor order is total
+    (cos-rounded desc, vec_id). Exact pairwise scoring here is the
+    oracle-checkable variant; at 100 TB the neighbor set comes from the
+    persisted IVF index (`similarity_ivf_probe`) and the vote is the
+    same aggregation. Norms hoisted per row, not per pair."""
+    from labelspark_spark.functions.vectors import cosine_from_parts, dot_expr, norm_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("_va"),
+        norm_expr("embedding", 64).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("_vb"),
+        norm_expr("embedding", 64).alias("_nb"),
+    )
+    scored = a.join(b, F.col("id_a") != F.col("id_b")).select(
+        "id_a",
+        "label_a",
+        "id_b",
+        "label_b",
+        F.round(
+            cosine_from_parts(dot_expr("_va", "_vb", 64), F.col("_na"), F.col("_nb")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
+    nn = scored.select("id_a", "label_a", "label_b", F.row_number().over(w).alias("_rn")).filter(
+        F.col("_rn") <= 5
+    )
+    votes = nn.groupBy("id_a", "label_a", "label_b").agg(F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("id_a").orderBy(F.col("n_votes").desc(), F.col("label_b"))
+    return (
+        votes.select(
+            "id_a", "label_a", "label_b", "n_votes", F.row_number().over(wv).alias("_rv")
+        )
+        .filter(F.col("_rv") == 1)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("label_a").alias("label"),
+            F.col("label_b").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )
+
+
+SQL_KNN_LABEL_VOTE = """
+WITH scored AS (
+  SELECT a.vec_id AS id_a, a.label AS label_a, b.vec_id AS id_b, b.label AS label_b,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), nn AS (
+  SELECT id_a, label_a, label_b,
+         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+  FROM scored
+), votes AS (
+  SELECT id_a, label_a, label_b, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM nn WHERE rn <= 5 GROUP BY id_a, label_a, label_b
+)
+SELECT id_a AS vec_id, label_a AS label, label_b AS predicted_label, n_votes FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY n_votes DESC, label_b) AS rv
+  FROM votes
+) WHERE rv = 1
+"""
+
+
 def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup END PRODUCT: near-dup pairs -> connected components ->
     one canonical doc kept per cluster (longest text, doc_id tiebreak),
@@ -3242,6 +3314,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_canonicalize": (q_dedup_canonicalize, SQL_DEDUP_CANONICALIZE),
     "mixing_weights": (q_mixing_weights, SQL_MIXING_WEIGHTS),
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
+    "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---
     "events_stream_replay": (q_events_stream_replay, SQL_EVENTS_STREAM_REPLAY),
     "events_stream_dedup": (q_events_stream_dedup, SQL_EVENTS_STREAM_DEDUP),
@@ -3290,8 +3363,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "argmax_group": (q_argmax_group, SQL_ARGMAX),
     "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM),
     "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
-    "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
     # ---------------- below the 50-entry driver window ----------------
+    "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
