@@ -445,6 +445,44 @@ def ngram_jaccard_pairs(
     return _jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_pairs_cross(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+    unit: str = "word",
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs BETWEEN a new batch and the existing
+    corpus (never within either side) — the incremental-ingest dedup
+    shape: at 100 TB you dedup each arriving batch against the corpus
+    index instead of re-self-joining the whole corpus (work ~ |new| x
+    collision rate, not |corpus|^2). Posting join on hashed bigint
+    shingles keyed on the shingle; per-pair intersection count ->
+    exact Jaccard >= threshold. Returns (id_new, id_old, jaccard).
+    """
+    sh_new = _hash_shingled(new_df, text_col, id_col, shingle_words, unit)
+    sh_old = _hash_shingled(old_df, text_col, id_col, shingle_words, unit)
+    pa = sh_new.select(
+        F.col("_id").alias("id_new"), F.size("_sh").alias("n_a"), F.explode_outer("_sh").alias("_s")
+    )
+    pb = sh_old.select(
+        F.col("_id").alias("id_old"), F.size("_sh").alias("n_b"), F.explode_outer("_sh").alias("_s")
+    )
+    inter = (
+        pa.join(pb, "_s")
+        .groupBy("id_new", "id_old", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return inter.select("id_new", "id_old", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def simhash(col: Column, bits: int = 62, seed: int = 42) -> Column:
     """SimHash of whitespace tokens -> bigint (bits <= 62).
 

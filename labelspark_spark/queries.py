@@ -3160,6 +3160,57 @@ SELECT pair, n, rank FROM (
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a deterministic 20% hash-slice of the
+    corpus plays the 'arriving batch', deduped ONLY against the other
+    80% (the existing corpus) — never within either side. At 100 TB
+    this is the shape that replaces full-corpus re-dedup: per-batch
+    work scales with the batch, and the corpus side is a reusable
+    posting index. Returns, per new doc that near-dups the corpus, the
+    match count and first match."""
+    docs = _t(spark, sf_dir, "documents")
+    from labelspark_spark.operators.dedup import _hash60
+
+    bucket = F.pmod(
+        _hash60(F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    new = docs.filter(bucket < 20)
+    old = docs.filter(bucket >= 20)
+    pairs = dd.ngram_jaccard_pairs_cross(new, old, "text", "doc_id", threshold=0.2)
+    return pairs.groupBy(F.col("id_new").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_corpus_dups"),
+        F.min("id_old").alias("first_match"),
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substring(md5('incr:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 100 < 20 AS is_new
+  FROM documents
+), toks AS (
+  SELECT doc_id, is_new, {TOKS_SQL.format(c=NORM_SQL.format(c='text'))} AS t FROM base
+), sh AS (
+  SELECT doc_id, is_new,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+), posting AS (
+  SELECT doc_id, is_new, len(s) AS n, unnest(s) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_old, a.n AS n_a, b.n AS n_b, COUNT(*) AS i
+  FROM posting a JOIN posting b ON a.shingle = b.shingle
+  WHERE a.is_new AND NOT b.is_new
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT id_new, id_old FROM inter WHERE i * 1.0 / (n_a + n_b - i) >= 0.2
+)
+SELECT id_new AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_corpus_dups,
+       MIN(id_old) AS first_match
+FROM pairs GROUP BY id_new
+"""
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label propagation (weak supervision / pseudo-labeling): each
     vector takes the majority label of its 5 nearest neighbors by
@@ -3315,6 +3366,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mixing_weights": (q_mixing_weights, SQL_MIXING_WEIGHTS),
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
     "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---
     "events_stream_replay": (q_events_stream_replay, SQL_EVENTS_STREAM_REPLAY),
     "events_stream_dedup": (q_events_stream_dedup, SQL_EVENTS_STREAM_DEDUP),
@@ -3362,8 +3414,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
     "argmax_group": (q_argmax_group, SQL_ARGMAX),
     "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM),
-    "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
     # ---------------- below the 50-entry driver window ----------------
+    "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
     "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
