@@ -158,3 +158,34 @@ def test_normalize_ts_covers_all_physical_event_types(spark):
         assert dict(out.dtypes)["ts"] == "timestamp", out.dtypes
         got = out.first().ts
         assert got.replace(tzinfo=None) == wall, (df.dtypes, got)
+
+
+def test_stream_static_enrichment_join(spark, events_dir):
+    """§2.8 completion: a streaming fact joined against a static
+    broadcastable dimension (the standard streaming-enrichment shape —
+    the static side is re-read per micro-batch, never shuffled against
+    the stream). Every event must land exactly once with its dim row."""
+    from labelspark_spark.queries import _normalize_ts
+
+    stream = _normalize_ts(se.read_events_stream(spark, events_dir))
+    users = (
+        read_table(spark, SF_SMOKE, "events")
+        .select("user_id").distinct()
+        .withColumn("segment", F.concat(F.lit("seg"), F.pmod("user_id", F.lit(3))))
+    )
+    enriched = stream.join(F.broadcast(users), "user_id")
+    q = se.write_stream_to_memory(
+        enriched.groupBy("segment").agg(F.count(F.lit(1)).alias("n")),
+        "enrich_out",
+        mode="complete",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.segment: r.n for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    batch = (
+        read_table(spark, SF_SMOKE, "events")
+        .withColumn("segment", F.concat(F.lit("seg"), F.pmod("user_id", F.lit(3))))
+        .groupBy("segment").agg(F.count(F.lit(1)).alias("n"))
+    )
+    expect = {r.segment: r.n for r in batch.collect()}
+    assert got == expect
