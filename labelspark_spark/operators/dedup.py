@@ -353,6 +353,26 @@ def _probe_strategy(
     return strategy
 
 
+def _posting_join_jaccard(pa, pb, threshold, out_a, out_b, pair_filter=None):
+    """Shared posting-join body for exact n-gram Jaccard: two posting
+    tables (id, set-size n_a/n_b, shingle _s) -> intersection counts ->
+    pairs with jaccard >= threshold. Used by the self-join 'count'
+    strategy (with the id_a < id_b half-matrix filter) and the
+    incremental cross variant (no filter — the sides are disjoint)."""
+    joined = pa.join(pb.hint("merge"), "_s")
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter)
+    inter = joined.groupBy(out_a, out_b, "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return inter.select(out_a, out_b, jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -401,17 +421,8 @@ def ngram_jaccard_pairs(
         b = posting.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_s")
         # merge hint: identical subplans on both sides -> ReusedExchange
         # shingles once; posting tables don't broadcast at scale anyway.
-        pair_inter = (
-            a.join(b.hint("merge"), "_s")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b", "n_a", "n_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        jac = F.col("inter").cast("double") / (
-            F.col("n_a") + F.col("n_b") - F.col("inter")
-        ).cast("double")
-        return pair_inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
-            F.col("jaccard") >= threshold
+        return _posting_join_jaccard(
+            a, b, threshold, "id_a", "id_b", F.col("id_a") < F.col("id_b")
         )
 
     if strategy != "prefix":
@@ -470,17 +481,7 @@ def ngram_jaccard_pairs_cross(
     pb = sh_old.select(
         F.col("_id").alias("id_old"), F.size("_sh").alias("n_b"), F.explode_outer("_sh").alias("_s")
     )
-    inter = (
-        pa.join(pb, "_s")
-        .groupBy("id_new", "id_old", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = F.col("inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("inter")
-    ).cast("double")
-    return inter.select("id_new", "id_old", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
-    )
+    return _posting_join_jaccard(pa, pb, threshold, "id_new", "id_old")
 
 
 def simhash(col: Column, bits: int = 62, seed: int = 42) -> Column:
@@ -816,6 +817,12 @@ def embedding_dup_pairs_lsh(
     ).reshape(num_tables * num_planes, dim)
     weights = (2 ** np.arange(num_planes)).astype(np.int64)
     n_tables = num_tables
+    if sig_bits and (sig_bits < 64 or sig_bits % 64):
+        # 1-63 would silently disable the prefilter; non-multiples would
+        # silently truncate — both defeat the sketch's purpose unnoticed
+        raise ValueError(
+            f"sig_bits must be 0 (disabled) or a positive multiple of 64, got {sig_bits}"
+        )
     n_words = max(sig_bits, 0) // 64
     sig_bits = n_words * 64
     # independent plane family for the sketch (seed offset past any

@@ -2596,17 +2596,13 @@ def _replay_to_memory(agg: DataFrame, name: str, mode: str) -> None:
 
 
 def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """The events parquet stores ``ts`` as timestamp[us]; some writers
-    emit epoch-nanos longs or timestamp_ntz instead. Watermarks require
-    TIMESTAMP (with zone), so normalize all three: integral epoch-nanos
-    via timestamp_micros, ntz via cast (session is pinned UTC so the
-    cast is value-preserving)."""
-    dtype = dict(df.dtypes).get(col)
-    if dtype in ("bigint", "int", "long"):
-        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    if dtype == "timestamp_ntz":
-        return df.withColumn(col, F.col(col).cast("timestamp"))
-    return df
+    """Back-compat shim: the normalization lives in
+    :func:`labelspark_spark.sources.readers.normalize_event_ts` (and
+    `read_events_stream` already applies it, making this a no-op on
+    its output)."""
+    from labelspark_spark.sources.readers import normalize_event_ts
+
+    return normalize_event_ts(df, col)
 
 
 def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2756,11 +2752,17 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     n_tri = n - 2
-    dup_frac = (n_tri - F.size(F.array_distinct(tris))).cast("double") / n_tri
+    # multiply BEFORE dividing, matching the oracle's association:
+    # floor((d/n)*1e6+0.5) and floor(d*1e6/n+0.5) round differently
+    # (first divergence at n_tri=640, d=41), and the integer product is
+    # exact in a double
+    dup_ppm = (n_tri - F.size(F.array_distinct(tris))).cast("double") * F.lit(
+        1000000.0
+    ) / n_tri
     return docs.select(
         "doc_id",
         F.when(n >= 3, n_tri).otherwise(F.lit(0)).alias("n_trigrams"),
-        F.when(n >= 3, F.floor(dup_frac * 1000000 + F.lit(0.5)))
+        F.when(n >= 3, F.floor(dup_ppm + F.lit(0.5)))
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("dup_ppm"),
@@ -2781,7 +2783,7 @@ WITH tok AS (
   FROM tok
 )
 SELECT doc_id,
-       CASE WHEN n >= 3 THEN n - 2 ELSE 0 END AS n_trigrams,
+       CAST(CASE WHEN n >= 3 THEN n - 2 ELSE 0 END AS INTEGER) AS n_trigrams,
        CASE WHEN n >= 3 THEN CAST(FLOOR(
            (n - 2 - len(list_distinct(tris))) * 1000000.0 / (n - 2) + 0.5
          ) AS BIGINT) ELSE 0 END AS dup_ppm
@@ -3002,7 +3004,7 @@ WITH counts AS (
   FROM (SELECT unnest(string_split_regex(lower(text), ' +')) AS token FROM documents)
   WHERE token <> '' GROUP BY token
 )
-SELECT token, n, token_id FROM (
+SELECT token, n, CAST(token_id AS INTEGER) AS token_id FROM (
   SELECT token, n,
          ROW_NUMBER() OVER (ORDER BY n DESC, token) AS token_id
   FROM counts
@@ -3088,16 +3090,24 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hash exact."""
     docs = _t(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # quantize p = n^0.7 to integer ppm ONCE, then stay in exact bigint
+    # arithmetic: a double total would sum in partition order (non-
+    # deterministic) and pow can differ a last ulp across engines —
+    # floor/div over integers is engine- and run-stable
     powed = counts.select(
-        "source", "n_docs", F.pow(F.col("n_docs").cast("double"), F.lit(0.7)).alias("_p")
+        "source",
+        "n_docs",
+        F.floor(
+            F.pow(F.col("n_docs").cast("double"), F.lit(0.7)) * 1000000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("_p"),
     )
     tot = powed.agg(F.sum("_p").alias("_tot"))
     return powed.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
-        F.floor(F.col("_p") / F.col("_tot") * 1000000 + F.lit(0.5))
-        .cast("bigint")
-        .alias("weight_ppm"),
+        F.expr("(_p * 1000000 + _tot div 2) div _tot").cast("bigint").alias("weight_ppm"),
     )
 
 
@@ -3105,11 +3115,13 @@ SQL_MIXING_WEIGHTS = """
 WITH counts AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
 ), powed AS (
-  SELECT source, n_docs, POW(CAST(n_docs AS DOUBLE), 0.7) AS p FROM counts
-)
+  SELECT source, n_docs,
+         CAST(FLOOR(POW(CAST(n_docs AS DOUBLE), 0.7) * 1000000 + 0.5) AS BIGINT) AS p
+  FROM counts
+), tot AS (SELECT CAST(SUM(p) AS BIGINT) AS t FROM powed)
 SELECT source, n_docs,
-       CAST(FLOOR(p / (SELECT SUM(p) FROM powed) * 1000000 + 0.5) AS BIGINT) AS weight_ppm
-FROM powed
+       CAST((p * 1000000 + t // 2) // t AS BIGINT) AS weight_ppm
+FROM powed, tot
 """
 
 
@@ -3154,7 +3166,7 @@ WITH tok AS (
 ), counts AS (
   SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair
 )
-SELECT pair, n, rank FROM (
+SELECT pair, n, CAST(rank AS INTEGER) AS rank FROM (
   SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank FROM counts
 ) WHERE rank <= 50
 """
@@ -3234,16 +3246,23 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("_vb"),
         norm_expr("embedding", 64).alias("_nb"),
     )
+    # ranking key is floor(cos*1e6+0.5), NOT round(cos,6): Spark rounds
+    # the shortest decimal string HALF_UP while DuckDB rounds the binary
+    # double, and here a divergent 7th-decimal halfway case would reorder
+    # the neighbor window and flip a categorical vote; floor of identical
+    # double arithmetic is engine-stable
     scored = a.join(b, F.col("id_a") != F.col("id_b")).select(
         "id_a",
         "label_a",
         "id_b",
         "label_b",
-        F.round(
-            cosine_from_parts(dot_expr("_va", "_vb", 64), F.col("_na"), F.col("_nb")), 6
-        ).alias("cos"),
+        F.floor(
+            cosine_from_parts(dot_expr("_va", "_vb", 64), F.col("_na"), F.col("_nb"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("bigint").alias("cos_ppm"),
     )
-    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
+    w = Window.partitionBy("id_a").orderBy(F.col("cos_ppm").desc(), F.col("id_b"))
     nn = scored.select("id_a", "label_a", "label_b", F.row_number().over(w).alias("_rn")).filter(
         F.col("_rn") <= 5
     )
@@ -3266,11 +3285,12 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KNN_LABEL_VOTE = """
 WITH scored AS (
   SELECT a.vec_id AS id_a, a.label AS label_a, b.vec_id AS id_b, b.label AS label_b,
-         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+         CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
 ), nn AS (
   SELECT id_a, label_a, label_b,
-         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos_ppm DESC, id_b) AS rn
   FROM scored
 ), votes AS (
   SELECT id_a, label_a, label_b, CAST(COUNT(*) AS BIGINT) AS n_votes

@@ -43,6 +43,25 @@ def nanos_to_timestamp(df: DataFrame, col: str) -> DataFrame:
     return df
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Land every physical events-ts variant on plain TIMESTAMP.
+
+    Driver testdata builds have shipped ``ts`` BOTH as TIMESTAMP(NANOS)
+    (reads as bigint under the nanosAsLong legacy conf) and as
+    TIMESTAMP_NTZ(us) (rejected by EventTimeWatermark unless cast).
+    Branch on the READ dtype, never assume one: integral -> truncate
+    nanos to micros (DuckDB's parquet ns->us policy); ntz -> cast (the
+    session is pinned UTC, so the cast is value-preserving). Used by
+    the streaming path; the batch path keeps NTZ as-is because its
+    DuckDB parity is established on the naive type."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype in ("bigint", "int", "long"):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table from a scale-factor directory."""
     # events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only

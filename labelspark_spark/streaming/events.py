@@ -18,14 +18,27 @@ from pyspark.sql import functions as F
 def read_events_stream(
     spark: SparkSession, path: str, schema=None, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over a parquet directory."""
+    """File-source stream over a parquet directory.
+
+    Self-sufficient against both physical ``ts`` variants the driver
+    testdata has shipped: the nanosAsLong conf is set BEFORE schema
+    inference (TIMESTAMP(NANOS) files throw 'Illegal Parquet type'
+    without it in a plain session), and the resulting column is
+    normalized to plain TIMESTAMP so downstream watermarks always see
+    the type they require."""
+    from labelspark_spark.sources.readers import normalize_event_ts
+
     if schema is None:
+        # must precede schema inference, and must not depend on an
+        # earlier read_table('events') having run in this session
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = spark.read.parquet(path).schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+    return normalize_event_ts(stream)
 
 
 def tumbling_counts(

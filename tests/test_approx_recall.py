@@ -354,3 +354,17 @@ def test_knn_label_vote_ivf_agrees_with_exact(spark):
     assert set(approx) == set(exact), "IVF variant must label every batch row"
     agree = sum(1 for k in exact if approx[k] == exact[k]) / len(exact)
     assert agree >= 0.75, f"agreement {agree:.2f} ({len(exact)} rows)"
+
+
+def test_embedding_lsh_rejects_sub_word_sig_bits(spark):
+    import pytest
+
+    from labelspark_spark.operators.dedup import embedding_dup_pairs_lsh
+    from labelspark_spark.sources import read_table
+
+    from .conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    for bad in (32, 100):
+        with pytest.raises(ValueError, match="sig_bits"):
+            embedding_dup_pairs_lsh(emb, "embedding", "vec_id", sig_bits=bad)
