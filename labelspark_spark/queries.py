@@ -3223,6 +3223,75 @@ FROM pairs GROUP BY id_new
 """
 
 
+def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance fuzzy matching (entity-resolution /
+    near-dup family): candidate pairs share a (lang, length-bucket)
+    block — an equi-join, never all-pairs; |len_a - len_b| <= 10 within
+    a 10-wide bucket bounds the blocking loss — then exact levenshtein
+    on the 30-char prefix <= 8. Both engines implement the same
+    Wagner-Fischer distance, so the pair set hashes identically."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 10).cast("bigint").alias("_blk"),
+        F.substring("text", 1, 30).alias("_pfx"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), "lang", "_blk", F.col("_pfx").alias("_pa")
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), "lang", "_blk", F.col("_pfx").alias("_pb")
+    )
+    return (
+        a.join(b, ["lang", "_blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_pa", "_pb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+    )
+
+
+SQL_FUZZY_LEVENSHTEIN = """
+WITH keyed AS (
+  SELECT doc_id, lang, CAST(FLOOR(n_chars / 10) AS BIGINT) AS blk,
+         substr(text, 1, 30) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
+FROM keyed a JOIN keyed b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 8
+"""
+
+
+def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation and sample
+    covariance of (value, hour-of-day) per event type — the standard
+    feature-analysis aggregates. Integer-ppm outputs via floor keep the
+    cross-engine hash exact (both engines fold the same co-moments;
+    only last-ulp noise differs, absorbed far below ppm scale)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.hour(F.col("ts").cast("timestamp")).cast("double")
+    ppm = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        ppm(F.corr(F.col("value"), hour)).alias("corr_ppm"),
+        ppm(F.covar_samp(F.col("value"), hour)).alias("covar_ppm"),
+    )
+
+
+SQL_AGG_CORRELATION = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(corr(value, CAST(hour(ts) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS corr_ppm,
+       CAST(FLOOR(covar_samp(value, CAST(hour(ts) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS covar_ppm
+FROM events GROUP BY event_type
+"""
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label propagation (weak supervision / pseudo-labeling): each
     vector takes the majority label of its 5 nearest neighbors by
@@ -3440,6 +3509,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "knn_label_vote_ivf": (q_knn_label_vote_ivf, None),
+    "fuzzy_levenshtein": (q_fuzzy_levenshtein, SQL_FUZZY_LEVENSHTEIN),
+    "agg_correlation": (q_agg_correlation, SQL_AGG_CORRELATION),
     # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---
     "events_stream_replay": (q_events_stream_replay, SQL_EVENTS_STREAM_REPLAY),
     "events_stream_dedup": (q_events_stream_dedup, SQL_EVENTS_STREAM_DEDUP),
@@ -3484,9 +3555,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
     "date_spine": (q_date_spine, SQL_DATE_SPINE),
     "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
+    # ---------------- below the 50-entry driver window ----------------
     "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
     "argmax_group": (q_argmax_group, SQL_ARGMAX),
-    # ---------------- below the 50-entry driver window ----------------
     "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM),
     "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
     "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
