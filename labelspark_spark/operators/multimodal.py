@@ -115,6 +115,78 @@ def image_meta_native(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+_WAV_MAGIC = "52494646"  # 'RIFF'
+
+
+def wav_encode_pcm(
+    n_samples: int, sample_rate: int = 8000, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Minimal spec-valid PCM WAV (canonical 44-byte header + silence) —
+    pure stdlib, used to generate deterministic audio fixtures the
+    native parser below is oracle-checked against."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    hdr = (
+        b"RIFF"
+        + (36 + data_size).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + b"data"
+        + data_size.to_bytes(4, "little")
+    )
+    return hdr + b"\x00" * data_size
+
+
+def audio_meta_native(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """channels/sample_rate/bits/duration from the canonical PCM WAV
+    header — pure JVM expressions (hex/conv at fixed little-endian
+    offsets), no Python, no audio library. Non-WAV rows get nulls.
+
+    Mirrors :func:`image_meta_native` for the audio modality; real
+    sample decode (beyond the header) stays behind the declared codec
+    stub like pixel decode does for JPEG.
+    """
+    c = F.col(content_col)
+    hx = F.upper(F.hex(F.substring(c, 1, 44)))
+
+    def le16(byte_off: int):
+        swapped = F.concat(
+            F.substring(hx, byte_off * 2 + 3, 2), F.substring(hx, byte_off * 2 + 1, 2)
+        )
+        return F.conv(swapped, 16, 10).cast("int")
+
+    def le32(byte_off: int):
+        parts = [F.substring(hx, byte_off * 2 + 1 + 2 * i, 2) for i in range(4)]
+        return F.conv(F.concat(*reversed(parts)), 16, 10).cast("bigint")
+
+    is_wav = F.substring(hx, 1, 8).eqNullSafe(F.lit(_WAV_MAGIC)) & F.substring(
+        hx, 17, 8
+    ).eqNullSafe(F.lit("57415645"))  # 'WAVE'
+    channels = F.when(is_wav, le16(22))
+    sample_rate = F.when(is_wav, le32(24))
+    bits = F.when(is_wav, le16(34))
+    data_size = F.when(is_wav, le32(40))
+    byte_rate = F.when(is_wav, le32(28))
+    # floor of the double quotient, NOT a bare bigint cast: Spark's cast
+    # truncates while DuckDB's rounds — floor is identical on both
+    duration_ms = F.when(
+        is_wav & (byte_rate > 0), F.floor((data_size * 1000) / byte_rate)
+    ).cast("bigint")
+    return (
+        df.withColumn("channels", channels)
+        .withColumn("sample_rate", sample_rate)
+        .withColumn("bits_per_sample", bits)
+        .withColumn("duration_ms", duration_ms)
+    )
+
+
 def parse_image_header(content: bytes | None) -> dict:
     """Pure-Python image header parser (the real codec for metadata):
     PNG IHDR, GIF logical screen, JPEG SOF0/1/2 marker scan. Returns

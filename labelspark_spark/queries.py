@@ -3223,6 +3223,51 @@ FROM pairs GROUP BY id_new
 """
 
 
+def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio header parsing, oracle-checked end to end: spec-valid
+    PCM WAVs are generated per doc (sample rate / channels / length are
+    closed-form functions of doc_id), then parsed BACK natively —
+    channels, sample rate, bit depth, duration from fixed little-endian
+    header offsets via JVM hex/conv (operators/multimodal.py:
+    audio_meta_native), zero Python in the parse. The oracle recomputes
+    the closed forms without parsing — agreement proves the parser."""
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                contents.append(
+                    mm.wav_encode_pcm(
+                        n_samples=100 + d % 50,
+                        sample_rate=8000 * (1 + d % 3),
+                        channels=1 + d % 2,
+                        bits=16,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    staged = docs.mapInPandas(_gen, "doc_id bigint, content binary")
+    out = mm.audio_meta_native(staged)
+    return out.select(
+        "doc_id", "channels", "sample_rate", "bits_per_sample", "duration_ms"
+    )
+
+
+SQL_MULTIMODAL_AUDIO = """
+SELECT doc_id,
+       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+       CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+       CAST(16 AS INTEGER) AS bits_per_sample,
+       CAST(FLOOR(((100 + doc_id % 50) * (1 + doc_id % 2) * 2) * 1000.0
+                  / (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2)) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance fuzzy matching (entity-resolution /
     near-dup family): candidate pairs share a (lang, length-bucket)
@@ -3511,6 +3556,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "knn_label_vote_ivf": (q_knn_label_vote_ivf, None),
     "fuzzy_levenshtein": (q_fuzzy_levenshtein, SQL_FUZZY_LEVENSHTEIN),
     "agg_correlation": (q_agg_correlation, SQL_AGG_CORRELATION),
+    "multimodal_audio_meta": (q_multimodal_audio_meta, SQL_MULTIMODAL_AUDIO),
     # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---
     "events_stream_replay": (q_events_stream_replay, SQL_EVENTS_STREAM_REPLAY),
     "events_stream_dedup": (q_events_stream_dedup, SQL_EVENTS_STREAM_DEDUP),
@@ -3554,8 +3600,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT),
     "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
     "date_spine": (q_date_spine, SQL_DATE_SPINE),
-    "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
     # ---------------- below the 50-entry driver window ----------------
+    "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
     "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
     "argmax_group": (q_argmax_group, SQL_ARGMAX),
     "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM),
