@@ -13,6 +13,16 @@ the determinism rules decided in SURVEY §2.9:
 - approximate operators (approx_count_distinct, MinHash-LSH, SimHash,
   LSH/IVF ANN) ship WITHOUT an oracle entry (driver rows-only check);
   their recall against exact ground truth is asserted in tests/.
+- integer-ppm pattern (round 4): quantize any float destined for a
+  hash check with floor(x*1e6 + 0.5) ON THE SAME ARITHMETIC SHAPE in
+  both engines (same association — multiply before dividing; floor,
+  never round(): Spark rounds the shortest decimal string HALF_UP
+  while DuckDB rounds the binary double, and never a bare bigint
+  cast: Spark truncates where DuckDB rounds). When a float feeds a
+  RANKING (knn neighbor order), quantize the key itself, and when it
+  feeds a SUM (mixing weights), quantize each term first and keep the
+  total in exact bigint arithmetic — partition-order double sums are
+  run-nondeterministic.
 """
 
 from __future__ import annotations
