@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -185,6 +186,102 @@ def audio_meta_native(df: DataFrame, content_col: str = "content") -> DataFrame:
         .withColumn("bits_per_sample", bits)
         .withColumn("duration_ms", duration_ms)
     )
+
+
+def mp4_encode_skeleton(timescale: int, duration: int, brand: bytes = b"isom") -> bytes:
+    """Minimal spec-valid MP4 skeleton (ftyp + moov/mvhd v0) — pure
+    stdlib, deterministic fixture generator for the box-walk parser."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+    ftyp = box(b"ftyp", brand + (0).to_bytes(4, "big") + brand)
+    mvhd_payload = (
+        (0).to_bytes(4, "big")  # version 0 + flags
+        + (0).to_bytes(4, "big")  # creation_time
+        + (0).to_bytes(4, "big")  # modification_time
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd_payload))
+    return ftyp + moov
+
+
+def parse_mp4_header(content: bytes | None) -> dict:
+    """Pure-Python MP4 box walk: top-level boxes to moov, then moov's
+    children to mvhd (version 0: timescale/duration are u32 BE at
+    payload offsets 12/16). Variable box order/sizes make this a scan,
+    not a fixed offset — the video twin of the JPEG SOF scan. Returns
+    {timescale, duration, duration_ms} with Nones when unrecognized."""
+    none = {"timescale": None, "duration": None, "duration_ms": None}
+    if not content or len(content) < 16 or content[4:8] != b"ftyp":
+        return none
+
+    def walk(buf: bytes, start: int, end: int, typ: bytes) -> tuple[int, int] | None:
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            if size < 8 or i + size > end:
+                return None
+            if buf[i + 4 : i + 8] == typ:
+                return i + 8, i + size
+            i += size
+        return None
+
+    moov = walk(content, 0, len(content), b"moov")
+    if moov is None:
+        return none
+    mvhd = walk(content, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        return none
+    p, pend = mvhd
+    if content[p] != 0 or pend - p < 20:  # only version 0 supported here
+        return none
+    timescale = int.from_bytes(content[p + 12 : p + 16], "big")
+    duration = int.from_bytes(content[p + 16 : p + 20], "big")
+    ms = (duration * 1000) // timescale if timescale else None
+    return {"timescale": timescale, "duration": duration, "duration_ms": ms}
+
+
+def decode_video_meta(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched MP4 metadata decode via mapInPandas (box offsets
+    are variable, so this is the scan path like the JPEG SOF parser;
+    frame-level decode stays behind the declared codec stub)."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("timescale", LongType(), True),
+            StructField("duration", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                metas = [parse_mp4_header(c) for c in chunk[content_col]]
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        "timescale": pd.array(
+                            [m["timescale"] for m in metas], dtype="Int64"
+                        ),
+                        "duration": pd.array(
+                            [m["duration"] for m in metas], dtype="Int64"
+                        ),
+                        "duration_ms": pd.array(
+                            [m["duration_ms"] for m in metas], dtype="Int64"
+                        ),
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
 
 
 def parse_image_header(content: bytes | None) -> dict:

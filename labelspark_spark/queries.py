@@ -3278,6 +3278,42 @@ FROM documents
 """
 
 
+def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 container parsing, oracle-checked end to end: minimal
+    spec-valid MP4 skeletons (ftyp + moov/mvhd) are generated per doc
+    with closed-form timescale/duration, then parsed BACK by the
+    Arrow-batched box-walk (variable box offsets — the video twin of
+    the JPEG SOF scan; operators/multimodal.py:parse_mp4_header). The
+    oracle recomputes the closed forms without parsing."""
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                contents.append(
+                    mm.mp4_encode_skeleton(
+                        timescale=600 * (1 + d % 4), duration=600 * (10 + d % 100)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    staged = docs.mapInPandas(_gen, "doc_id bigint, content binary")
+    return mm.decode_video_meta(staged, content_col="content", id_col="doc_id")
+
+
+SQL_MULTIMODAL_VIDEO = """
+SELECT doc_id,
+       CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+       CAST(600 * (10 + doc_id % 100) AS BIGINT) AS duration,
+       CAST((600 * (10 + doc_id % 100) * 1000) // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance fuzzy matching (entity-resolution /
     near-dup family): candidate pairs share a (lang, length-bucket)
@@ -3567,6 +3603,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fuzzy_levenshtein": (q_fuzzy_levenshtein, SQL_FUZZY_LEVENSHTEIN),
     "agg_correlation": (q_agg_correlation, SQL_AGG_CORRELATION),
     "multimodal_audio_meta": (q_multimodal_audio_meta, SQL_MULTIMODAL_AUDIO),
+    "multimodal_video_meta": (q_multimodal_video_meta, SQL_MULTIMODAL_VIDEO),
     # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---
     "events_stream_replay": (q_events_stream_replay, SQL_EVENTS_STREAM_REPLAY),
     "events_stream_dedup": (q_events_stream_dedup, SQL_EVENTS_STREAM_DEDUP),
@@ -3609,8 +3646,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_prep_pipeline": (q_quality_prep_pipeline, SQL_QUALITY_PREP),
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT),
     "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
-    "date_spine": (q_date_spine, SQL_DATE_SPINE),
     # ---------------- below the 50-entry driver window ----------------
+    "date_spine": (q_date_spine, SQL_DATE_SPINE),
     "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
     "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
     "argmax_group": (q_argmax_group, SQL_ARGMAX),
