@@ -100,15 +100,13 @@ def image_meta_native(df: DataFrame, content_col: str = "content") -> DataFrame:
     def be32(byte_off: int):
         return F.conv(F.substring(hx, byte_off * 2 + 1, 8), 16, 10).cast("int")
 
-    def le16(byte_off: int):
-        swapped = F.concat(
-            F.substring(hx, byte_off * 2 + 3, 2), F.substring(hx, byte_off * 2 + 1, 2)
-        )
-        return F.conv(swapped, 16, 10).cast("int")
-
     mime = sniff_mime_expr(c)
-    width = F.when(mime == "image/png", be32(16)).when(mime == "image/gif", le16(6))
-    height = F.when(mime == "image/png", be32(20)).when(mime == "image/gif", le16(8))
+    width = F.when(mime == "image/png", be32(16)).when(
+        mime == "image/gif", _hex_le16(hx, 6)
+    )
+    height = F.when(mime == "image/png", be32(20)).when(
+        mime == "image/gif", _hex_le16(hx, 8)
+    )
     return (
         df.withColumn("mime", mime)
         .withColumn("width", width)
@@ -145,10 +143,29 @@ def wav_encode_pcm(
     return hdr + b"\x00" * data_size
 
 
+def _hex_le16(hx, byte_off: int):
+    """u16 little-endian at ``byte_off`` of a hex-string column -> int."""
+    swapped = F.concat(
+        F.substring(hx, byte_off * 2 + 3, 2), F.substring(hx, byte_off * 2 + 1, 2)
+    )
+    return F.conv(swapped, 16, 10).cast("int")
+
+
+def _hex_le32(hx, byte_off: int):
+    """u32 little-endian at ``byte_off`` of a hex-string column -> bigint."""
+    parts = [F.substring(hx, byte_off * 2 + 1 + 2 * i, 2) for i in range(4)]
+    return F.conv(F.concat(*reversed(parts)), 16, 10).cast("bigint")
+
+
 def audio_meta_native(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """channels/sample_rate/bits/duration from the canonical PCM WAV
-    header — pure JVM expressions (hex/conv at fixed little-endian
-    offsets), no Python, no audio library. Non-WAV rows get nulls.
+    """channels/sample_rate/bits/duration from the CANONICAL 44-byte PCM
+    WAV header — pure JVM expressions (hex/conv at fixed little-endian
+    offsets), no Python, no audio library. Non-WAV rows get nulls —
+    and so do spec-valid but non-canonical layouts (e.g. the common
+    18-byte fmt chunk): the 'data' tag is REQUIRED at offset 36, else
+    offsets 40+ land inside a shifted layout and would misparse
+    silently. Shifted-layout files need a scan parser (the audio twin
+    of the JPEG SOF / MP4 box walk), not fixed offsets.
 
     Mirrors :func:`image_meta_native` for the audio modality; real
     sample decode (beyond the header) stays behind the declared codec
@@ -157,24 +174,16 @@ def audio_meta_native(df: DataFrame, content_col: str = "content") -> DataFrame:
     c = F.col(content_col)
     hx = F.upper(F.hex(F.substring(c, 1, 44)))
 
-    def le16(byte_off: int):
-        swapped = F.concat(
-            F.substring(hx, byte_off * 2 + 3, 2), F.substring(hx, byte_off * 2 + 1, 2)
-        )
-        return F.conv(swapped, 16, 10).cast("int")
-
-    def le32(byte_off: int):
-        parts = [F.substring(hx, byte_off * 2 + 1 + 2 * i, 2) for i in range(4)]
-        return F.conv(F.concat(*reversed(parts)), 16, 10).cast("bigint")
-
-    is_wav = F.substring(hx, 1, 8).eqNullSafe(F.lit(_WAV_MAGIC)) & F.substring(
-        hx, 17, 8
-    ).eqNullSafe(F.lit("57415645"))  # 'WAVE'
-    channels = F.when(is_wav, le16(22))
-    sample_rate = F.when(is_wav, le32(24))
-    bits = F.when(is_wav, le16(34))
-    data_size = F.when(is_wav, le32(40))
-    byte_rate = F.when(is_wav, le32(28))
+    is_wav = (
+        F.substring(hx, 1, 8).eqNullSafe(F.lit(_WAV_MAGIC))
+        & F.substring(hx, 17, 8).eqNullSafe(F.lit("57415645"))  # 'WAVE'
+        & F.substring(hx, 73, 8).eqNullSafe(F.lit("64617461"))  # 'data' @ 36
+    )
+    channels = F.when(is_wav, _hex_le16(hx, 22))
+    sample_rate = F.when(is_wav, _hex_le32(hx, 24))
+    bits = F.when(is_wav, _hex_le16(hx, 34))
+    data_size = F.when(is_wav, _hex_le32(hx, 40))
+    byte_rate = F.when(is_wav, _hex_le32(hx, 28))
     # floor of the double quotient, NOT a bare bigint cast: Spark's cast
     # truncates while DuckDB's rounds — floor is identical on both
     duration_ms = F.when(
@@ -235,7 +244,9 @@ def parse_mp4_header(content: bytes | None) -> dict:
     if mvhd is None:
         return none
     p, pend = mvhd
-    if content[p] != 0 or pend - p < 20:  # only version 0 supported here
+    # length guard BEFORE indexing: an empty 8-byte mvhd at buffer end
+    # has p == len(content) and content[p] would raise
+    if pend - p < 20 or content[p] != 0:  # only version 0 supported here
         return none
     timescale = int.from_bytes(content[p + 12 : p + 16], "big")
     duration = int.from_bytes(content[p + 16 : p + 20], "big")

@@ -2671,6 +2671,24 @@ FROM events GROUP BY event_type
 # --------------------------------------------------------------------------
 
 
+def _stage_media(docs: DataFrame, encode_fn) -> DataFrame:
+    """Stage deterministic binary fixtures for the media codecs: one
+    content blob per doc_id via an Arrow-batched generator
+    (``encode_fn: int -> bytes``) — shared by the pixel/audio/video
+    round-trip queries."""
+
+    def _gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [encode_fn(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, content binary")
+
+
 def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel-level decode, oracle-checked end to end: spec-valid
     grayscale PNGs are generated per doc (pixel (r,c) = doc_id % 200 +
@@ -2681,18 +2699,15 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement proves the decoder, not the formula."""
     from labelspark_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents")
 
-    def _gen(batches: Iterator[pd.DataFrame]):
-        for pdf in batches:
-            contents = []
-            for did in pdf["doc_id"]:
-                base = int(did) % 200
-                px = bytes(base + r + c for r in range(4) for c in range(4))
-                contents.append(mm.png_encode_gray(px, 4, 4))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+    def _enc(d: int) -> bytes:
+        base = d % 200
+        return mm.png_encode_gray(
+            bytes(base + r + c for r in range(4) for c in range(4)), 4, 4
+        )
 
-    staged = docs.mapInPandas(_gen, "doc_id bigint, content binary")
+    staged = _stage_media(docs, _enc)
     out = mm.decode_pixels(staged, content_col="content", id_col="doc_id")
     return out.select(
         "doc_id", "width", "height", F.round("mean_pixel", 6).alias("mean_pixel")
@@ -3243,24 +3258,16 @@ def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the closed forms without parsing — agreement proves the parser."""
     from labelspark_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-
-    def _gen(batches: Iterator[pd.DataFrame]):
-        for pdf in batches:
-            contents = []
-            for did in pdf["doc_id"]:
-                d = int(did)
-                contents.append(
-                    mm.wav_encode_pcm(
-                        n_samples=100 + d % 50,
-                        sample_rate=8000 * (1 + d % 3),
-                        channels=1 + d % 2,
-                        bits=16,
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
-
-    staged = docs.mapInPandas(_gen, "doc_id bigint, content binary")
+    docs = _t(spark, sf_dir, "documents")
+    staged = _stage_media(
+        docs,
+        lambda d: mm.wav_encode_pcm(
+            n_samples=100 + d % 50,
+            sample_rate=8000 * (1 + d % 3),
+            channels=1 + d % 2,
+            bits=16,
+        ),
+    )
     out = mm.audio_meta_native(staged)
     return out.select(
         "doc_id", "channels", "sample_rate", "bits_per_sample", "duration_ms"
@@ -3287,21 +3294,13 @@ def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the closed forms without parsing."""
     from labelspark_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-
-    def _gen(batches: Iterator[pd.DataFrame]):
-        for pdf in batches:
-            contents = []
-            for did in pdf["doc_id"]:
-                d = int(did)
-                contents.append(
-                    mm.mp4_encode_skeleton(
-                        timescale=600 * (1 + d % 4), duration=600 * (10 + d % 100)
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
-
-    staged = docs.mapInPandas(_gen, "doc_id bigint, content binary")
+    docs = _t(spark, sf_dir, "documents")
+    staged = _stage_media(
+        docs,
+        lambda d: mm.mp4_encode_skeleton(
+            timescale=600 * (1 + d % 4), duration=600 * (10 + d % 100)
+        ),
+    )
     return mm.decode_video_meta(staged, content_col="content", id_col="doc_id")
 
 
@@ -3326,7 +3325,7 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 10).cast("bigint").alias("_blk"),
-        F.substring("text", 1, 30).alias("_pfx"),
+        F.regexp_replace(F.substring("text", 1, 30), "[^ -~]", "").alias("_pfx"),
     )
     a = keyed.select(
         F.col("doc_id").alias("id_a"), "lang", "_blk", F.col("_pfx").alias("_pa")
@@ -3349,7 +3348,7 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FUZZY_LEVENSHTEIN = """
 WITH keyed AS (
   SELECT doc_id, lang, CAST(FLOOR(n_chars / 10) AS BIGINT) AS blk,
-         substr(text, 1, 30) AS pfx
+         regexp_replace(substr(text, 1, 30), '[^ -~]', '', 'g') AS pfx
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -3368,16 +3367,34 @@ def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     hour = F.hour(F.col("ts").cast("timestamp")).cast("double")
     ppm = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
-    return ev.groupBy("event_type").agg(
+    # corr built from covar/stddev with an explicit zero-variance guard,
+    # NOT F.corr: under the session's ANSI mode a constant-valued group
+    # raises DIVIDE_BY_ZERO inside the aggregate, where DuckDB's corr
+    # returns NULL — the guard reproduces the NULL
+    agged = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        ppm(F.corr(F.col("value"), hour)).alias("corr_ppm"),
-        ppm(F.covar_samp(F.col("value"), hour)).alias("covar_ppm"),
+        F.covar_samp(F.col("value"), hour).alias("_cov"),
+        F.stddev_samp(F.col("value")).alias("_sv"),
+        F.stddev_samp(hour).alias("_sh"),
+    )
+    corr = F.when(
+        (F.col("_sv") > 0) & (F.col("_sh") > 0),
+        F.col("_cov") / (F.col("_sv") * F.col("_sh")),
+    )
+    return agged.select(
+        "event_type",
+        "n",
+        ppm(corr).alias("corr_ppm"),
+        ppm(F.col("_cov")).alias("covar_ppm"),
     )
 
 
 SQL_AGG_CORRELATION = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(FLOOR(corr(value, CAST(hour(ts) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS corr_ppm,
+       CAST(FLOOR(CASE WHEN stddev_samp(value) > 0 AND stddev_samp(CAST(hour(ts) AS DOUBLE)) > 0
+                       THEN covar_samp(value, CAST(hour(ts) AS DOUBLE))
+                            / (stddev_samp(value) * stddev_samp(CAST(hour(ts) AS DOUBLE)))
+                  END * 1000000 + 0.5) AS BIGINT) AS corr_ppm,
        CAST(FLOOR(covar_samp(value, CAST(hour(ts) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS covar_ppm
 FROM events GROUP BY event_type
 """

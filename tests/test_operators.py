@@ -508,3 +508,44 @@ def test_image_header_codec_python_and_native(spark):
     # native path stays Python-free
     plan = multimodal.image_meta_native(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mp4_parser_handles_truncated_and_empty_boxes():
+    from labelspark_spark.operators.multimodal import mp4_encode_skeleton, parse_mp4_header
+
+    good = mp4_encode_skeleton(timescale=600, duration=6000)
+    assert parse_mp4_header(good) == {
+        "timescale": 600, "duration": 6000, "duration_ms": 10000,
+    }
+    none = {"timescale": None, "duration": None, "duration_ms": None}
+    # empty 8-byte mvhd at buffer end previously raised IndexError
+    empty_mvhd = (
+        (16).to_bytes(4, "big") + b"ftypisom"
+        + (16).to_bytes(4, "big") + b"moov" + (8).to_bytes(4, "big") + b"mvhd"
+    )
+    assert parse_mp4_header(empty_mvhd) == none
+    assert parse_mp4_header(good[:20]) == none
+    assert parse_mp4_header(b"") == none
+    assert parse_mp4_header(None) == none
+
+
+def test_wav_native_nulls_non_canonical_layout(spark):
+    """A spec-valid PCM WAV with an 18-byte fmt chunk must null out, not
+    silently misparse data_size from the shifted offset."""
+    from labelspark_spark.operators.multimodal import audio_meta_native, wav_encode_pcm
+
+    canonical = wav_encode_pcm(100, 8000, 1, 16)
+    # rebuild with fmt size 18 (cbSize=0) -> 'data' shifts to offset 38
+    fmt18 = (
+        canonical[:16]
+        + (18).to_bytes(4, "little")
+        + canonical[20:36]
+        + (0).to_bytes(2, "little")
+        + canonical[36:]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(canonical)), (2, bytearray(fmt18))], "media_id int, content binary"
+    )
+    rows = {r.media_id: r for r in audio_meta_native(df).collect()}
+    assert rows[1].sample_rate == 8000 and rows[1].duration_ms == 12
+    assert rows[2].sample_rate is None and rows[2].duration_ms is None
