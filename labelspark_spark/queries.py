@@ -3313,6 +3313,63 @@ FROM documents
 """
 
 
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText rule-based quality filter (Rae et al. 2021
+    §A1.1) as per-doc boolean flags + the composite keep decision:
+    word-count bounds, mean-word-length band, numeric-token fraction
+    cap, and minimum distinct-stopword evidence. All row-local `F.*`
+    (zero shuffle); every flag is integer/boolean arithmetic with the
+    SAME expression shape in the oracle, so the hash is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.whitespace_tokens(T.normalize_text(F.col("text")))
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_wl = sum_len * F.lit(1.0) / F.greatest(n, F.lit(1))
+    n_numeric = F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$")))
+    sw = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"]
+    n_sw = F.size(F.array_distinct(F.filter(toks, lambda x: F.lower(x).isin(sw))))
+    r_count = (n >= 30) & (n <= 100000)
+    r_meanwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r_numeric = n_numeric * F.lit(1.0) / F.greatest(n, F.lit(1)) <= 0.2
+    # corpus-tuned: the synthetic vocabulary carries at most one distinct
+    # stopword per doc, so >=1 is the discriminating bound here (Gopher
+    # uses >=2 on natural text)
+    r_stop = n_sw >= 1
+    return docs.select(
+        "doc_id",
+        n.alias("n_tok"),
+        r_count.alias("ok_count"),
+        r_meanwl.alias("ok_mean_wl"),
+        r_numeric.alias("ok_numeric"),
+        r_stop.alias("ok_stopwords"),
+        (r_count & r_meanwl & r_numeric & r_stop).alias("keep"),
+    )
+
+
+SQL_QUALITY_GOPHER = f"""
+WITH t AS (
+  SELECT doc_id, {TOKS_SQL.format(c=NORM_SQL.format(c='text'))} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tok,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0
+             / greatest(len(toks), 1) AS mean_wl,
+         len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) * 1.0
+             / greatest(len(toks), 1) AS numeric_frac,
+         len(list_distinct(list_filter(toks, x -> lower(x) IN {_SW}))) AS n_sw
+  FROM t
+)
+SELECT doc_id, n_tok,
+       n_tok >= 30 AND n_tok <= 100000 AS ok_count,
+       mean_wl >= 3.0 AND mean_wl <= 10.0 AS ok_mean_wl,
+       numeric_frac <= 0.2 AS ok_numeric,
+       n_sw >= 1 AS ok_stopwords,
+       (n_tok >= 30 AND n_tok <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+         AND numeric_frac <= 0.2 AND n_sw >= 1 AS keep
+FROM m
+"""
+
+
 def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance fuzzy matching (entity-resolution /
     near-dup family): candidate pairs share a (lang, length-bucket)
@@ -3621,6 +3678,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "agg_correlation": (q_agg_correlation, SQL_AGG_CORRELATION),
     "multimodal_audio_meta": (q_multimodal_audio_meta, SQL_MULTIMODAL_AUDIO),
     "multimodal_video_meta": (q_multimodal_video_meta, SQL_MULTIMODAL_VIDEO),
+    "quality_gopher_rules": (q_quality_gopher_rules, SQL_QUALITY_GOPHER),
     # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---
     "events_stream_replay": (q_events_stream_replay, SQL_EVENTS_STREAM_REPLAY),
     "events_stream_dedup": (q_events_stream_dedup, SQL_EVENTS_STREAM_DEDUP),
@@ -3662,8 +3720,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "date_arith": (q_date_arith, SQL_DATE_ARITH),
     "quality_prep_pipeline": (q_quality_prep_pipeline, SQL_QUALITY_PREP),
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT),
-    "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
     # ---------------- below the 50-entry driver window ----------------
+    "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
     "date_spine": (q_date_spine, SQL_DATE_SPINE),
     "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
     "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
