@@ -3721,6 +3721,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_prep_pipeline": (q_quality_prep_pipeline, SQL_QUALITY_PREP),
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT),
     # ---------------- below the 50-entry driver window ----------------
+    # NEXT ROTATION (r5): everything from here to join_anti has its last
+    # driver row in CORRECTNESS_r02 (displaced by the r4 additions) —
+    # lead the r5 window with this block unless r5 code changes touch
+    # specific operators; the r03/r04-verified blocks below it can wait.
     "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
     "date_spine": (q_date_spine, SQL_DATE_SPINE),
     "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
