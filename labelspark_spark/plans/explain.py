@@ -52,3 +52,44 @@ def codegen_stage_count(df: DataFrame) -> int:
     df.collect()
     text = df._jdf.queryExecution().executedPlan().toString()
     return max(text.count("WholeStageCodegen"), text.count("*("))
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Split ``[a], [b, [c]], [d]`` into its top-level bracket groups."""
+    groups: list[str] = []
+    depth = 0
+    cur = ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        if ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+def global_window_specs(df: DataFrame) -> list[str]:
+    """Arguments of every UNPARTITIONED Window node in the plan.
+
+    A partitioned Window's formatted ``Arguments:`` carries three
+    top-level bracket groups ``[exprs], [partitionSpec], [orderSpec]``;
+    an unpartitioned one only two (no partition group). Unpartitioned
+    WindowExec moves ALL input rows to one task — the 100 TB straggler
+    the two-phase top-k (queries._global_topk) exists to avoid — so any
+    occurrence must be justified by a bounded input.
+    """
+    import re
+
+    out: list[str] = []
+    plan = formatted_plan(df)
+    for m in re.finditer(r"\(\d+\) Window(?:\n[^\n(]*)*?\nArguments: (.*)", plan):
+        if len(_top_level_bracket_groups(m.group(1))) == 2:
+            out.append(m.group(1))
+    return out

@@ -59,6 +59,32 @@ def _money(col) -> F.Column:
 
 MONEY_SQL = "CAST(SUM(CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
 
+
+def _global_topk(df: DataFrame, k: int, order, rank_name: str) -> DataFrame:
+    """Scale-safe GLOBAL top-k with a deterministic total order.
+
+    A bare ``Window.orderBy(...)`` funnels the whole input through ONE
+    task (Spark logs "No Partition Defined ... Moving all data to a
+    single partition") — fine on a 31-row vocab at sf0.1, a straggler/
+    OOM on the 1e8-row vocabulary of a web corpus. Phase 1 ranks within
+    ``spark_partition_id()`` and keeps <=k rows per partition (the
+    global top-k is necessarily a subset of the union of per-partition
+    top-ks); phase 2 runs the single-partition window over the
+    <=partitions*k survivors only. Identical results for any total
+    ``order`` (same tie order in both phases). Mirrors the ANN pattern
+    at operators/similarity.py:_rank_topk."""
+    w1 = Window.partitionBy("_pid").orderBy(*order)
+    pruned = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_pid", "_r")
+    )
+    w2 = Window.orderBy(*order)
+    return pruned.withColumn(rank_name, F.row_number().over(w2)).filter(
+        F.col(rank_name) <= k
+    )
+
 # DuckDB fragment: whitespace tokens of a text column (matches
 # labelspark_spark.functions.text.whitespace_tokens).
 TOKS_SQL = "list_filter(string_split_regex(trim({c}), '\\s+'), x -> x <> '')"
@@ -3009,18 +3035,18 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary build (tokenizer prep): token frequencies with
     a deterministic total order (count desc, token asc) and dense ids
     for the top 100. Explode -> two-stage hash agg (map-side partials)
-    -> single-partition top-k window on the already-tiny aggregate —
-    the corpus shuffles once, keyed on token."""
+    -> two-phase top-k (_global_topk): a web-corpus vocabulary is 1e8+
+    distinct tokens, so the global rank prunes per-partition first
+    instead of moving the whole distinct-token table to one task."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " +")).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return (
-        counts.select("token", "n", F.row_number().over(w).alias("token_id"))
-        .filter(F.col("token_id") <= 100)
+    ranked = _global_topk(
+        counts, 100, [F.col("n").desc(), F.col("token")], "token_id"
     )
+    return ranked.select("token", "n", "token_id")
 
 
 SQL_VOCAB_TOPK = """
@@ -3083,17 +3109,22 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge in a second, tiny aggregation. Same answer as the direct
     GROUP BY (the oracle IS the direct GROUP BY); at 1000 executors the
     salt spreads each hot key over 16 reducers instead of one straggler.
-    Decimal sums keep the merge exact."""
+    Integer-cents sums (floor(x*100+0.5) -> bigint) through BOTH stages
+    keep the two-stage merge exact and partition-order-independent —
+    a double partial sum would diverge from the oracle's single-stage
+    sum in the last ulp (the r4 hash FAIL); one double division at the
+    very end is identical-shape on both engines (_money doctrine)."""
     li = _t(spark, sf_dir, "lineitem")
     salted = li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+    cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
     partial = salted.groupBy("l_returnflag", "l_linestatus", "_salt").agg(
-        F.sum("l_quantity").alias("_sq"),
+        F.sum(cents).alias("_sq_cents"),
         F.count(F.lit(1)).alias("_n"),
     )
     return (
         partial.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("_sq").cast("decimal(20,2)").alias("sum_qty"),
+            (F.sum("_sq_cents").cast("double") / 100.0).alias("sum_qty"),
             F.sum("_n").alias("n_items"),
         )
     )
@@ -3101,7 +3132,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SALTED_AGG = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(l_quantity) AS DECIMAL(20,2)) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -3173,10 +3204,8 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
-    return counts.select("pair", "n", F.row_number().over(w).alias("rank")).filter(
-        F.col("rank") <= 50
-    )
+    ranked = _global_topk(counts, 50, [F.col("n").desc(), F.col("pair")], "rank")
+    return ranked.select("pair", "n", "rank")
 
 
 SQL_BPE_MERGE_CANDIDATES = """
@@ -3352,7 +3381,7 @@ WITH t AS (
 ), m AS (
   SELECT doc_id,
          CAST(len(toks) AS INTEGER) AS n_tok,
-         list_sum(list_transform(toks, x -> length(x))) * 1.0
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 1.0
              / greatest(len(toks), 1) AS mean_wl,
          len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) * 1.0
              / greatest(len(toks), 1) AS numeric_frac,

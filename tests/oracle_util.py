@@ -4,8 +4,11 @@ order-insensitive value hash."""
 
 from __future__ import annotations
 
+import decimal
 import math
 from typing import Any
+
+import numpy as np
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -21,13 +24,30 @@ def register_views(con, sf_dir: str) -> None:
 
 
 def _norm(v: Any) -> Any:
+    """Type-SENSITIVE normalization, as strict as the driver's hash.
+
+    Python's cross-type equality makes Decimal('24851.00') == 24851.0,
+    so a lax replica passes queries the driver fails (that is exactly
+    how r4's salted_agg shipped green locally but red in the driver
+    run: Spark emitted decimal(20,2), DuckDB surfaced float64). Tag
+    Decimal with its own type marker so a decimal-vs-double output
+    mismatch fails here first. Numpy scalars still fold into their
+    Python equivalents — same type CLASS, just boxed differently."""
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm(x) for x in v)
     return v
 

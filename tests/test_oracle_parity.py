@@ -28,6 +28,9 @@ def test_oracle_parity(spark, duck, name, fn, sql):
 
 @pytest.mark.parametrize("name,fn", ROWS_ONLY_CASES, ids=[c[0] for c in ROWS_ONLY_CASES])
 def test_rows_only_queries_run(spark, name, fn):
+    # declared-approximate queries carry their real signal in the
+    # recall/error-bound companion suites; this only guards against a
+    # silently-EMPTY result sneaking through (count >= 0 was vacuous)
     df = fn(spark, SF_SMOKE)
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name}: approximate query returned no rows"
     assert len(df.schema.fields) > 0

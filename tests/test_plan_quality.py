@@ -215,4 +215,37 @@ def test_embedding_lsh_prefilter_before_distinct(spark):
     )
     plan = explain.formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "bit_count" in plan
+    # POSITIONAL: the bit_count hamming prune must be the JOIN's own
+    # condition (evaluated while pairs stream out of the bucket join,
+    # BEFORE the distinct shuffle) — "bit_count somewhere in the plan"
+    # would also pass if a regression moved it to a Filter above the
+    # distinct aggregate, which re-inflates the shuffle 10-100x.
+    cond_lines = [
+        ln for ln in plan.splitlines() if "Join condition:" in ln or "Condition :" in ln
+    ]
+    assert any("bit_count" in ln for ln in cond_lines), (
+        "hamming prefilter left the join condition:\n" + plan
+    )
+
+
+def test_no_unguarded_global_window_in_any_declared_query(spark):
+    """100 TB guard: no registry query may funnel an unbounded input
+    through a single-partition WindowExec (r4 verdict finding #2 —
+    vocab_topk and bpe_merge_candidates did exactly that). An
+    unpartitioned Window is tolerated ONLY when a per-partition
+    WindowGroupLimit prune (the _global_topk / _rank_topk phase 1,
+    keyed on spark_partition_id) bounds its input to <=partitions*k
+    rows first."""
+    from labelspark_spark.queries import REGISTRY
+
+    offenders = {}
+    for name, (fn, _) in REGISTRY.items():
+        df = fn(spark, SF_SMOKE)
+        specs = explain.global_window_specs(df)
+        if not specs:
+            continue
+        plan = explain.formatted_plan(df)
+        guarded = "WindowGroupLimit" in plan and "_pid" in plan
+        if not guarded:
+            offenders[name] = specs[0][:120]
+    assert not offenders, f"unguarded single-partition windows: {offenders}"
