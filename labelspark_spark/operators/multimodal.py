@@ -118,29 +118,46 @@ _WAV_MAGIC = "52494646"  # 'RIFF'
 
 
 def wav_encode_pcm(
-    n_samples: int, sample_rate: int = 8000, channels: int = 1, bits: int = 16
+    n_samples: int,
+    sample_rate: int = 8000,
+    channels: int = 1,
+    bits: int = 16,
+    fmt_ext: bool = False,
+    list_info: bytes | None = None,
 ) -> bytes:
-    """Minimal spec-valid PCM WAV (canonical 44-byte header + silence) —
-    pure stdlib, used to generate deterministic audio fixtures the
-    native parser below is oracle-checked against."""
+    """Spec-valid PCM WAV — pure stdlib, used to generate deterministic
+    audio fixtures the parsers below are oracle-checked against.
+
+    Default is the canonical layout (16-byte fmt chunk, 'data' at byte
+    36). ``fmt_ext=True`` writes the equally spec-valid 18-byte fmt
+    chunk (cbSize=0 extension — what many real encoders emit), and
+    ``list_info`` inserts a LIST/INFO metadata chunk between fmt and
+    data; both shift 'data' off offset 36, which is exactly the layout
+    class the fixed-offset parser must refuse and the chunk-walk parser
+    must handle."""
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
     data_size = n_samples * block_align
-    hdr = (
-        b"RIFF"
-        + (36 + data_size).to_bytes(4, "little")
-        + b"WAVEfmt "
-        + (16).to_bytes(4, "little")
-        + (1).to_bytes(2, "little")
+    fmt_payload = (
+        (1).to_bytes(2, "little")
         + channels.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little")
         + byte_rate.to_bytes(4, "little")
         + block_align.to_bytes(2, "little")
         + bits.to_bytes(2, "little")
-        + b"data"
-        + data_size.to_bytes(4, "little")
     )
-    return hdr + b"\x00" * data_size
+    if fmt_ext:
+        fmt_payload += (0).to_bytes(2, "little")  # cbSize = 0
+    chunks = b"fmt " + len(fmt_payload).to_bytes(4, "little") + fmt_payload
+    if list_info is not None:
+        payload = b"INFO" + list_info
+        if len(payload) % 2:  # RIFF chunks are word-aligned
+            payload += b"\x00"
+        chunks += b"LIST" + len(payload).to_bytes(4, "little") + payload
+    chunks += b"data" + data_size.to_bytes(4, "little") + b"\x00" * data_size
+    return (
+        b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    )
 
 
 def _hex_le16(hx, byte_off: int):
@@ -164,8 +181,9 @@ def audio_meta_native(df: DataFrame, content_col: str = "content") -> DataFrame:
     and so do spec-valid but non-canonical layouts (e.g. the common
     18-byte fmt chunk): the 'data' tag is REQUIRED at offset 36, else
     offsets 40+ land inside a shifted layout and would misparse
-    silently. Shifted-layout files need a scan parser (the audio twin
-    of the JPEG SOF / MP4 box walk), not fixed offsets.
+    silently. Shifted-layout files go through the chunk-walk scan
+    parser instead (:func:`parse_wav_header` via
+    :func:`decode_audio_meta` — the audio twin of the MP4 box walk).
 
     Mirrors :func:`image_meta_native` for the audio modality; real
     sample decode (beyond the header) stays behind the declared codec
@@ -195,6 +213,112 @@ def audio_meta_native(df: DataFrame, content_col: str = "content") -> DataFrame:
         .withColumn("bits_per_sample", bits)
         .withColumn("duration_ms", duration_ms)
     )
+
+
+def parse_wav_header(content: bytes | None) -> dict:
+    """Pure-Python RIFF chunk walk (the audio twin of the MP4 box walk,
+    cf. reference datasets/attachments.csv:1 audio media): RIFF/WAVE
+    magic, then chunks scanned as (id, u32le size, payload) with word
+    alignment (odd sizes pad one byte) until both 'fmt ' and 'data' are
+    seen. Handles the layouts the fixed-offset parser
+    (:func:`audio_meta_native`) refuses by design: 18-byte fmt chunks
+    (cbSize extension), LIST/INFO metadata before data, any chunk
+    order. Returns channels/sample_rate/bits_per_sample/duration_ms
+    with Nones when unrecognized or truncated."""
+    none = {
+        "channels": None,
+        "sample_rate": None,
+        "bits_per_sample": None,
+        "duration_ms": None,
+    }
+    if (
+        not content
+        or len(content) < 12
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"WAVE"
+    ):
+        return none
+    fmt = None
+    data_size = None
+    i = 12
+    n = len(content)
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt " and size >= 16 and body + 16 <= n:
+            fmt = content[body : body + 16]
+        elif cid == b"data":
+            # size may legitimately exceed the staged bytes (streamed
+            # or truncated file): trust the header for duration
+            data_size = size
+        if fmt is not None and data_size is not None:
+            break
+        i = body + size + (size % 2)  # word-aligned chunk boundary
+    if fmt is None or data_size is None:
+        return none
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    if audio_format != 1:  # PCM only (matches the encoder's scope)
+        return none
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    byte_rate = int.from_bytes(fmt[8:12], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    ms = (data_size * 1000) // byte_rate if byte_rate else None
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits_per_sample": bits,
+        "duration_ms": ms,
+    }
+
+
+def decode_audio_meta(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched WAV metadata decode via mapInPandas — the scan
+    path for non-canonical chunk layouts (chunk offsets are variable,
+    exactly like the MP4 box walk in :func:`decode_video_meta`; the
+    canonical fixed-offset fast path stays pure-JVM in
+    :func:`audio_meta_native`). Sample-level decode stays behind the
+    declared codec stub."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("channels", IntegerType(), True),
+            StructField("sample_rate", LongType(), True),
+            StructField("bits_per_sample", IntegerType(), True),
+            StructField("duration_ms", LongType(), True),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                metas = [parse_wav_header(c) for c in chunk[content_col]]
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        "channels": pd.array(
+                            [m["channels"] for m in metas], dtype="Int32"
+                        ),
+                        "sample_rate": pd.array(
+                            [m["sample_rate"] for m in metas], dtype="Int64"
+                        ),
+                        "bits_per_sample": pd.array(
+                            [m["bits_per_sample"] for m in metas], dtype="Int32"
+                        ),
+                        "duration_ms": pd.array(
+                            [m["duration_ms"] for m in metas], dtype="Int64"
+                        ),
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
 
 
 def mp4_encode_skeleton(timescale: int, duration: int, brand: bytes = b"isom") -> bytes:

@@ -3278,13 +3278,51 @@ FROM pairs GROUP BY id_new
 
 
 def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio header parsing, oracle-checked end to end: spec-valid
-    PCM WAVs are generated per doc (sample rate / channels / length are
-    closed-form functions of doc_id), then parsed BACK natively —
-    channels, sample rate, bit depth, duration from fixed little-endian
-    header offsets via JVM hex/conv (operators/multimodal.py:
-    audio_meta_native), zero Python in the parse. The oracle recomputes
-    the closed forms without parsing — agreement proves the parser."""
+    """REAL audio header parsing over MIXED real-world WAV layouts,
+    oracle-checked end to end: spec-valid PCM WAVs are generated per
+    doc (sample rate / channels / length are closed-form functions of
+    doc_id) in three chunk layouts — canonical 16-byte fmt, the common
+    18-byte fmt (cbSize extension), and fmt+LIST/INFO before data —
+    then parsed BACK by the Arrow-batched RIFF chunk walk
+    (operators/multimodal.py:parse_wav_header, the audio twin of the
+    MP4 box walk; fixed offsets misparse two of the three layouts).
+    The oracle recomputes the closed forms without parsing; the chunk
+    layout only shifts the header, so one oracle covers all three —
+    agreement proves the walker handles each."""
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = _stage_media(
+        docs,
+        lambda d: mm.wav_encode_pcm(
+            n_samples=100 + d % 50,
+            sample_rate=8000 * (1 + d % 3),
+            channels=1 + d % 2,
+            bits=16,
+            fmt_ext=(d % 3 > 0),
+            list_info=b"IART\x04\x00\x00\x00doc\x00" if d % 3 == 2 else None,
+        ),
+    )
+    return mm.decode_audio_meta(staged, content_col="content", id_col="doc_id")
+
+
+SQL_MULTIMODAL_AUDIO = """
+SELECT doc_id,
+       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+       CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+       CAST(16 AS INTEGER) AS bits_per_sample,
+       ((100 + doc_id % 50) * (1 + doc_id % 2) * 2) * 1000
+           // (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2) AS duration_ms
+FROM documents
+"""
+
+
+def q_multimodal_audio_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-Python fast path for CANONICAL WAVs: fixed little-
+    endian header offsets via JVM hex/conv (operators/multimodal.py:
+    audio_meta_native — refuses shifted layouts by design, which the
+    chunk walk in multimodal_audio_meta handles). Same closed-form
+    oracle; all rows canonical here."""
     from labelspark_spark.operators import multimodal as mm
 
     docs = _t(spark, sf_dir, "documents")
@@ -3303,7 +3341,7 @@ def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MULTIMODAL_AUDIO = """
+SQL_MULTIMODAL_AUDIO_NATIVE = """
 SELECT doc_id,
        CAST(1 + doc_id % 2 AS INTEGER) AS channels,
        CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
@@ -3706,6 +3744,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fuzzy_levenshtein": (q_fuzzy_levenshtein, SQL_FUZZY_LEVENSHTEIN),
     "agg_correlation": (q_agg_correlation, SQL_AGG_CORRELATION),
     "multimodal_audio_meta": (q_multimodal_audio_meta, SQL_MULTIMODAL_AUDIO),
+    "multimodal_audio_native": (q_multimodal_audio_native, SQL_MULTIMODAL_AUDIO_NATIVE),
     "multimodal_video_meta": (q_multimodal_video_meta, SQL_MULTIMODAL_VIDEO),
     "quality_gopher_rules": (q_quality_gopher_rules, SQL_QUALITY_GOPHER),
     # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---

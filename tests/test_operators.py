@@ -549,3 +549,60 @@ def test_wav_native_nulls_non_canonical_layout(spark):
     rows = {r.media_id: r for r in audio_meta_native(df).collect()}
     assert rows[1].sample_rate == 8000 and rows[1].duration_ms == 12
     assert rows[2].sample_rate is None and rows[2].duration_ms is None
+
+
+def test_wav_chunk_walk_parses_all_layouts():
+    """parse_wav_header (the RIFF chunk walk) must agree with the
+    encoder's closed forms on every layout — canonical, 18-byte fmt,
+    and fmt+LIST/INFO — and return Nones on garbage."""
+    from labelspark_spark.operators.multimodal import parse_wav_header, wav_encode_pcm
+
+    for d in range(9):
+        for fmt_ext, li in [
+            (False, None),
+            (True, None),
+            (True, b"IART\x04\x00\x00\x00doc\x00"),
+        ]:
+            b = wav_encode_pcm(
+                100 + d % 50, 8000 * (1 + d % 3), 1 + d % 2, 16,
+                fmt_ext=fmt_ext, list_info=li,
+            )
+            m = parse_wav_header(b)
+            exp_ms = ((100 + d % 50) * 1000) // (8000 * (1 + d % 3))
+            assert m == {
+                "channels": 1 + d % 2,
+                "sample_rate": 8000 * (1 + d % 3),
+                "bits_per_sample": 16,
+                "duration_ms": exp_ms,
+            }, (d, fmt_ext, li, m)
+    none = {
+        "channels": None, "sample_rate": None,
+        "bits_per_sample": None, "duration_ms": None,
+    }
+    for junk in (None, b"", b"RIFF", b"RIFFxxxxWAVE", b"\x00" * 100):
+        assert parse_wav_header(junk) == none
+    # truncated mid-chunk: walker must stop cleanly, not raise
+    assert parse_wav_header(wav_encode_pcm(10)[:20]) == none
+    # odd-size LIST payload exercises the word-alignment step
+    odd = wav_encode_pcm(10, list_info=b"IART\x03\x00\x00\x00ab\x00"[:11])
+    assert parse_wav_header(odd)["channels"] == 1
+
+
+def test_wav_scan_decode_distributed(spark):
+    """decode_audio_meta: the Arrow-batched scan path handles a mixed
+    bag of layouts plus a non-WAV row in one frame."""
+    from labelspark_spark.operators.multimodal import decode_audio_meta, wav_encode_pcm
+
+    rows = [
+        (1, bytearray(wav_encode_pcm(800, 16000, 2, 16))),
+        (2, bytearray(wav_encode_pcm(800, 16000, 2, 16, fmt_ext=True))),
+        (3, bytearray(wav_encode_pcm(400, 8000, 1, 16, fmt_ext=True,
+                                     list_info=b"IART\x04\x00\x00\x00doc\x00"))),
+        (4, bytearray(b"not audio at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, content binary")
+    got = {r.media_id: r for r in decode_audio_meta(df).collect()}
+    assert got[1].sample_rate == 16000 and got[1].duration_ms == 50
+    assert got[2].sample_rate == 16000 and got[2].channels == 2
+    assert got[3].sample_rate == 8000 and got[3].duration_ms == 50
+    assert got[4].sample_rate is None and got[4].duration_ms is None
