@@ -54,6 +54,13 @@ BENCH_QUERIES = [
     "vocab_topk",
     "chunk_pack",
     "salted_agg",
+    # round-4 heavyweights (added r5 so their regressions are visible;
+    # totals again not comparable round-over-round — compare per-query)
+    "knn_label_vote",
+    "dedup_canonicalize",
+    "dedup_incremental",
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
 ]
 
 

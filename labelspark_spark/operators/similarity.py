@@ -276,6 +276,7 @@ def ivf_build(
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
     dim: int = 64,
+    assign: int = 1,
 ) -> None:
     """Build the IVF index ONCE and persist it bucketed by centroid id.
 
@@ -284,6 +285,15 @@ def ivf_build(
     every call. This writes (vec_id, embedding, centroid_id) as a
     bucketed managed table so :func:`ivf_probe` reads co-located
     centroid lists with no assignment stage and no exchange.
+
+    ``assign > 1`` is MULTI-ASSIGNMENT (the spill/multi-probe trick):
+    each corpus vector is indexed in its ``assign`` nearest cells, so
+    a probe catches true neighbors whose primary cell was not probed.
+    Recall rises steeply for the cost of an ``assign``x larger index —
+    at 100 TB, 2x storage is far cheaper than probing ~all cells
+    (which degenerates to a corpus scan per query batch). The probe
+    side dedups (query, neighbor) pairs, so multiply-indexed rows
+    never double-score.
     """
     from labelspark_spark.sources.writers import write_bucketed
 
@@ -292,7 +302,9 @@ def ivf_build(
             F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")
         )
     )
-    assignment = _assign_to_centroids(corpus, cent, id_col, vec_col, 1, "vec_id", dim).select(
+    assignment = _assign_to_centroids(
+        corpus, cent, id_col, vec_col, assign, "vec_id", dim
+    ).select(
         F.col("vec_id"), F.col("_v").alias("embedding"), F.col("_cid").alias("centroid_id")
     )
     write_bucketed(assignment, table, bucket_cols=["centroid_id"], num_buckets=num_buckets)

@@ -300,10 +300,11 @@ def test_ivf_build_probe_split(spark, tmp_path):
 
 def test_knn_label_vote_ivf_agrees_with_exact(spark):
     """The IVF-probed pseudo-labeler must agree with the exact brute
-    cross-kNN vote on >= 75% of the batch (nprobe=3 of k=4 cells;
-    measured 0.81 — majority votes over 10 near-uniform labels are
-    sensitive to small neighbor-set changes, so half-cell probing is
-    not enough for this op), and must label every batch row."""
+    cross-kNN vote on >= 90% of the batch (assign=2 multi-assignment,
+    nprobe=5 of k=8 cells; measured 0.95 — hard assignment topped out
+    at 0.81 because near-uniform embeddings scatter true neighbors
+    across cells, which multi-assignment repairs for 2x index size),
+    and must label every batch row."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -353,7 +354,7 @@ def test_knn_label_vote_ivf_agrees_with_exact(spark):
     }
     assert set(approx) == set(exact), "IVF variant must label every batch row"
     agree = sum(1 for k in exact if approx[k] == exact[k]) / len(exact)
-    assert agree >= 0.75, f"agreement {agree:.2f} ({len(exact)} rows)"
+    assert agree >= 0.9, f"agreement {agree:.2f} ({len(exact)} rows)"
 
 
 def test_embedding_lsh_rejects_sub_word_sig_bits(spark):
