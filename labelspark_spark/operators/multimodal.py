@@ -631,6 +631,249 @@ def png_pixel_decode_fn(content: bytes | None, kind: str) -> dict:
     return {"feat_mean": sum(px) / max(len(px), 1), "feat_dim": len(px)}
 
 
+def _lzw_compress_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compressor (variable-width codes, LSB-first bit
+    packing, CLEAR/EOI codes, 12-bit cap with dictionary reset) — pure
+    stdlib, used by :func:`gif_encode_gray` to emit real compressed
+    streams the decoder below round-trips."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prefix = b""
+    for b in data:
+        probe = prefix + bytes([b])
+        if probe in table:
+            prefix = probe
+            continue
+        emit(table[prefix])
+        table[probe] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > (1 << 12) - 1:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(data: bytes, min_code_size: int) -> bytes | None:
+    """GIF-flavor LZW decoder: the inverse of the compressor above, but
+    spec-complete (handles the KwKwK self-referential case and streams
+    from ANY conformant encoder, not just ours)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # missing EOI: tolerate, return what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None  # corrupt stream
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def gif_encode_gray(
+    frames: list[bytes], width: int, height: int
+) -> bytes:
+    """Minimal spec-valid animated GIF89a encoder — pure stdlib: 256-
+    entry grayscale global color table (palette[i] = i,i,i so the pixel
+    byte IS the gray value), one image descriptor + real LZW stream per
+    frame. The multi-frame layout is what the frame-sampling plumbing
+    decodes back."""
+    lsd = (
+        width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([0xF7, 0, 0])  # global table, 8-bit, 256 entries
+    )
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(b"GIF89a" + lsd + palette)
+    for px in frames:
+        out += b"\x2c" + (0).to_bytes(4, "little")  # descriptor @ (0,0)
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out += b"\x00"  # no local table, not interlaced
+        out += bytes([8])  # LZW min code size
+        stream = _lzw_compress_gif(px, 8)
+        for i in range(0, len(stream), 255):  # 255-byte sub-blocks
+            block = stream[i : i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def gif_decode(content: bytes | None):
+    """Pure-stdlib GIF PIXEL decode: block walk + full LZW decompression
+    of every frame (the GIF twin of :func:`png_decode`, one real-codec
+    frontier further per the round-4 plan). Handles global/local color
+    tables, graphic-control/comment/application extensions, and any
+    conformant LZW stream. Returns ``(width, height, frames)`` where
+    each frame is row-major gray bytes (palette looked up, red channel
+    — identical to gray for grayscale palettes), or ``None`` when not a
+    decodable non-interlaced GIF."""
+    if not content or len(content) < 13 or content[:4] != b"GIF8":
+        return None
+    width = int.from_bytes(content[6:8], "little")
+    height = int.from_bytes(content[8:10], "little")
+    flags = content[10]
+    pos = 13
+    n = len(content)
+    global_table: bytes | None = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        if pos + 3 * size > n:
+            return None
+        global_table = content[pos : pos + 3 * size]
+        pos += 3 * size
+    frames: list[bytes] = []
+    while pos < n:
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < n and content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            return None
+        if pos + 9 > n:
+            return None
+        fw = int.from_bytes(content[pos + 4 : pos + 6], "little")
+        fh = int.from_bytes(content[pos + 6 : pos + 8], "little")
+        iflags = content[pos + 8]
+        pos += 9
+        if iflags & 0x40:  # interlaced: out of scope
+            return None
+        table = global_table
+        if iflags & 0x80:
+            size = 2 << (iflags & 0x07)
+            if pos + 3 * size > n:
+                return None
+            table = content[pos : pos + 3 * size]
+            pos += 3 * size
+        if table is None or pos >= n:
+            return None
+        min_code = content[pos]
+        pos += 1
+        stream = bytearray()
+        while pos < n and content[pos]:
+            ln = content[pos]
+            stream += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # terminator
+        idx = _lzw_decompress_gif(bytes(stream), min_code)
+        if idx is None or len(idx) < fw * fh:
+            return None
+        frames.append(bytes(table[i * 3] for i in idx[: fw * fh]))
+    if not frames:
+        return None
+    return width, height, frames
+
+
+def decode_gif_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Arrow-batched GIF frame decode via mapInPandas: one OUTPUT ROW
+    PER FRAME (id, frame_id, width, height, mean_pixel) — the frame-
+    sampling shape at the decode level. Undecodable rows yield a single
+    all-null frame row so ids are never silently dropped."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("frame_id", IntegerType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("mean_pixel", DoubleType(), True),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                ids, fids, ws, hs, means = [], [], [], [], []
+                for mid, c in zip(chunk[id_col], chunk[content_col]):
+                    r = gif_decode(c)
+                    if r is None:
+                        ids.append(mid); fids.append(None)
+                        ws.append(None); hs.append(None); means.append(None)
+                        continue
+                    w, h, frames = r
+                    for fi, px in enumerate(frames):
+                        ids.append(mid); fids.append(fi)
+                        ws.append(w); hs.append(h)
+                        means.append(sum(px) / max(len(px), 1))
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "frame_id": pd.array(fids, dtype="Int32"),
+                        "width": pd.array(ws, dtype="Int32"),
+                        "height": pd.array(hs, dtype="Int32"),
+                        "mean_pixel": means,
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_decode, schema=out_schema)
+
+
 def decode_pixels(
     df: DataFrame,
     content_col: str = "content",

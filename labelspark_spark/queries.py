@@ -2749,6 +2749,52 @@ FROM documents
 """
 
 
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode, oracle-checked end to end at FRAME
+    grain: per doc a 2-frame 4x4 GIF89a is generated (256-entry gray
+    palette; frame f pixel (r,c) = doc_id % 200 + r + c + f, so frame
+    mean = doc_id % 200 + 3 + f exactly), then decoded back with the
+    pure-stdlib LZW codec (operators/multimodal.py:gif_decode — real
+    variable-width LZW with CLEAR/EOI and KwKwK handling, the GIF twin
+    of png_decode) via Arrow-batched mapInPandas, one output row per
+    frame. The oracle recomputes the closed-form means without
+    decoding — agreement proves the LZW decoder and the block walk."""
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _enc(d: int) -> bytes:
+        base = d % 200
+        return mm.gif_encode_gray(
+            [
+                bytes(base + r + c + f for r in range(4) for c in range(4))
+                for f in range(2)
+            ],
+            4,
+            4,
+        )
+
+    staged = _stage_media(docs, _enc)
+    out = mm.decode_gif_frames(staged, content_col="content", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "frame_id",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+SQL_MULTIMODAL_GIF_FRAMES = """
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_id,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       ROUND(CAST(doc_id % 200 + 3.0 + f AS DOUBLE), 6) AS mean_pixel
+FROM documents, unnest(generate_series(0, 1)) AS t(f)
+"""
+
+
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization of the embedding column — the standard prep step
     before cosine ANN (unit vectors turn cosine into dot product). Pure
@@ -3747,6 +3793,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "agg_correlation": (q_agg_correlation, SQL_AGG_CORRELATION),
     "multimodal_audio_meta": (q_multimodal_audio_meta, SQL_MULTIMODAL_AUDIO),
     "multimodal_audio_native": (q_multimodal_audio_native, SQL_MULTIMODAL_AUDIO_NATIVE),
+    "multimodal_gif_frames": (q_multimodal_gif_frames, SQL_MULTIMODAL_GIF_FRAMES),
     "multimodal_video_meta": (q_multimodal_video_meta, SQL_MULTIMODAL_VIDEO),
     "quality_gopher_rules": (q_quality_gopher_rules, SQL_QUALITY_GOPHER),
     # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---

@@ -606,3 +606,47 @@ def test_wav_scan_decode_distributed(spark):
     assert got[2].sample_rate == 16000 and got[2].channels == 2
     assert got[3].sample_rate == 8000 and got[3].duration_ms == 50
     assert got[4].sample_rate is None and got[4].duration_ms is None
+
+
+def test_gif_lzw_round_trip():
+    """gif_encode_gray -> gif_decode must round-trip exactly: multi-
+    frame, LZW width growth (64x64 random), 12-bit dictionary reset
+    (200x200 random), and KwKwK-bearing runs; garbage returns None."""
+    import random
+
+    from labelspark_spark.operators.multimodal import gif_decode, gif_encode_gray
+
+    for d in (0, 37, 199):
+        frames = [
+            bytes((d + r + c + f) % 256 for r in range(4) for c in range(4))
+            for f in range(3)
+        ]
+        assert gif_decode(gif_encode_gray(frames, 4, 4)) == (4, 4, frames)
+    rnd = random.Random(7)
+    px = bytes(rnd.randrange(256) for _ in range(64 * 64))
+    assert gif_decode(gif_encode_gray([px], 64, 64))[2][0] == px
+    big = bytes(rnd.randrange(256) for _ in range(200 * 200))
+    assert gif_decode(gif_encode_gray([big], 200, 200))[2][0] == big
+    # runs of one symbol exercise the KwKwK self-referential code path
+    runs = b"\x07" * 256
+    assert gif_decode(gif_encode_gray([runs], 16, 16))[2][0] == runs
+    good = gif_encode_gray([b"\x00" * 16], 4, 4)
+    for junk in (None, b"", b"GIF8", b"GIF89a\x00\x00\x00\x00\x00", good[:30]):
+        assert gif_decode(junk) is None
+
+
+def test_gif_frame_decode_distributed(spark):
+    """decode_gif_frames: one row per frame, nulls (not dropped ids)
+    for undecodable payloads."""
+    from labelspark_spark.operators.multimodal import decode_gif_frames, gif_encode_gray
+
+    two = gif_encode_gray([bytes(range(16)), bytes(range(16, 32))], 4, 4)
+    rows = [(1, bytearray(two)), (2, bytearray(b"not a gif"))]
+    df = spark.createDataFrame(rows, "media_id int, content binary")
+    got = sorted(
+        ((r.media_id, r.frame_id, r.width, r.mean_pixel) for r in decode_gif_frames(df).collect()),
+        key=lambda t: (t[0], t[1] if t[1] is not None else -1),
+    )
+    assert got[0] == (1, 0, 4, 7.5)
+    assert got[1] == (1, 1, 4, 23.5)
+    assert got[2][0] == 2 and got[2][1] is None and got[2][3] is None
