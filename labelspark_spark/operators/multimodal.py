@@ -622,11 +622,18 @@ def png_decode(content: bytes | None):
 
 def png_pixel_decode_fn(content: bytes | None, kind: str) -> dict:
     """``decode_fn`` adapter for :func:`decode_features`: REAL pixel
-    decode for PNG (mean sample value over all decoded bytes, dim =
-    decoded sample count); None features for anything else."""
-    decoded = png_decode(content)
+    decode (mean sample value over all decoded bytes, dim = decoded
+    sample count) via whichever real codec recognizes the payload —
+    PNG, baseline grayscale JPEG, or GIF (first frame); None features
+    for anything else. Name kept for back-compat from when PNG was the
+    only real codec."""
+    decoded = _any_pixel_decode(content)
     if decoded is None:
-        return {"feat_mean": None, "feat_dim": 0}
+        g = gif_decode(content)
+        if g is None:
+            return {"feat_mean": None, "feat_dim": 0}
+        px = g[2][0]
+        return {"feat_mean": sum(px) / max(len(px), 1), "feat_dim": len(px)}
     w, h, c, px = decoded
     return {"feat_mean": sum(px) / max(len(px), 1), "feat_dim": len(px)}
 
@@ -825,6 +832,336 @@ def gif_decode(content: bytes | None):
     return width, height, frames
 
 
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    import numpy as np
+
+    r = np.arange(8)
+    C = np.cos((2 * r[None, :] + 1) * r[:, None] * np.pi / 16) / 2.0
+    C[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return C  # orthonormal: F = C @ A @ C.T, A = C.T @ F @ C
+
+
+# Encoder Huffman tables (canonical, minimal-but-complete): DC size
+# categories 0..11 at 5 bits; ALL 256 AC run/size symbols (255 at 9
+# bits + 0xFF at 10 — a DHT length byte caps at 255). Any conformant
+# decoder accepts them; OUR decoder builds its tables from the DHT
+# marker generically, so it also reads streams from other encoders.
+_ENC_DC_BITS = [0, 0, 0, 0, 12] + [0] * 11
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0] * 8 + [255, 1] + [0] * 6
+_ENC_AC_VALS = list(range(255)) + [255]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG code assignment (T.81 C.2): {symbol: (code, len)}."""
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            b = ((self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n = 0
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """(size category, value bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def jpeg_encode_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal spec-valid BASELINE JPEG encoder (grayscale, quant table
+    all ones) — stdlib + numpy. Width/height must be multiples of 8.
+    With unit quantization, blocks whose DCT is integral (e.g. constant
+    blocks: only the DC term, 8*(v-128)) round-trip EXACTLY — the
+    property the oracle-checked query exploits; general content is
+    lossy like any JPEG."""
+    import struct
+
+    import numpy as np
+
+    if width % 8 or height % 8:
+        raise ValueError("encoder requires multiple-of-8 dims")
+    C = _dct_matrix()
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width).astype(np.float64)
+    dc_codes = _huff_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _huff_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = img[by : by + 8, bx : bx + 8] - 128.0
+            F = C @ block @ C.T
+            q = np.rint(F).astype(np.int64)
+            zz = [int(q.flat[_JPEG_ZIGZAG[i]]) for i in range(64)]
+            size, bits = _jpeg_category(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            w.put(*dc_codes[size])
+            if size:
+                w.put(bits, size)
+            run = 0
+            for coef in zz[1:]:
+                if coef == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.put(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                s, b = _jpeg_category(coef)
+                w.put(*ac_codes[(run << 4) | s])
+                if s:
+                    w.put(b, s)
+                run = 0
+            if run:
+                w.put(*ac_codes[0x00])  # EOB
+    data = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(1 for _ in range(64)))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+        + b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
+    )
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int | None:
+        while self.n == 0:
+            if self.pos >= len(self.data):
+                return None
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    return None  # marker: entropy stream ends
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int | None:
+        v = 0
+        for _ in range(k):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+
+def _huff_decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """{(length, code): symbol} lookup built from a DHT segment."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _extend(bits: int, size: int) -> int:
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def jpeg_decode_gray(content: bytes | None):
+    """Pure stdlib+numpy BASELINE JPEG pixel decoder for single-
+    component (grayscale) images: marker walk, arbitrary DQT/DHT,
+    Huffman entropy decode with byte unstuffing and restart markers,
+    dequant + dezigzag + IDCT. Returns ``(width, height, pixels)`` or
+    ``None`` for anything it does not support (progressive, color,
+    12-bit). The last real-codec frontier from the round-4 plan: PNG
+    and GIF decode bit-exactly; JPEG is lossy by nature, exact only for
+    DC-only (per-block-constant) content, which is what the declared
+    query stages."""
+    import numpy as np
+
+    if not content or len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    n = len(content)
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    restart = 0
+    data_start = None
+    while pos + 4 <= n:
+        if content[pos] != 0xFF:
+            return None
+        marker = content[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(content[pos + 2 : pos + 4], "big")
+        body = content[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                prec_id = body[i]
+                if prec_id >> 4:
+                    return None  # 16-bit tables unsupported
+                qt[prec_id & 0x0F] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC0 or marker == 0xC1:
+            if body[0] != 8 or body[5] != 1:
+                return None  # 8-bit single-component only
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            if body[7] != 0x11:
+                return None  # no subsampling in one component
+            comp_qt = body[8]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            return None  # progressive / extended: unsupported
+        elif marker == 0xC4:
+            i = 0
+            while i + 17 <= len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _huff_decode_tree(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:
+            restart = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:
+            if body[0] != 1:
+                return None
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            data_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if data_start is None or width is None or not qt:
+        return None
+    dc_tab = huff.get((0, dc_id))
+    ac_tab = huff.get((1, ac_id))
+    q = qt.get(comp_qt)
+    if dc_tab is None or ac_tab is None or q is None:
+        return None
+    C = _dct_matrix()
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    r = _BitReader(content[data_start:])
+
+    def read_symbol(tab) -> int | None:
+        code = 0
+        for ln2 in range(1, 17):
+            b = r.bit()
+            if b is None:
+                return None
+            code = (code << 1) | b
+            if (ln2, code) in tab:
+                return tab[(ln2, code)]
+        return None
+
+    prev_dc = 0
+    nblocks = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and nblocks and nblocks % restart == 0:
+                # byte-align and swallow the RSTn marker
+                r.n = 0
+                while r.pos + 1 < len(r.data) and r.data[r.pos] == 0xFF and 0xD0 <= r.data[r.pos + 1] <= 0xD7:
+                    r.pos += 2
+                prev_dc = 0
+            size = read_symbol(dc_tab)
+            if size is None:
+                return None
+            diff = 0
+            if size:
+                vb = r.bits(size)
+                if vb is None:
+                    return None
+                diff = _extend(vb, size)
+            prev_dc += diff
+            zz = [0] * 64
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = read_symbol(ac_tab)
+                if sym is None:
+                    return None
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                k += sym >> 4
+                s = sym & 0x0F
+                if k > 63 or s == 0:
+                    return None
+                vb = r.bits(s)
+                if vb is None:
+                    return None
+                zz[k] = _extend(vb, s)
+                k += 1
+            F = np.zeros(64, dtype=np.float64)
+            for i in range(64):
+                F[_JPEG_ZIGZAG[i]] = zz[i] * q[i]
+            block = C.T @ F.reshape(8, 8) @ C + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            nblocks += 1
+    px = np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, px.tobytes()
+
+
 def decode_gif_frames(
     df: DataFrame,
     content_col: str = "content",
@@ -874,16 +1211,30 @@ def decode_gif_frames(
     return df.select(id_col, content_col).mapInPandas(_decode, schema=out_schema)
 
 
+def _any_pixel_decode(content: bytes | None):
+    """(width, height, channels, pixels) via whichever real codec
+    recognizes the payload: PNG (any supported color type) or baseline
+    grayscale JPEG."""
+    r = png_decode(content)
+    if r is not None:
+        return r
+    j = jpeg_decode_gray(content)
+    if j is not None:
+        return j[0], j[1], 1, j[2]
+    return None
+
+
 def decode_pixels(
     df: DataFrame,
     content_col: str = "content",
     id_col: str = "media_id",
     batch_rows: int = 64,
 ) -> DataFrame:
-    """REAL pixel-level decode for PNG payloads via Arrow-batched
-    mapInPandas: (id, width, height, channels, mean_pixel). Non-PNG
-    rows yield nulls — the pixel codec for other formats is the
-    documented stub (no image/audio libs here)."""
+    """REAL pixel-level decode for PNG and baseline-grayscale-JPEG
+    payloads via Arrow-batched mapInPandas: (id, width, height,
+    channels, mean_pixel). Other formats yield nulls — color/
+    progressive JPEG decode would need the absent image libs and stays
+    the documented stub."""
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType, True),
@@ -898,7 +1249,7 @@ def decode_pixels(
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
-                rows = [png_decode(c) for c in chunk[content_col]]
+                rows = [_any_pixel_decode(c) for c in chunk[content_col]]
                 yield pd.DataFrame(
                     {
                         id_col: chunk[id_col].values,
@@ -950,12 +1301,14 @@ def decode_features(
     """
     if require_real_codec:
         if kind == "image" and decode_fn is None:
-            decode_fn = png_pixel_decode_fn  # real stdlib PNG pixel codec
+            decode_fn = png_pixel_decode_fn  # real codecs: PNG/GIF/baseline JPEG
         else:
             raise NotImplementedError(
-                "real media codecs for JPEG/audio/video (PIL/av/librosa) are "
-                "not installed in this environment; PNG pixel decode is real "
-                "(png_pixel_decode_fn) — pass decode_fn= for other formats"
+                "real codecs for audio/video SAMPLE decode beyond PCM/"
+                "containers (e.g. MP3/AAC/H.264 — PIL/av/librosa) are not "
+                "installed in this environment; pixel decode is real for "
+                "PNG, GIF, and baseline grayscale JPEG — pass decode_fn= "
+                "for other formats"
             )
     fn = decode_fn or _fake_decode
 

@@ -2795,6 +2795,49 @@ FROM documents, unnest(generate_series(0, 1)) AS t(f)
 """
 
 
+def q_multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, oracle-checked end to end: per doc a
+    16x8 grayscale JPEG of two constant 8x8 blocks (v0 = doc_id % 200
+    + 20, v1 = (doc_id % 200) // 2 + 40) is entropy-encoded with real
+    Huffman/DCT (operators/multimodal.py:jpeg_encode_gray, unit quant)
+    and decoded back by the full baseline pipeline — marker walk, DHT
+    Huffman decode with byte unstuffing, DC prediction, dequant, IDCT
+    (jpeg_decode_gray). Constant blocks have a DC-only integral DCT, so
+    the lossy format round-trips EXACTLY here and the closed-form mean
+    (v0 + v1) / 2 is a legitimate oracle; the nonzero DC diff between
+    the two blocks exercises the prediction path."""
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _enc(d: int) -> bytes:
+        v0 = d % 200 + 20
+        v1 = (d % 200) // 2 + 40
+        row = bytes([v0]) * 8 + bytes([v1]) * 8
+        return mm.jpeg_encode_gray(row * 8, 16, 8)
+
+    staged = _stage_media(docs, _enc)
+    out = mm.decode_pixels(staged, content_col="content", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+SQL_MULTIMODAL_JPEG_PIXELS = """
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       ROUND(CAST((doc_id % 200 + 20) + ((doc_id % 200) // 2 + 40) AS DOUBLE) / 2, 6)
+           AS mean_pixel
+FROM documents
+"""
+
+
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization of the embedding column — the standard prep step
     before cosine ANN (unit vectors turn cosine into dot product). Pure
@@ -3794,6 +3837,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_audio_meta": (q_multimodal_audio_meta, SQL_MULTIMODAL_AUDIO),
     "multimodal_audio_native": (q_multimodal_audio_native, SQL_MULTIMODAL_AUDIO_NATIVE),
     "multimodal_gif_frames": (q_multimodal_gif_frames, SQL_MULTIMODAL_GIF_FRAMES),
+    "multimodal_jpeg_pixels": (q_multimodal_jpeg_pixels, SQL_MULTIMODAL_JPEG_PIXELS),
     "multimodal_video_meta": (q_multimodal_video_meta, SQL_MULTIMODAL_VIDEO),
     "quality_gopher_rules": (q_quality_gopher_rules, SQL_QUALITY_GOPHER),
     # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---

@@ -650,3 +650,50 @@ def test_gif_frame_decode_distributed(spark):
     assert got[0] == (1, 0, 4, 7.5)
     assert got[1] == (1, 1, 4, 23.5)
     assert got[2][0] == 2 and got[2][1] is None and got[2][3] is None
+
+
+def test_jpeg_baseline_round_trip():
+    """jpeg_encode_gray -> jpeg_decode_gray: exact on DC-only content
+    (per-block constants, where unit quantization is lossless), near-
+    exact on smooth content, None on everything unsupported."""
+    import numpy as np
+
+    from labelspark_spark.operators.multimodal import jpeg_decode_gray, jpeg_encode_gray
+
+    row = bytes([100]) * 8 + bytes([50]) * 8
+    img = row * 8  # 16x8: two constant blocks, nonzero DC diff
+    w, h, dec = jpeg_decode_gray(jpeg_encode_gray(img, 16, 8))
+    assert (w, h) == (16, 8) and dec == img
+    # smooth gradient through the full pipeline (AC coefficients, ZRL,
+    # EOB, category bits): unit quant keeps error within rounding
+    grad = bytes(min(255, r * 3 + c * 2) for r in range(16) for c in range(16))
+    w2, h2, dec2 = jpeg_decode_gray(jpeg_encode_gray(grad, 16, 16))
+    err = np.abs(
+        np.frombuffer(dec2, np.uint8).astype(int) - np.frombuffer(grad, np.uint8).astype(int)
+    )
+    assert err.max() <= 1, err.max()
+    good = jpeg_encode_gray(img, 16, 8)
+    for junk in (None, b"", b"\xff\xd8", b"\xff\xd8\xff\xd9", good[:40], b"nope"):
+        assert jpeg_decode_gray(junk) is None
+
+
+def test_decode_pixels_handles_png_and_jpeg(spark):
+    """decode_pixels: one frame mixing a PNG, a grayscale JPEG, and a
+    non-image — each decoded by whichever real codec recognizes it."""
+    from labelspark_spark.operators.multimodal import (
+        decode_pixels,
+        jpeg_encode_gray,
+        png_encode_gray,
+    )
+
+    png = png_encode_gray(bytes(range(16)), 4, 4)
+    row = bytes([80]) * 8 + bytes([40]) * 8
+    jpg = jpeg_encode_gray(row * 8, 16, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpg)), (3, bytearray(b"junk"))],
+        "media_id int, content binary",
+    )
+    got = {r.media_id: r for r in decode_pixels(df).collect()}
+    assert got[1].width == 4 and got[1].mean_pixel == 7.5
+    assert got[2].width == 16 and got[2].mean_pixel == 60.0
+    assert got[3].width is None and got[3].mean_pixel is None
