@@ -39,6 +39,7 @@ from labelspark_spark.functions import vectors as V
 from labelspark_spark.operators import asof as asof_ops
 from labelspark_spark.operators import dedup as dd
 from labelspark_spark.operators import enrich as enrich_ops
+from labelspark_spark.operators import events_analytics as ea
 from labelspark_spark.operators import flatten as flatten_ops
 from labelspark_spark.operators import multimodal as mm
 from labelspark_spark.operators import silver as silver_ops
@@ -3803,47 +3804,323 @@ FROM ranked GROUP BY component
 
 
 # --------------------------------------------------------------------------
+# round 5: event analytics — funnel / retention / attribution / OHLC /
+# gaps-and-islands / anomaly detection (SURVEY §2 widening; the reference
+# has no event analytics at all — labelspark is ETL-only, client.py:38-81)
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users completing each prefix of view->click->
+    purchase as a strictly time-ordered subsequence. Greedy one-shuffle
+    array fold (operators/events_analytics.py:funnel_depth); the oracle
+    uses the equivalent chained-min formulation. The depth histogram is
+    <=|steps|+1 rows, so the step expansion join is a broadcast of a
+    literal dim against a handful of rows."""
+    ev = _t(spark, sf_dir, "events")
+    depths = ea.funnel_depth(ev, _FUNNEL_STEPS)
+    counts = depths.groupBy("depth").agg(F.count(F.lit(1)).alias("n"))
+    steps_df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(_FUNNEL_STEPS)],
+        schema="step_idx INT, step STRING",
+    )
+    return (
+        steps_df.join(counts, F.col("depth") >= F.col("step_idx"), "left")
+        .groupBy("step_idx", "step")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_users"))
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+), u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > u1.t GROUP BY 1
+), u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t GROUP BY 1
+)
+SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+       CAST((SELECT COUNT(*) FROM u1) AS BIGINT) AS n_users
+UNION ALL SELECT CAST(2 AS INT), 'click', CAST((SELECT COUNT(*) FROM u2) AS BIGINT)
+UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM u3) AS BIGINT)
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix (operators/events_analytics.py:
+    cohort_retention): first-event date x day offset -> distinct active
+    users. The (user, day) distinct runs BEFORE the cohort join."""
+    return ea.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+SQL_RETENTION_COHORTS = """
+WITH f AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', f.cohort_day, a.act_day) AS INT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent view/click at-or-before it (as-of backward join — the scalable
+    union+window form, operators/asof.py:18, NOT a per-purchase
+    correlated scan, which is what the oracle runs). Purchases with no
+    prior touch fall to the 'direct' channel; revenue uses the exact
+    integer-cents money pattern."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_type"
+    )
+    att = asof_ops.asof_join(
+        purchases, touches, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["event_type"],
+    )
+    return att.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("direct")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        _money(F.col("value")).alias("revenue"),
+    )
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_type IN ('view', 'click')
+), a AS (
+  SELECT p.value,
+         (SELECT arg_max(t.event_type, t.ts) FROM t
+          WHERE t.user_id = p.user_id AND t.ts <= p.ts) AS ch
+  FROM p
+)
+SELECT COALESCE(ch, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {MONEY_SQL.format(x='value')} AS revenue
+FROM a GROUP BY 1
+"""
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per (event_type, day): open/close via min_by/max_by on a
+    composite bigint sort key (epoch-micros*1000 + event_id%1000 — ties
+    on ts broken by event id, deterministic under any testdata variant),
+    high/low plain min/max (selections, not sums — exact doubles), and
+    the volume sum in exact integer cents. One partial-aggregated
+    shuffle on the (type, day) grain; no window."""
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ in the testdata; the UTC session cast keeps the
+    # same wall-clock instant DuckDB's epoch_us reads off the naive ts
+    skey = (
+        F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        + F.col("event_id") % F.lit(1000)
+    )
+    return ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.min_by("value", skey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", skey).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        _money(F.col("value")).alias("volume"),
+    )
+
+
+SQL_OHLC_BARS = f"""
+SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       arg_min(value, epoch_us(ts) * 1000 + event_id % 1000) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, epoch_us(ts) * 1000 + event_id % 1000) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {MONEY_SQL.format(x='value')} AS volume
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of >=3 consecutive same-type events
+    per user (row_number difference trick; both windows partitioned by
+    user so no global funnel)."""
+    ev = _t(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_u) - F.row_number().over(w_ut)).alias("_grp"),
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "_grp")
+        .agg(F.min("ts").alias("run_start"), F.count(F.lit(1)).alias("run_len"))
+        .filter(F.col("run_len") >= 3)
+        .drop("_grp")
+    )
+
+
+SQL_GAPS_ISLANDS = """
+WITH g AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS grp
+  FROM events
+)
+SELECT user_id, event_type, MIN(ts) AS run_start,
+       CAST(COUNT(*) AS BIGINT) AS run_len
+FROM g GROUP BY user_id, event_type, grp
+HAVING COUNT(*) >= 3
+"""
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 2.5). The mean/variance inputs are
+    exact bigint cent sums (partition-order double sums are run-
+    nondeterministic — the integer-ppm doctrine above), so mean/std/z are
+    bit-identical IEEE doubles on both engines given the identical
+    expression shape; z is emitted ppm-quantized. The 5-row stats table
+    broadcasts back onto the events scan."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(cents).alias("_sumc"),
+        F.sum(cents * cents).alias("_sumsq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    mean = F.col("_sumc").cast("double") / F.col("_n")
+    var = F.col("_sumsq").cast("double") / F.col("_n") - mean * mean
+    z = (cents.cast("double") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((var > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.floor(z * 1000000.0 + F.lit(0.5)).cast("bigint").alias("z_ppm"),
+        )
+    )
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT event_type, SUM(cents) AS sumc, SUM(cents * cents) AS sumsq,
+         COUNT(*) AS n
+  FROM c GROUP BY 1
+)
+SELECT event_id, c.event_type, value,
+       CAST(FLOOR(((CAST(cents AS DOUBLE) - CAST(sumc AS DOUBLE) / n)
+                   / sqrt(CAST(sumsq AS DOUBLE) / n
+                          - (CAST(sumc AS DOUBLE) / n) * (CAST(sumc AS DOUBLE) / n)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS z_ppm
+FROM c JOIN s USING (event_type)
+WHERE (CAST(sumsq AS DOUBLE) / n
+       - (CAST(sumc AS DOUBLE) / n) * (CAST(sumc AS DOUBLE) / n)) > 0
+  AND ABS((CAST(cents AS DOUBLE) - CAST(sumc AS DOUBLE) / n)
+          / sqrt(CAST(sumsq AS DOUBLE) / n
+                 - (CAST(sumc AS DOUBLE) / n) * (CAST(sumc AS DOUBLE) / n))) > 2.5
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
 # name -> (spark_fn, oracle_sql_or_None)
 #
 # ORDERING MATTERS: the driver's correctness harness checks a prefix window of
-# this registry (50 entries per round).  Round-4 rotation: the 8 new round-4
-# queries lead, then the two streaming replays that failed r03 on the
-# TIMESTAMP_NTZ testdata change (fixed this round), the 4 round-3 appendees
-# that have never had a driver row, the LSH recall query whose operator
-# internals changed this round, and as much of the block whose last driver row
-# is CORRECTNESS_r02 as fits.  Everything below the window stays covered by
+# this registry (50 entries per round).  Round-5 rotation (per the plan noted
+# at the r4 window boundary and VERDICT r4 item 3): queries whose code changed
+# AFTER the r4 driver snapshot lead (salted_agg fix, the two de-globalized
+# top-k windows, the retuned IVF pseudo-labeler, and the three new post-
+# snapshot codec queries), then new round-5 queries, then the block whose
+# last driver row is CORRECTNESS_r02 (both the stale 11 and the deferred 15).
+# The 19-query r4 head block went green in CORRECTNESS_r04 and rotates below
+# the window; everything below the window stays covered by
 # tests/test_oracle_parity.py against the same DuckDB oracle.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- new in round 4: training-data pipeline widening ---
+    # --- changed after the r4 driver snapshot: re-attest first ---
+    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
+    "knn_label_vote_ivf": (q_knn_label_vote_ivf, None),
+    "multimodal_audio_native": (q_multimodal_audio_native, SQL_MULTIMODAL_AUDIO_NATIVE),
+    "multimodal_gif_frames": (q_multimodal_gif_frames, SQL_MULTIMODAL_GIF_FRAMES),
+    "multimodal_jpeg_pixels": (q_multimodal_jpeg_pixels, SQL_MULTIMODAL_JPEG_PIXELS),
+    # --- new in round 5: event analytics ---
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "attribution_last_touch": (q_attribution_last_touch, SQL_ATTRIBUTION_LAST_TOUCH),
+    "ohlc_bars": (q_ohlc_bars, SQL_OHLC_BARS),
+    "gaps_islands": (q_gaps_islands, SQL_GAPS_ISLANDS),
+    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
+    # --- last driver row r02 (stale 11): rotated into the checked window ---
+    "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
+    "date_spine": (q_date_spine, SQL_DATE_SPINE),
+    "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
+    "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
+    "argmax_group": (q_argmax_group, SQL_ARGMAX),
+    "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM),
+    "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
+    "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
+    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
+    # --- last driver row r02 (deferred 15): rotated into the checked window ---
+    "hll_distinct": (q_hll_distinct, None),
+    "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
+    "percentiles_approx": (q_percentiles_approx, None),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "similarity_kmeans_ivf": (q_similarity_kmeans_ivf, None),
+    "scan_project": (q_scan_project, SQL_SCAN_PROJECT),
+    "cast_enrich": (q_cast_enrich, SQL_CAST_ENRICH),
+    "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
+    "join_left_outer": (q_join_left_outer, SQL_JOIN_LEFT),
+    "join_right_outer": (q_join_right_outer, SQL_JOIN_RIGHT),
+    "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL),
+    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
+    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
+    # ---------------- below the 50-entry driver window ----------------
+    # (r4 head block — all green in CORRECTNESS_r04; rotated out)
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "domain_filter": (q_domain_filter, SQL_DOMAIN_FILTER),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
-    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "chunk_pack": (q_chunk_pack, SQL_CHUNK_PACK),
-    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "dedup_canonicalize": (q_dedup_canonicalize, SQL_DEDUP_CANONICALIZE),
     "mixing_weights": (q_mixing_weights, SQL_MIXING_WEIGHTS),
-    "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
     "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
-    "knn_label_vote_ivf": (q_knn_label_vote_ivf, None),
     "fuzzy_levenshtein": (q_fuzzy_levenshtein, SQL_FUZZY_LEVENSHTEIN),
     "agg_correlation": (q_agg_correlation, SQL_AGG_CORRELATION),
     "multimodal_audio_meta": (q_multimodal_audio_meta, SQL_MULTIMODAL_AUDIO),
-    "multimodal_audio_native": (q_multimodal_audio_native, SQL_MULTIMODAL_AUDIO_NATIVE),
-    "multimodal_gif_frames": (q_multimodal_gif_frames, SQL_MULTIMODAL_GIF_FRAMES),
-    "multimodal_jpeg_pixels": (q_multimodal_jpeg_pixels, SQL_MULTIMODAL_JPEG_PIXELS),
     "multimodal_video_meta": (q_multimodal_video_meta, SQL_MULTIMODAL_VIDEO),
     "quality_gopher_rules": (q_quality_gopher_rules, SQL_QUALITY_GOPHER),
-    # --- failed in r03 (TIMESTAMP_NTZ), fixed this round: need fresh rows ---
     "events_stream_replay": (q_events_stream_replay, SQL_EVENTS_STREAM_REPLAY),
     "events_stream_dedup": (q_events_stream_dedup, SQL_EVENTS_STREAM_DEDUP),
-    # --- appended below the r3 window, never driver-checked yet ---
     "dedup_embedding_ivf": (q_dedup_embedding_ivf, None),
     "dedup_embedding_ivf_recall": (
         q_dedup_embedding_ivf_recall,
@@ -3851,12 +4128,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "decontam_hits": (q_decontam_hits, SQL_DECONTAM_HITS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    # --- r4 code changes touched the LSH dedup internals: re-attest ---
     "dedup_embedding_lsh_recall": (
         q_dedup_embedding_lsh_recall,
         SQL_DEDUP_EMBEDDING_LSH_RECALL,
     ),
-    # --- last driver row r02: rotated into the checked window ---
+    # (r04-verified via the r4 window's tail)
     "uploads_build_annotations": (q_uploads_build_annotations, SQL_UPLOADS_ANNOTATIONS),
     "metadata_resolve": (q_metadata_resolve, SQL_METADATA_RESOLVE),
     "video_frames_silver": (q_video_frames_silver, SQL_VIDEO_FRAMES_SILVER),
@@ -3881,39 +4157,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "date_arith": (q_date_arith, SQL_DATE_ARITH),
     "quality_prep_pipeline": (q_quality_prep_pipeline, SQL_QUALITY_PREP),
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT),
-    # ---------------- below the 50-entry driver window ----------------
-    # NEXT ROTATION (r5): everything from here to join_anti has its last
-    # driver row in CORRECTNESS_r02 (displaced by the r4 additions) —
-    # lead the r5 window with this block unless r5 code changes touch
-    # specific operators; the r03/r04-verified blocks below it can wait.
-    "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
-    "date_spine": (q_date_spine, SQL_DATE_SPINE),
-    "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
-    "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
-    "argmax_group": (q_argmax_group, SQL_ARGMAX),
-    "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM),
-    "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
-    "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
-    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
-    # last driver row r02, deferred to the next rotation (stable, code
-    # untouched since; pytest oracle parity still covers every entry)
-    "hll_distinct": (q_hll_distinct, None),
-    "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
-    "percentiles_approx": (q_percentiles_approx, None),
-    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
-    "similarity_kmeans_ivf": (q_similarity_kmeans_ivf, None),
-    "scan_project": (q_scan_project, SQL_SCAN_PROJECT),
-    "cast_enrich": (q_cast_enrich, SQL_CAST_ENRICH),
-    "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
-    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
-    "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
-    "join_left_outer": (q_join_left_outer, SQL_JOIN_LEFT),
-    "join_right_outer": (q_join_right_outer, SQL_JOIN_RIGHT),
-    "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL),
-    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
-    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
     # r03-verified block (green rows in CORRECTNESS_r03)
     "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
     "hll_error_bound": (q_hll_error_bound, SQL_HLL_ERROR_BOUND),

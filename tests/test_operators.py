@@ -697,3 +697,54 @@ def test_decode_pixels_handles_png_and_jpeg(spark):
     assert got[1].width == 4 and got[1].mean_pixel == 7.5
     assert got[2].width == 16 and got[2].mean_pixel == 60.0
     assert got[3].width is None and got[3].mean_pixel is None
+
+
+def test_funnel_depth_greedy_subsequence(spark):
+    """funnel_depth: strictly ordered subsequence semantics — out-of-order
+    steps don't count, repeats may complete the funnel later, and users
+    with no funnel events are absent."""
+    from datetime import datetime
+
+    from labelspark_spark.operators.events_analytics import funnel_depth
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: view -> click -> purchase in order => depth 3
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: purchase BEFORE view/click => only view,click counted
+        (2, t(1), "purchase"), (2, t(2), "view"), (2, t(3), "click"),
+        # u3: click first blocks nothing; later view->click completes 2
+        (3, t(1), "click"), (3, t(2), "view"), (3, t(3), "click"),
+        # u4: view only => depth 1 (other event types ignored)
+        (4, t(1), "signup"), (4, t(2), "view"), (4, t(3), "error"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    got = {
+        r.user_id: r.depth
+        for r in funnel_depth(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 2, 4: 1}
+
+
+def test_cohort_retention_counts(spark):
+    """cohort_retention: users bucket by first-event day; one row per
+    (cohort, offset) with distinct-user counts."""
+    from datetime import datetime
+
+    from labelspark_spark.operators.events_analytics import cohort_retention
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9)), (1, datetime(2024, 1, 3, 9)),
+        (2, datetime(2024, 1, 1, 10)), (2, datetime(2024, 1, 1, 23)),
+        (3, datetime(2024, 1, 3, 1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        (r.cohort_day, r.day_offset): r.n_active
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-03", 0): 1,
+    }
