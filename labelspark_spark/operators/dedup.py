@@ -484,6 +484,53 @@ def ngram_jaccard_pairs_cross(
     return _posting_join_jaccard(pa, pb, threshold, "id_new", "id_old")
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_ppm: int = 600_000,
+    shingle_words: int = 3,
+    unit: str = "word",
+) -> DataFrame:
+    """Asymmetric shingle containment C(A->B) = |A n B| / |A| — the
+    quote/subset detector symmetric Jaccard misses: a short document
+    fully embedded in a long one has low Jaccard (union is large) but
+    containment 1.0 from the short side. Standard alongside Jaccard in
+    training-data dedup (a doc contained in another is a dup even when
+    the host is much longer).
+
+    Same posting-join body as the exact Jaccard ground truth
+    (:func:`ngram_jaccard_pairs` 'count' strategy) but WITHOUT the
+    half-matrix filter — containment is directional, so both (a,b) and
+    (b,a) are scored; the merge hint still collapses the two posting
+    scans into one ReusedExchange. The score is emitted ppm-quantized
+    (floor(inter*1e6/|A| + 0.5), multiply-before-divide — the hash-safe
+    integer shape) and thresholded on the integer, so the filter cannot
+    diverge across engines. At 100 TB the candidate generation would be
+    the prefix/LSH variants in this module; this exact form is the
+    ground truth and the small/medium-corpus path.
+
+    Returns (id_a, id_b, containment_ppm) with id_a != id_b.
+    """
+    sh = _hash_shingled(df, text_col, id_col, shingle_words, unit)
+    posting = sh.select(
+        "_id", F.size("_sh").alias("_n"), F.explode_outer("_sh").alias("_s")
+    )
+    a = posting.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s")
+    b = posting.select(F.col("_id").alias("id_b"), "_s")
+    joined = a.join(b.hint("merge"), "_s").filter(F.col("id_a") != F.col("id_b"))
+    inter = joined.groupBy("id_a", "id_b", "n_a").agg(
+        F.count(F.lit(1)).alias("_i")
+    )
+    ppm = F.floor(
+        F.col("_i").cast("double") * 1000000.0 / F.col("n_a") + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        inter.select("id_a", "id_b", ppm.alias("containment_ppm"))
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+    )
+
+
 def simhash(col: Column, bits: int = 62, seed: int = 42) -> Column:
     """SimHash of whitespace tokens -> bigint (bits <= 62).
 

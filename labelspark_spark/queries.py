@@ -43,6 +43,7 @@ from labelspark_spark.operators import events_analytics as ea
 from labelspark_spark.operators import flatten as flatten_ops
 from labelspark_spark.operators import multimodal as mm
 from labelspark_spark.operators import silver as silver_ops
+from labelspark_spark.operators import skew as skew_ops
 from labelspark_spark.operators import similarity as sim
 from labelspark_spark.operators import uploads as up
 
@@ -4043,6 +4044,306 @@ WHERE (CAST(sumsq AS DOUBLE) / n
 
 
 # --------------------------------------------------------------------------
+# round 5 batch 2: skew-join attestation, text cleaning, bigram LM scoring,
+# containment dedup, iterative PageRank, stateful-streaming replay
+# --------------------------------------------------------------------------
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted JOIN through the driver gate (the salted AGG twin
+    is q_salted_agg): lineitem x orders with the hot-key shuffle spread
+    over 8 deterministic salts (operators/skew.py:25 — right side
+    replicated per salt, left side salted from non-key columns, results
+    provably identical to the plain join). The oracle runs the plain
+    join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = skew_ops.salted_join(li, orders, on=["l_orderkey"], buckets=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _money(F.col("l_extendedprice")).alias("revenue"),
+    )
+
+
+SQL_SALTED_JOIN = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       {MONEY_SQL.format(x='l_extendedprice')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup stripping — the first stage of every web-corpus
+    pipeline. The testdata text is already clean, so the query stages a
+    deterministic HTML wrapper per doc (tags, an entity, stray
+    whitespace) and then strips it: tag removal, entity decode,
+    lowercase, whitespace collapse — all JVM regexp codegen, row-local,
+    shuffle-free."""
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit('<p id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('">  '),
+        F.col("text"),
+        F.lit(" &amp; <b>tail</b></p>\n"),
+    )
+    no_tags = F.regexp_replace(wrapped, "<[^>]*>", " ")
+    decoded = F.regexp_replace(no_tags, "&amp;", "&")
+    cleaned = F.trim(F.regexp_replace(F.lower(decoded), "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).alias("clean_len"),
+        F.size(T.whitespace_tokens(cleaned)).alias("n_tokens"),
+    )
+
+
+SQL_TEXT_CLEAN = f"""
+WITH staged AS (
+  SELECT doc_id,
+         '<p id="' || CAST(doc_id AS VARCHAR) || '">  ' || text
+           || ' &amp; <b>tail</b></p>' || chr(10) AS wrapped
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(
+           regexp_replace(regexp_replace(wrapped, '<[^>]*>', ' ', 'g'),
+                          '&amp;', '&', 'g')),
+           '\\s+', ' ', 'g')) AS clean_text
+  FROM staged
+)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) AS INT) AS clean_len,
+       CAST(len({TOKS_SQL.format(c='clean_text')}) AS INT) AS n_tokens
+FROM c
+"""
+
+
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram language-model scoring — the perplexity-style quality
+    signal (docs with improbable token transitions score low). Two corpus
+    aggregates (bigram and unigram counts) joined back onto the exploded
+    bigram stream; add-one smoothing over the in-plan vocabulary size
+    (broadcast single-row agg, no driver count). Each ln-term is
+    ppm-quantized BEFORE the per-doc sum (bigint sums are order-exact;
+    double sums are partition-order-nondeterministic), per the registry
+    determinism doctrine. At web scale the count joins shuffle on the
+    bigram key; head-bigram skew is AQE's skew-join case."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.whitespace_tokens(T.normalize_text(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.count_distinct("w").alias("_v")
+    )
+    term_ppm = F.floor(
+        F.log(
+            (F.col("c12") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.col("_v")).cast("double")
+        )
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", term_ppm.alias("_t"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_t").alias("logprob_ppm"),
+        (
+            F.sum("_t").cast("double") / F.count(F.lit(1)) / 1000000.0
+        ).alias("avg_logprob"),
+    )
+
+
+SQL_NGRAM_LM_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL.format(c=NORM_SQL.format(c='text'))} AS t FROM documents
+), tt AS (
+  SELECT doc_id, t FROM toks WHERE len(t) >= 2
+), pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+  FROM tt
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2
+), uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT w) AS vv FROM (SELECT unnest(t) AS w FROM tt)
+), terms AS (
+  SELECT p.doc_id,
+         CAST(FLOOR(ln(CAST(b.c12 + 1 AS DOUBLE) / CAST(u.c1 + v.vv AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS term_ppm
+  FROM pairs p JOIN big b USING (w1, w2) JOIN uni u USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(term_ppm) AS BIGINT) AS logprob_ppm,
+       CAST(SUM(term_ppm) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logprob
+FROM terms GROUP BY 1
+"""
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment dup pairs (|A n B|/|A| >= 0.6) —
+    catches short-doc-quoted-in-long-doc dups that symmetric Jaccard
+    misses (operators/dedup.py:containment_pairs). ppm-thresholded on the
+    integer score so the cross-engine filter cannot diverge."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.containment_pairs(
+        docs, "text", "doc_id", threshold_ppm=600_000, shingle_words=3
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL.format(c=NORM_SQL.format(c='text'))} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+), posting AS (
+  SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, COUNT(*) AS i
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b,
+       CAST(FLOOR(i * 1000000.0 / n_a + 0.5) AS BIGINT) AS containment_ppm
+FROM inter
+WHERE CAST(FLOOR(i * 1000000.0 / n_a + 0.5) AS BIGINT) >= 600000
+"""
+
+
+def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 unrolled iterations over a deterministic synthetic
+    link graph (doc -> (doc*31 + 7j) % N, j=1..3; N stays in-plan as a
+    broadcast single-row agg). ALL arithmetic is exact: ranks are ppm
+    bigints, per-edge contributions floor(rank/3.0), damping
+    150000 + floor(0.85*inc) — every double intermediate is an exactly
+    representable integer < 2^52, so both engines round identically.
+    The iterative-join shape (rank join on src -> agg on dst -> left
+    join back) is the standard distributed PageRank step; beyond a few
+    iterations you'd localCheckpoint the lineage like
+    operators/dedup.py:connected_components does."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_nodes = docs.agg(F.count(F.lit(1)).alias("_n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("_j"),
+            "_n",
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 31 + F.col("_j") * 7) % F.col("_n")).alias("dst"),
+        )
+    )
+    ranks = docs.select("doc_id", F.lit(1000000).cast("bigint").alias("rank_ppm"))
+    for _ in range(3):
+        contrib = edges.join(
+            ranks.withColumnRenamed("doc_id", "src"), "src"
+        ).select(
+            "dst",
+            F.floor(F.col("rank_ppm") / F.lit(3.0)).cast("bigint").alias("_c"),
+        )
+        inc = contrib.groupBy("dst").agg(F.sum("_c").alias("_inc"))
+        ranks = (
+            docs.join(inc.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(150000)
+                    + F.floor(
+                        F.lit(0.85) * F.coalesce(F.col("_inc"), F.lit(0)).cast("double")
+                    )
+                )
+                .cast("bigint")
+                .alias("rank_ppm"),
+            )
+        )
+    return ranks
+
+
+SQL_PAGERANK_ITER = """
+WITH nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 7) % nn.n AS dst
+  FROM documents d CROSS JOIN nn CROSS JOIN (VALUES (1), (2), (3)) AS j(j)
+),
+r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes),
+i1 AS (SELECT e.dst, CAST(SUM(CAST(FLOOR(r.rank_ppm / 3.0) AS BIGINT)) AS BIGINT) AS inc
+       FROM edges e JOIN r0 r ON e.src = r.doc_id GROUP BY 1),
+r1 AS (SELECT n.doc_id,
+              CAST(150000 + FLOOR(0.85 * CAST(COALESCE(i.inc, 0) AS DOUBLE)) AS BIGINT) AS rank_ppm
+       FROM nodes n LEFT JOIN i1 i ON i.dst = n.doc_id),
+i2 AS (SELECT e.dst, CAST(SUM(CAST(FLOOR(r.rank_ppm / 3.0) AS BIGINT)) AS BIGINT) AS inc
+       FROM edges e JOIN r1 r ON e.src = r.doc_id GROUP BY 1),
+r2 AS (SELECT n.doc_id,
+              CAST(150000 + FLOOR(0.85 * CAST(COALESCE(i.inc, 0) AS DOUBLE)) AS BIGINT) AS rank_ppm
+       FROM nodes n LEFT JOIN i2 i ON i.dst = n.doc_id),
+i3 AS (SELECT e.dst, CAST(SUM(CAST(FLOOR(r.rank_ppm / 3.0) AS BIGINT)) AS BIGINT) AS inc
+       FROM edges e JOIN r2 r ON e.src = r.doc_id GROUP BY 1),
+r3 AS (SELECT n.doc_id,
+              CAST(150000 + FLOOR(0.85 * CAST(COALESCE(i.inc, 0) AS DOUBLE)) AS BIGINT) AS rank_ppm
+       FROM nodes n LEFT JOIN i3 i ON i.dst = n.doc_id)
+SELECT doc_id, rank_ppm FROM r3
+"""
+
+
+def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hard-signal for the CUSTOM stateful operator: the events table
+    replays TWICE (two files, one micro-batch each — maxFilesPerTrigger=1)
+    through applyInPandasWithState (streaming/stateful.py:75), so the
+    second batch must fold into state carried from the first. State holds
+    exact integer cents (double accumulation across micro-batches would be
+    arrival-order-nondeterministic), so the doubled totals hash-match the
+    batch oracle. Final state per user = the max-n_events update row
+    (n_events grows monotonically)."""
+    from labelspark_spark.streaming import events as se
+    from labelspark_spark.streaming import stateful as st
+
+    d = _stage_stream_dir(sf_dir, copies=2)
+    stream = _normalize_ts(se.read_events_stream(spark, d))
+    stats = st.user_session_stats(stream)
+    _replay_to_memory(stats, "events_stream_stateful_sink", "update")
+    sink = spark.table("events_stream_stateful_sink")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_STREAM_STATEFUL = """
+SELECT user_id,
+       CAST(2 * COUNT(*) AS BIGINT) AS n_events,
+       CAST(2 * SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4074,6 +4375,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ohlc_bars": (q_ohlc_bars, SQL_OHLC_BARS),
     "gaps_islands": (q_gaps_islands, SQL_GAPS_ISLANDS),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
+    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
+    "ngram_lm_score": (q_ngram_lm_score, SQL_NGRAM_LM_SCORE),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "pagerank_iter": (q_pagerank_iter, SQL_PAGERANK_ITER),
+    "events_stream_stateful": (q_events_stream_stateful, SQL_EVENTS_STREAM_STATEFUL),
     # --- last driver row r02 (stale 11): rotated into the checked window ---
     "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
     "date_spine": (q_date_spine, SQL_DATE_SPINE),

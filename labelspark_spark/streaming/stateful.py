@@ -20,10 +20,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# sum held as exact integer cents: accumulating doubles across
+# micro-batches is arrival-order-dependent (partial-sum rounding), so the
+# emitted sum would be replay-nondeterministic; bigint cents folded in any
+# order give the identical total, divided once at emit time.
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("sum_value", DoubleType()),
+        StructField("sum_cents", LongType()),
         StructField("last_ts_micros", LongType()),
     ]
 )
@@ -45,28 +49,32 @@ def _make_update_fn(idle_timeout_ms: int | None):
         Emits one row per update; on idle timeout emits a final 'expired'
         row and drops the state.
         """
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
         if state.hasTimedOut:
-            n, total, _ = state.get
+            n, cents, _ = state.get
             state.remove()
             yield pd.DataFrame(
-                [{"user_id": user_id, "n_events": n, "sum_value": total, "status": "expired"}]
+                [{"user_id": user_id, "n_events": n, "sum_value": cents / 100.0, "status": "expired"}]
             )
             return
 
-        n, total, last_ts = state.get if state.exists else (0, 0.0, 0)
+        n, cents, last_ts = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
             if len(pdf):
+                # floor(x*100 + 0.5): same cents shape as queries._money
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+                )
                 last_ts = max(last_ts, int(pdf["ts"].astype("int64").max() // 1000))
-        state.update((n, total, last_ts))
+        state.update((n, cents, last_ts))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
-            [{"user_id": user_id, "n_events": n, "sum_value": total, "status": "active"}]
+            [{"user_id": user_id, "n_events": n, "sum_value": cents / 100.0, "status": "active"}]
         )
 
     return _update_user_state

@@ -748,3 +748,24 @@ def test_cohort_retention_counts(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-03", 0): 1,
     }
+
+
+def test_containment_pairs_asymmetric(spark):
+    """containment_pairs: a short doc fully quoted inside a long one has
+    containment 1.0 from the short side but far less from the long side
+    — the directional pair survives, the reverse falls under threshold."""
+    from labelspark_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words only here")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment_ppm
+        for r in containment_pairs(df, threshold_ppm=600_000).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1_000_000
+    assert (2, 1) not in got
+    assert not any(3 in pair for pair in got)
