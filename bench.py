@@ -61,6 +61,22 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "multimodal_audio_meta",
     "multimodal_video_meta",
+    # round-5 event-analytics + training-data families (streaming replays
+    # stay out of the bench set, as before; totals not comparable
+    # round-over-round — compare per-query)
+    "funnel_steps",
+    "retention_cohorts",
+    "attribution_last_touch",
+    "ohlc_bars",
+    "gaps_islands",
+    "anomaly_zscore",
+    "salted_join",
+    "text_clean",
+    "ngram_lm_score",
+    "dedup_containment",
+    "pagerank_iter",
+    "heavy_hitters",
+    "timeseries_interpolate",
 ]
 
 

@@ -3619,14 +3619,36 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label propagation (weak supervision / pseudo-labeling): each
     vector takes the majority label of its 5 nearest neighbors by
     cosine, ties broken (votes desc, label asc); neighbor order is total
-    (cos-rounded desc, vec_id). Exact pairwise scoring here is the
+    (cos-ppm desc, vec_id). Exact pairwise scoring here is the
     oracle-checkable variant; at 100 TB the neighbor set comes from the
     persisted IVF index (`similarity_ivf_probe`) and the vote is the
-    same aggregation. Norms hoisted per row, not per pair."""
+    same aggregation.
+
+    Runs the Arrow/numpy scorer (operators/similarity.py:
+    knn_label_vote_arrow), which is bit-identical to the expression-tree
+    twin `_knn_label_vote_expr` below (asserted in
+    tests/test_operators.py) but ~100x faster — the 64-term dot above a
+    BNLJ evaluates interpreted, outside whole-stage codegen."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.knn_label_vote_arrow(emb, f"{sf_dir}/embeddings.parquet", k=5, dim=64)
+
+
+def _knn_label_vote_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-tree twin of q_knn_label_vote (JVM-only, no Python).
+
+    Kept as the cross-check for the Arrow path's bit-parity claim: the
+    numpy loop accumulates over the dim axis in the same order as this
+    flat left-fold, so cos_ppm — and therefore neighbors, votes, and
+    output rows — must match EXACTLY."""
     from labelspark_spark.functions.vectors import cosine_from_parts, dot_expr, norm_expr
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(
+    # repartition the probe side: the BroadcastNestedLoopJoin inherits the
+    # left side's partitioning, and a small parquet read is ONE split — on
+    # local[32] (or a 1000-executor cluster reading few files) the whole
+    # O(n^2/2) scoring would otherwise run in a single task
+    par = spark.sparkContext.defaultParallelism
+    a = emb.repartition(par).select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("_va"),
@@ -3643,7 +3665,19 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double, and here a divergent 7th-decimal halfway case would reorder
     # the neighbor window and flip a categorical vote; floor of identical
     # double arithmetic is engine-stable
-    scored = a.join(b, F.col("id_a") != F.col("id_b")).select(
+    #
+    # cosine is SYMMETRIC, and bit-identical under operand swap (per-term
+    # products and the denominator norm product commute in IEEE): score
+    # each unordered pair ONCE (half-matrix join), then emit BOTH
+    # directions by exploding a two-element array inside the same
+    # operator — one BNLJ, the expensive 64-dim scoring (interpreted:
+    # the flat expression sits above a BNLJ, outside whole-stage codegen)
+    # runs n^2/2 times, not n^2. (A union of two projections over a
+    # shared repartition does NOT get this: Catalyst pushes the swap
+    # projection below the exchange and breaks ReusedExchange
+    # canonicalization — measured, not guessed.) Only ids/labels/cos_ppm
+    # ride the window shuffle, never the vectors.
+    half = a.join(b, F.col("id_a") < F.col("id_b")).select(
         "id_a",
         "label_a",
         "id_b",
@@ -3654,6 +3688,26 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("bigint").alias("cos_ppm"),
     )
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_a"),
+                    F.col("label_a").alias("label_a"),
+                    F.col("id_b").alias("id_b"),
+                    F.col("label_b").alias("label_b"),
+                    F.col("cos_ppm").alias("cos_ppm"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("label_b").alias("label_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.col("label_a").alias("label_b"),
+                    F.col("cos_ppm").alias("cos_ppm"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.*")
     w = Window.partitionBy("id_a").orderBy(F.col("cos_ppm").desc(), F.col("id_b"))
     nn = scored.select("id_a", "label_a", "label_b", F.row_number().over(w).alias("_rn")).filter(
         F.col("_rn") <= 5
@@ -4344,6 +4398,178 @@ FROM events GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# round 5 batch 3: stream-static enrichment, iceberg heavy hitters,
+# time-series gap-fill interpolation
+# --------------------------------------------------------------------------
+
+
+def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hard-signal: STREAM-STATIC join — the replayed event stream
+    broadcast-enriched with the customer dimension (stateless per
+    micro-batch, the standard streaming-enrichment shape), then a running
+    count per market segment in complete mode; the final state equals the
+    batch left-join aggregate."""
+    from labelspark_spark.streaming import events as se
+
+    d = _stage_stream_dir(sf_dir, copies=1)
+    stream = _normalize_ts(se.read_events_stream(spark, d))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"], "left"
+    )
+    agg = enriched.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("segment")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    _replay_to_memory(agg, "events_stream_enrich_sink", "complete")
+    return spark.table("events_stream_enrich_sink")
+
+
+SQL_EVENTS_STREAM_ENRICH = """
+SELECT COALESCE(c_mktsegment, 'unknown') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg query / exact heavy hitters: tokens whose corpus frequency
+    exceeds 1/1000 of all tokens. One map-side-combined count agg; the
+    total stays IN the plan (broadcast single-row agg) and the threshold
+    compare plus the reported frequency are integer-ppm, so the filter
+    cannot diverge cross-engine. The approximate twin at scale is
+    count-min/F.freqItems; this exact form is the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.whitespace_tokens(T.normalize_text(F.col("text")))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "n_tok",
+            F.floor(F.col("n_tok") * 1000000.0 / F.col("_total") + F.lit(0.5))
+            .cast("bigint")
+            .alias("freq_ppm"),
+        )
+        .filter(F.col("freq_ppm") >= 1000)
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({TOKS_SQL.format(c=NORM_SQL.format(c='text'))}) AS tok FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY 1
+), t AS (SELECT COUNT(*) AS total FROM toks)
+SELECT tok, n_tok,
+       CAST(FLOOR(n_tok * 1000000.0 / t.total + 0.5) AS BIGINT) AS freq_ppm
+FROM counts CROSS JOIN t
+WHERE CAST(FLOOR(n_tok * 1000000.0 / t.total + 0.5) AS BIGINT) >= 1000
+"""
+
+
+def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill: per-user daily purchase totals on a dense
+    daily spine, missing days LINEARLY interpolated between the previous
+    and next observed day (boundary days clamp to the nearest
+    observation). Interpolation arithmetic is all exactly-representable
+    integers in doubles with one division, floor-half-up quantized — the
+    identical shape on both engines. Spine = users x global day range
+    (bounded by the calendar, not the event count); carry-forward /
+    carry-backward are partitioned window lasts, no global funnel."""
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("_day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("_cents"))
+    )
+    bounds = obs.agg(F.min("_day").alias("_lo"), F.max("_day").alias("_hi"))
+    users = obs.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence("_lo", "_hi", F.expr("interval 1 day"))).alias("_day"),
+    )
+    g = spine.join(obs, ["user_id", "_day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_day").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_c = F.last("_cents", ignorenulls=True).over(wb)
+    prev_d = F.last(F.when(F.col("_cents").isNotNull(), F.col("_day")), ignorenulls=True).over(wb)
+    next_c = F.last("_cents", ignorenulls=True).over(wf)
+    next_d = F.last(F.when(F.col("_cents").isNotNull(), F.col("_day")), ignorenulls=True).over(wf)
+    staged = g.select(
+        "user_id", "_day", "_cents",
+        prev_c.alias("_pc"), prev_d.alias("_pd"),
+        next_c.alias("_nc"), next_d.alias("_nd"),
+    )
+    interp = (
+        F.when(F.col("_cents").isNotNull(), F.col("_cents"))
+        .when(F.col("_pd").isNull(), F.col("_nc"))
+        .when(F.col("_nd").isNull(), F.col("_pc"))
+        .otherwise(
+            F.floor(
+                F.col("_pc")
+                + (F.col("_nc") - F.col("_pc")).cast("double")
+                * F.datediff("_day", "_pd")
+                / F.datediff("_nd", "_pd")
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+    )
+    return staged.select(
+        "user_id",
+        F.col("_day").cast("string").alias("day"),
+        interp.alias("cents"),
+        F.when(F.col("_cents").isNotNull(), F.lit("obs")).otherwise(F.lit("interp")).alias("src"),
+    )
+
+
+SQL_TIMESERIES_INTERPOLATE = """
+WITH obs AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+spine AS (
+  SELECT u.user_id, CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM (SELECT DISTINCT user_id FROM obs) u CROSS JOIN b
+), g AS (
+  SELECT s.user_id, s.d, o.cents FROM spine s
+  LEFT JOIN obs o ON o.user_id = s.user_id AND o.d = s.d
+), staged AS (
+  SELECT user_id, d, cents,
+         last_value(cents IGNORE NULLS) OVER wb AS pc,
+         last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER wb AS pd,
+         last_value(cents IGNORE NULLS) OVER wf AS nc,
+         last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER wf AS nd
+  FROM g
+  WINDOW wb AS (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY user_id ORDER BY d DESC ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       CASE WHEN cents IS NOT NULL THEN cents
+            WHEN pd IS NULL THEN nc
+            WHEN nd IS NULL THEN pc
+            ELSE CAST(FLOOR(pc + CAST(nc - pc AS DOUBLE)
+                                 * datediff('day', pd, d)
+                                 / datediff('day', pd, nd) + 0.5) AS BIGINT)
+       END AS cents,
+       CASE WHEN cents IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+FROM staged
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4381,6 +4607,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "pagerank_iter": (q_pagerank_iter, SQL_PAGERANK_ITER),
     "events_stream_stateful": (q_events_stream_stateful, SQL_EVENTS_STREAM_STATEFUL),
+    "events_stream_enrich": (q_events_stream_enrich, SQL_EVENTS_STREAM_ENRICH),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "timeseries_interpolate": (q_timeseries_interpolate, SQL_TIMESERIES_INTERPOLATE),
     # --- last driver row r02 (stale 11): rotated into the checked window ---
     "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
     "date_spine": (q_date_spine, SQL_DATE_SPINE),

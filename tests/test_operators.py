@@ -769,3 +769,52 @@ def test_containment_pairs_asymmetric(spark):
     assert (1, 2) in got and got[(1, 2)] == 1_000_000
     assert (2, 1) not in got
     assert not any(3 in pair for pair in got)
+
+
+def test_timeseries_interpolate_values(spark):
+    """timeseries_interpolate: gap days get exact linear interpolation
+    between neighbors; days before the first / after the last observation
+    clamp to the nearest one."""
+    from labelspark_spark.queries import q_timeseries_interpolate
+
+    import tempfile
+    from datetime import datetime
+
+    # user 1 purchases on day 2 (100.00) and day 5 (400.00); user 2 only
+    # on day 3 (50.00). Global spine = days 2..5.
+    rows = [
+        (1, datetime(2024, 1, 2, 12), 1, "purchase", 100.0, ""),
+        (2, datetime(2024, 1, 5, 12), 1, "purchase", 400.0, ""),
+        (3, datetime(2024, 1, 3, 12), 2, "purchase", 50.0, ""),
+        (4, datetime(2024, 1, 4, 12), 2, "click", 9.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp(prefix="ts_interp_")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        (r.user_id, r.day): (r.cents, r.src)
+        for r in q_timeseries_interpolate(spark, d).collect()
+    }
+    assert got[(1, "2024-01-02")] == (10000, "obs")
+    # linear: 10000 + (40000-10000) * 1/3 = 20000; * 2/3 = 30000
+    assert got[(1, "2024-01-03")] == (20000, "interp")
+    assert got[(1, "2024-01-04")] == (30000, "interp")
+    assert got[(1, "2024-01-05")] == (40000, "obs")
+    # user 2: day 3 observed, others clamp to it
+    assert got[(2, "2024-01-02")] == (5000, "interp")
+    assert got[(2, "2024-01-03")] == (5000, "obs")
+    assert got[(2, "2024-01-05")] == (5000, "interp")
+
+
+def test_knn_arrow_bit_parity_with_expression_twin(spark):
+    """The Arrow/numpy knn scorer must produce EXACTLY the rows of the
+    JVM expression-tree twin — same cos_ppm ranking, same votes — since
+    its inner loop replays the identical IEEE mul/add chain."""
+    from labelspark_spark.queries import _knn_label_vote_expr, q_knn_label_vote
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in q_knn_label_vote(spark, sf).collect()}
+    want = {tuple(r) for r in _knn_label_vote_expr(spark, sf).collect()}
+    assert got == want and len(got) > 0
