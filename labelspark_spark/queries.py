@@ -4594,6 +4594,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_audio_native": (q_multimodal_audio_native, SQL_MULTIMODAL_AUDIO_NATIVE),
     "multimodal_gif_frames": (q_multimodal_gif_frames, SQL_MULTIMODAL_GIF_FRAMES),
     "multimodal_jpeg_pixels": (q_multimodal_jpeg_pixels, SQL_MULTIMODAL_JPEG_PIXELS),
+    # knn scoring moved to the Arrow path this round (bit-parity with the
+    # expression twin asserted in tests): re-attest through the driver
+    "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     # --- new in round 5: event analytics ---
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
@@ -4648,7 +4651,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_pack": (q_chunk_pack, SQL_CHUNK_PACK),
     "dedup_canonicalize": (q_dedup_canonicalize, SQL_DEDUP_CANONICALIZE),
     "mixing_weights": (q_mixing_weights, SQL_MIXING_WEIGHTS),
-    "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "fuzzy_levenshtein": (q_fuzzy_levenshtein, SQL_FUZZY_LEVENSHTEIN),
     "agg_correlation": (q_agg_correlation, SQL_AGG_CORRELATION),
