@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "pagerank_iter",
     "heavy_hitters",
     "timeseries_interpolate",
+    "rolling_avg_7d",
+    "chi2_association",
+    "dq_checks",
 ]
 
 
