@@ -4834,6 +4834,62 @@ SELECT 'events_type_not_null',
 """
 
 
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hard-signal: STREAM-STREAM interval join — purchases joined to
+    the same user's clicks within the prior 6 hours, both sides
+    watermarked (the state-retention contract: Spark can discard click
+    state older than the watermark minus the interval). The joined pairs
+    sink in append mode; aggregation happens in the batch read-back (a
+    join-then-agg chain would stack stateful operators in one streaming
+    query). Replayed in one micro-batch, so watermarking drops nothing
+    and the sink equals the batch interval join."""
+    from labelspark_spark.streaming import events as se
+
+    d = _stage_stream_dir(sf_dir, copies=1)
+    purchases = (
+        _normalize_ts(se.read_events_stream(spark, d))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _normalize_ts(se.read_events_stream(spark, d))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 6 hours"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    _replay_to_memory(pairs, "events_stream_join_sink", "append")
+    return (
+        spark.table("events_stream_join_sink")
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SQL_EVENTS_STREAM_JOIN = """
+SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # round 5 batch 5: product-quantization ANN (compressed-vector scale path)
 # --------------------------------------------------------------------------
@@ -4939,6 +4995,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pagerank_iter": (q_pagerank_iter, SQL_PAGERANK_ITER),
     "events_stream_stateful": (q_events_stream_stateful, SQL_EVENTS_STREAM_STATEFUL),
     "events_stream_enrich": (q_events_stream_enrich, SQL_EVENTS_STREAM_ENRICH),
+    "events_stream_join": (q_events_stream_join, SQL_EVENTS_STREAM_JOIN),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "timeseries_interpolate": (q_timeseries_interpolate, SQL_TIMESERIES_INTERPOLATE),
     "rolling_avg_7d": (q_rolling_avg_7d, SQL_ROLLING_AVG_7D),
@@ -4969,15 +5026,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "scan_project": (q_scan_project, SQL_SCAN_PROJECT),
     "cast_enrich": (q_cast_enrich, SQL_CAST_ENRICH),
     "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
-    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     # ---------------- the 50-entry driver window ends here ----------------
-    # The 22 new round-5 queries + the Arrow-path knn re-attest push 6 of
-    # the r02-deferred block past the window edge: q3_shipping_priority
-    # (still smoke-run every round as the entry() flagship) and the five
-    # outer/semi/anti joins stay r02-stale one more round (code untouched
-    # since r1, locally re-verified every pytest run by
-    # tests/test_oracle_parity.py) — NEXT ROTATION (r6): lead with these
-    # six.
+    # The 23 new round-5 queries + the Arrow-path knn re-attest push 7 of
+    # the r02-deferred block past the window edge: q1_pricing_summary,
+    # q3_shipping_priority (still smoke-run every round as the entry()
+    # flagship) and the five outer/semi/anti joins stay r02-stale one more
+    # round (code untouched since r1, locally re-verified every pytest
+    # run by tests/test_oracle_parity.py) — NEXT ROTATION (r6): lead with
+    # these seven.
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
     "join_left_outer": (q_join_left_outer, SQL_JOIN_LEFT),
     "join_right_outer": (q_join_right_outer, SQL_JOIN_RIGHT),
