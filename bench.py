@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "rolling_avg_7d",
     "chi2_association",
     "dq_checks",
+    "incremental_agg_merge",
+    "url_canonicalize",
 ]
 
 

@@ -4891,8 +4891,166 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# round 5 batch 6: partition-pruned sink/scan roundtrip, incremental
+# aggregate maintenance, URL canonicalization
+# --------------------------------------------------------------------------
+
+
+def q_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-PRUNED scan: events
+    written partitionBy(event_type), read back filtered to two types —
+    the filter must land in PartitionFilters so the other partitions'
+    files are never opened (plan-asserted in tests/test_plan_quality.py).
+    The layout every 100 TB table uses for its coarsest access path."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="part_rt_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
+    back = spark.read.parquet(d).filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _money(F.col("value")).alias("revenue"),
+    )
+
+
+SQL_PARTITIONED_ROUNDTRIP = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       {MONEY_SQL.format(x='value')} AS revenue
+FROM events WHERE event_type IN ('purchase', 'click')
+GROUP BY 1
+"""
+
+
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: a standing aggregate state (80% of
+    events by deterministic id slice) merged with a delta batch (the
+    other 20%) through the partial-aggregate merge rules — counts add,
+    sums add, min/max fold — WITHOUT rescanning history. The oracle
+    aggregates the full table directly: merged state must equal the
+    from-scratch answer exactly (exact integer cents make the sums
+    associative)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sum_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+
+    state = partial(ev.filter(F.pmod(F.col("event_id"), F.lit(5)) != 0))
+    delta = partial(ev.filter(F.pmod(F.col("event_id"), F.lit(5)) == 0))
+    return (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+
+
+SQL_INCREMENTAL_AGG_MERGE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events GROUP BY 1
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the first step of web-corpus dedup (raw
+    URLs differ by tracking params/fragments while pointing at the same
+    resource). URLs are staged deterministically per doc, then
+    canonicalized with engine-portable regexes (NO lookbehind — DuckDB's
+    RE2 lacks it): fragment strip, utm_* tracking-param removal,
+    trailing separator cleanup. Row-local, shuffle-free except the final
+    per-host rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    no_utm_mid = F.regexp_replace(no_frag, "utm_[a-z_]+=[^&]*&", "")
+    no_utm_end = F.regexp_replace(no_utm_mid, "[?&]utm_[a-z_]+=[^&]*$", "")
+    tidy = F.regexp_replace(no_utm_end, "[?&]$", "")
+    # host lowercased, rest of the URL case-preserved
+    host = F.lower(F.regexp_extract(tidy, "^https://([^/]+)", 1))
+    canon = F.concat(
+        F.lit("https://"), host, F.regexp_extract(tidy, "^https://[^/]+(.*)$", 1)
+    )
+    return docs.select(
+        "doc_id",
+        canon.alias("canon_url"),
+        host.alias("host"),
+        F.regexp_extract(canon, "id=([0-9]+)", 1).cast("bigint").alias("id_param"),
+    )
+
+
+SQL_URL_CANONICALIZE = """
+WITH staged AS (
+  SELECT doc_id,
+         'https://' || source || '.Example.COM/docs/' || CAST(doc_id % 7 AS VARCHAR)
+           || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+           || '&utm_campaign=x#frag' AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(url, '#.*$', ''),
+               'utm_[a-z_]+=[^&]*&', '', 'g'),
+             '[?&]utm_[a-z_]+=[^&]*$', ''),
+           '[?&]$', '') AS tidy
+  FROM staged
+)
+SELECT doc_id,
+       'https://' || lower(regexp_extract(tidy, '^https://([^/]+)', 1))
+         || regexp_extract(tidy, '^https://[^/]+(.*)$', 1) AS canon_url,
+       lower(regexp_extract(tidy, '^https://([^/]+)', 1)) AS host,
+       CAST(regexp_extract('https://' || lower(regexp_extract(tidy, '^https://([^/]+)', 1))
+              || regexp_extract(tidy, '^https://[^/]+(.*)$', 1), 'id=([0-9]+)', 1)
+            AS BIGINT) AS id_param
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # round 5 batch 5: product-quantization ANN (compressed-vector scale path)
 # --------------------------------------------------------------------------
+
+
+# PQ codebooks are deterministic in (sf_dir, hyperparams) — seeded init,
+# fixed iteration count — so retraining per query call (similarity_pq AND
+# its recall companion, in every parity/plan-test pass) would just recompute
+# identical floats. One-session memo; the driver's fresh process retrains.
+_PQ_BOOK_CACHE: dict = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    key = (sf_dir, 8, 64, 16, 3)
+    if key not in _PQ_BOOK_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _PQ_BOOK_CACHE[key] = sim.pq_train(
+            emb, num_subspaces=8, dim=64, ksub=16, max_iters=3
+        )
+    return _PQ_BOOK_CACHE[key]
 
 
 def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4907,7 +5065,7 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    books = sim.pq_train(emb, num_subspaces=8, dim=64, ksub=16, max_iters=3)
+    books = _pq_books(spark, sf_dir)
     return sim.pq_topk(
         emb, queries, books, k=10, rerank=100, query_id_col="query_id"
     )
@@ -4923,7 +5081,7 @@ def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = sim.brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
-    books = sim.pq_train(emb, num_subspaces=8, dim=64, ksub=16, max_iters=3)
+    books = _pq_books(spark, sf_dir)
     approx = sim.pq_topk(
         emb, queries, books, k=10, rerank=100, query_id_col="query_id"
     ).select("query_id", "neighbor_id")
@@ -5005,6 +5163,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "similarity_pq": (q_similarity_pq, None),
     "similarity_pq_recall": (q_similarity_pq_recall, SQL_SIMILARITY_PQ_RECALL),
+    "partitioned_roundtrip": (q_partitioned_roundtrip, SQL_PARTITIONED_ROUNDTRIP),
+    "incremental_agg_merge": (q_incremental_agg_merge, SQL_INCREMENTAL_AGG_MERGE),
+    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     # --- last driver row r02 (stale 11): rotated into the checked window ---
     "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
     "date_spine": (q_date_spine, SQL_DATE_SPINE),
@@ -5023,17 +5184,18 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "percentiles_approx": (q_percentiles_approx, None),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "similarity_kmeans_ivf": (q_similarity_kmeans_ivf, None),
+    # ---------------- the 50-entry driver window ends here ----------------
+    # The 26 new round-5 queries + the Arrow-path knn re-attest push 10 of
+    # the r02-deferred block past the window edge: scan_project,
+    # cast_enrich, filter_predicates, q1_pricing_summary,
+    # q3_shipping_priority (still smoke-run every round as the entry()
+    # flagship) and the five outer/semi/anti joins stay r02-stale one more
+    # round (all code-untouched since r1/r2 and locally re-verified every
+    # pytest run by tests/test_oracle_parity.py) — NEXT ROTATION (r6):
+    # lead with these ten.
     "scan_project": (q_scan_project, SQL_SCAN_PROJECT),
     "cast_enrich": (q_cast_enrich, SQL_CAST_ENRICH),
     "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
-    # ---------------- the 50-entry driver window ends here ----------------
-    # The 23 new round-5 queries + the Arrow-path knn re-attest push 7 of
-    # the r02-deferred block past the window edge: q1_pricing_summary,
-    # q3_shipping_priority (still smoke-run every round as the entry()
-    # flagship) and the five outer/semi/anti joins stay r02-stale one more
-    # round (code untouched since r1, locally re-verified every pytest
-    # run by tests/test_oracle_parity.py) — NEXT ROTATION (r6): lead with
-    # these seven.
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
     "join_left_outer": (q_join_left_outer, SQL_JOIN_LEFT),

@@ -249,3 +249,19 @@ def test_no_unguarded_global_window_in_any_declared_query(spark):
         if not guarded:
             offenders[name] = specs[0][:120]
     assert not offenders, f"unguarded single-partition windows: {offenders}"
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark):
+    """q_partitioned_roundtrip's read filter must land in
+    PartitionFilters (only the purchase/click partition dirs are ever
+    opened), not as a post-scan data filter."""
+    from labelspark_spark.queries import q_partitioned_roundtrip
+
+    df = q_partitioned_roundtrip(spark, SF_SMOKE)
+    plan = explain.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    import re
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("event_type" in ln for ln in pf), pf
+    # the partition filter is genuinely restrictive (IN on two values)
+    assert any("purchase" in ln or "click" in ln for ln in pf), pf
