@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "dq_checks",
     "incremental_agg_merge",
     "url_canonicalize",
+    "event_transitions",
+    "skew_report",
 ]
 
 

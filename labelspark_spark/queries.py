@@ -4891,6 +4891,189 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# round 5 batch 7: Markov transitions, entropy profiling, period-over-period
+# growth, hot-key skew report
+# --------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: counts and
+    ppm probabilities of event_type -> next event_type (lead window
+    partitioned by user — sequence context never crosses users, no
+    global funnel). The behavioral-analytics building block for journey
+    modeling."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = o.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_tot = counts.groupBy("event_type").agg(F.sum("n_transitions").alias("_rt"))
+    return counts.join(F.broadcast(row_tot), "event_type").select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.floor(F.col("n_transitions") * 1000000.0 / F.col("_rt") + F.lit(0.5))
+        .cast("bigint")
+        .alias("prob_ppm"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), counts AS (
+  SELECT event_type, next_type, COUNT(*) AS n_transitions
+  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+), rt AS (
+  SELECT event_type, SUM(n_transitions) AS tot FROM counts GROUP BY 1
+)
+SELECT c.event_type, c.next_type, CAST(c.n_transitions AS BIGINT) AS n_transitions,
+       CAST(FLOOR(c.n_transitions * 1000000.0 / rt.tot + 0.5) AS BIGINT) AS prob_ppm
+FROM counts c JOIN rt USING (event_type)
+"""
+
+
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column (events.event_type,
+    documents.lang, documents.source) — the balance metric data-mixing
+    decisions read. Each -p*ln(p) term is ppm-quantized BEFORE the
+    bigint sum (the order-exact doctrine); category counts are one
+    map-side-combined agg per column."""
+
+    def ent(df: DataFrame, col: str, label: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
+        total = counts.agg(F.sum("_c").alias("_n"))
+        p = F.col("_c").cast("double") / F.col("_n")
+        term = F.floor(-(p) * F.log(p) * 1000000.0 + F.lit(0.5)).cast("bigint")
+        return (
+            counts.crossJoin(F.broadcast(total))
+            .select(term.alias("_t"))
+            .agg(
+                F.lit(label).alias("col_name"),
+                F.count(F.lit(1)).alias("n_categories"),
+                F.sum("_t").alias("entropy_ppm"),
+            )
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        ent(ev, "event_type", "events.event_type")
+        .unionByName(ent(docs, "lang", "documents.lang"))
+        .unionByName(ent(docs, "source", "documents.source"))
+    )
+
+
+SQL_ENTROPY_PROFILE = """
+WITH e1 AS (
+  SELECT COUNT(*) AS c FROM events GROUP BY event_type
+), t1 AS (SELECT SUM(c) AS n FROM e1),
+e2 AS (SELECT COUNT(*) AS c FROM documents GROUP BY lang),
+t2 AS (SELECT SUM(c) AS n FROM e2),
+e3 AS (SELECT COUNT(*) AS c FROM documents GROUP BY source),
+t3 AS (SELECT SUM(c) AS n FROM e3)
+SELECT 'events.event_type' AS col_name,
+       CAST((SELECT COUNT(*) FROM e1) AS BIGINT) AS n_categories,
+       CAST((SELECT SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / t1.n)
+                 * ln(CAST(c AS DOUBLE) / t1.n) * 1000000.0 + 0.5) AS BIGINT))
+             FROM e1 CROSS JOIN t1) AS BIGINT) AS entropy_ppm
+UNION ALL
+SELECT 'documents.lang', CAST((SELECT COUNT(*) FROM e2) AS BIGINT),
+       CAST((SELECT SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / t2.n)
+                 * ln(CAST(c AS DOUBLE) / t2.n) * 1000000.0 + 0.5) AS BIGINT))
+             FROM e2 CROSS JOIN t2) AS BIGINT)
+UNION ALL
+SELECT 'documents.source', CAST((SELECT COUNT(*) FROM e3) AS BIGINT),
+       CAST((SELECT SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / t3.n)
+                 * ln(CAST(c AS DOUBLE) / t3.n) * 1000000.0 + 0.5) AS BIGINT))
+             FROM e3 CROSS JOIN t3) AS BIGINT)
+"""
+
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per event type: weekly exact-cent
+    totals, lag window per type, growth in ppm of the prior week (null
+    on the first week / zero prior). The standard BI trend query."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", "ts").cast("date").cast("string").alias("week"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("cents").over(w)
+    growth = F.when(
+        prev.isNotNull() & (prev != 0),
+        F.floor((F.col("cents") - prev) * 1000000.0 / prev + F.lit(0.5)).cast("bigint"),
+    )
+    return weekly.select(
+        "event_type", "week", "cents", prev.alias("prev_cents"), growth.alias("growth_ppm")
+    )
+
+
+SQL_PERIOD_OVER_PERIOD = """
+WITH weekly AS (
+  SELECT event_type, strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d') AS week,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, cents,
+       CAST(lag(cents) OVER w AS BIGINT) AS prev_cents,
+       CASE WHEN lag(cents) OVER w IS NOT NULL AND lag(cents) OVER w <> 0
+            THEN CAST(FLOOR((cents - lag(cents) OVER w) * 1000000.0
+                            / lag(cents) OVER w + 0.5) AS BIGINT)
+       END AS growth_ppm
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew report for lineitem.l_orderkey: the 10 heaviest join
+    keys with their share of all rows — the diagnostic that decides when
+    the salted join/agg paths (operators/skew.py) are worth their
+    replication cost. Global top-10 goes through the two-phase
+    _global_topk guard, never an unpartitioned window over the key
+    table."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = li.agg(F.count(F.lit(1)).alias("_total"))
+    top = _global_topk(
+        counts, 10, [F.col("n_rows").desc(), F.col("l_orderkey").asc()], "rank"
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "l_orderkey",
+        "n_rows",
+        F.floor(F.col("n_rows") * 1000000.0 / F.col("_total") + F.lit(0.5))
+        .cast("bigint")
+        .alias("share_ppm"),
+    )
+
+
+SQL_SKEW_REPORT = """
+WITH counts AS (
+  SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+), t AS (SELECT COUNT(*) AS total FROM lineitem),
+top AS (
+  SELECT l_orderkey, n_rows,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, l_orderkey) AS INTEGER) AS rank
+  FROM counts QUALIFY rank <= 10
+)
+SELECT rank, l_orderkey, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(FLOOR(n_rows * 1000000.0 / t.total + 0.5) AS BIGINT) AS share_ppm
+FROM top CROSS JOIN t
+"""
+
+
+# --------------------------------------------------------------------------
 # round 5 batch 6: partition-pruned sink/scan roundtrip, incremental
 # aggregate maintenance, URL canonicalization
 # --------------------------------------------------------------------------
@@ -5166,6 +5349,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "partitioned_roundtrip": (q_partitioned_roundtrip, SQL_PARTITIONED_ROUNDTRIP),
     "incremental_agg_merge": (q_incremental_agg_merge, SQL_INCREMENTAL_AGG_MERGE),
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "entropy_profile": (q_entropy_profile, SQL_ENTROPY_PROFILE),
+    "period_over_period": (q_period_over_period, SQL_PERIOD_OVER_PERIOD),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
     # --- last driver row r02 (stale 11): rotated into the checked window ---
     "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
     "date_spine": (q_date_spine, SQL_DATE_SPINE),
@@ -5180,19 +5367,19 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     # --- last driver row r02 (deferred 15): rotated into the checked window ---
     "hll_distinct": (q_hll_distinct, None),
+    # ---------------- the 50-entry driver window ends here ----------------
+    # The 30 new round-5 queries + the Arrow-path knn re-attest leave room
+    # for the stale-11 block but only ONE of the r02-deferred 15
+    # (hll_distinct, above); the remaining 14 — sql_surface through
+    # join_anti, including q3_shipping_priority (still smoke-run every
+    # round as the entry() flagship) — stay r02-stale one more round.
+    # All are code-untouched since r1/r2 and locally re-verified every
+    # pytest run by tests/test_oracle_parity.py. NEXT ROTATION (r6): lead
+    # with these fourteen.
     "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
     "percentiles_approx": (q_percentiles_approx, None),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "similarity_kmeans_ivf": (q_similarity_kmeans_ivf, None),
-    # ---------------- the 50-entry driver window ends here ----------------
-    # The 26 new round-5 queries + the Arrow-path knn re-attest push 10 of
-    # the r02-deferred block past the window edge: scan_project,
-    # cast_enrich, filter_predicates, q1_pricing_summary,
-    # q3_shipping_priority (still smoke-run every round as the entry()
-    # flagship) and the five outer/semi/anti joins stay r02-stale one more
-    # round (all code-untouched since r1/r2 and locally re-verified every
-    # pytest run by tests/test_oracle_parity.py) — NEXT ROTATION (r6):
-    # lead with these ten.
     "scan_project": (q_scan_project, SQL_SCAN_PROJECT),
     "cast_enrich": (q_cast_enrich, SQL_CAST_ENRICH),
     "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
