@@ -124,6 +124,7 @@ def wav_encode_pcm(
     bits: int = 16,
     fmt_ext: bool = False,
     list_info: bytes | None = None,
+    samples: bytes | None = None,
 ) -> bytes:
     """Spec-valid PCM WAV — pure stdlib, used to generate deterministic
     audio fixtures the parsers below are oracle-checked against.
@@ -154,7 +155,12 @@ def wav_encode_pcm(
         if len(payload) % 2:  # RIFF chunks are word-aligned
             payload += b"\x00"
         chunks += b"LIST" + len(payload).to_bytes(4, "little") + payload
-    chunks += b"data" + data_size.to_bytes(4, "little") + b"\x00" * data_size
+    if samples is None:
+        payload_bytes = b"\x00" * data_size
+    else:
+        # caller-provided PCM payload (padded/truncated to the declared size)
+        payload_bytes = samples[:data_size].ljust(data_size, b"\x00")
+    chunks += b"data" + data_size.to_bytes(4, "little") + payload_bytes
     return (
         b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
     )
@@ -273,6 +279,119 @@ def parse_wav_header(content: bytes | None) -> dict:
     }
 
 
+def wav_decode_samples(content: bytes | None) -> dict:
+    """REAL sample-level PCM16 decode + signal features — closes the
+    audio-sample codec stub the same way png_decode closed the pixel
+    one. Chunk-walks to the 'data' payload (any RIFF layout), decodes
+    16-bit little-endian mono PCM with the stdlib, and computes the
+    classic clip statistics in exact integer arithmetic: sample count,
+    energy (sum of squares), peak |amplitude|, zero crossings (sign
+    flips, negative-vs-nonnegative), and ppm-quantized RMS (the one
+    double op, floor-half-up on sqrt(energy/n)). Non-PCM16-mono or
+    malformed input returns all-None."""
+    import math
+    import struct
+
+    none = {
+        "n_samples": None,
+        "energy": None,
+        "peak": None,
+        "zero_crossings": None,
+        "rms_ppm": None,
+    }
+    if (
+        not content
+        or len(content) < 12
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"WAVE"
+    ):
+        return none
+    fmt = None
+    data = None
+    i = 12
+    n = len(content)
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt " and size >= 16 and body + 16 <= n:
+            fmt = content[body : body + 16]
+        elif cid == b"data":
+            data = content[body : min(body + size, n)]
+        if fmt is not None and data is not None:
+            break
+        i = body + size + (size % 2)
+    if fmt is None or data is None:
+        return none
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or channels != 1 or bits != 16:
+        return none
+    count = len(data) // 2
+    if count == 0:
+        return none
+    vals = struct.unpack(f"<{count}h", data[: count * 2])
+    energy = sum(v * v for v in vals)
+    peak = max(abs(v) for v in vals)
+    crossings = sum(
+        1 for a, b in zip(vals, vals[1:]) if (a < 0) != (b < 0)
+    )
+    rms_ppm = math.floor(math.sqrt(energy / count) * 1000000.0 + 0.5)
+    return {
+        "n_samples": count,
+        "energy": energy,
+        "peak": peak,
+        "zero_crossings": crossings,
+        "rms_ppm": rms_ppm,
+    }
+
+
+def decode_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched sample-level audio feature extraction
+    (:func:`wav_decode_samples` per blob) — the audio twin of the
+    pixel-decode path."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("n_samples", LongType(), True),
+            StructField("energy", LongType(), True),
+            StructField("peak", IntegerType(), True),
+            StructField("zero_crossings", LongType(), True),
+            StructField("rms_ppm", LongType(), True),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                feats = [wav_decode_samples(c) for c in chunk[content_col]]
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        "n_samples": pd.array(
+                            [f["n_samples"] for f in feats], dtype="Int64"
+                        ),
+                        "energy": pd.array([f["energy"] for f in feats], dtype="Int64"),
+                        "peak": pd.array([f["peak"] for f in feats], dtype="Int32"),
+                        "zero_crossings": pd.array(
+                            [f["zero_crossings"] for f in feats], dtype="Int64"
+                        ),
+                        "rms_ppm": pd.array(
+                            [f["rms_ppm"] for f in feats], dtype="Int64"
+                        ),
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
+
+
 def decode_audio_meta(
     df: DataFrame,
     content_col: str = "content",
@@ -283,8 +402,9 @@ def decode_audio_meta(
     path for non-canonical chunk layouts (chunk offsets are variable,
     exactly like the MP4 box walk in :func:`decode_video_meta`; the
     canonical fixed-offset fast path stays pure-JVM in
-    :func:`audio_meta_native`). Sample-level decode stays behind the
-    declared codec stub."""
+    :func:`audio_meta_native`). Sample-level PCM16 decode is real too —
+    :func:`wav_decode_samples` / :func:`decode_audio_features`; only
+    compressed codecs (MP3/AAC) remain environment-gated."""
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType, True),

@@ -4890,6 +4890,56 @@ GROUP BY 1
 """
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sample-level audio decode, oracle-checked end to end — the
+    audio twin of multimodal_pixels, closing the sample-codec stub: PCM16
+    WAVs are generated per doc with closed-form samples
+    (s_i = ((doc_id*31 + 7i) % 4096) - 2048, n = 64 + doc_id % 32, half
+    the files in the 18-byte-fmt layout so the chunk walk is exercised),
+    then decoded BACK by the stdlib PCM codec
+    (operators/multimodal.py:wav_decode_samples) into exact-integer
+    signal features: energy, peak, zero crossings, ppm RMS. The oracle
+    recomputes the closed forms without parsing."""
+    import struct
+
+    from labelspark_spark.operators import multimodal as mm
+
+    def _enc(d: int) -> bytes:
+        n = 64 + d % 32
+        vals = [((d * 31 + i * 7) % 4096) - 2048 for i in range(n)]
+        return mm.wav_encode_pcm(
+            n_samples=n,
+            sample_rate=8000,
+            channels=1,
+            bits=16,
+            fmt_ext=(d % 2 == 1),
+            samples=struct.pack(f"<{n}h", *vals),
+        )
+
+    staged = _stage_media(_t(spark, sf_dir, "documents"), _enc)
+    return mm.decode_audio_features(staged, content_col="content", id_col="doc_id")
+
+
+SQL_MULTIMODAL_AUDIO_FEATURES = """
+WITH s AS (
+  SELECT doc_id, unnest(range(0, 64 + doc_id % 32)) AS i FROM documents
+), v AS (
+  SELECT doc_id, i, ((doc_id * 31 + i * 7) % 4096) - 2048 AS x FROM s
+), w AS (
+  SELECT doc_id, i, x, lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px FROM v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(x * x) AS BIGINT) AS energy,
+       CAST(MAX(ABS(x)) AS INTEGER) AS peak,
+       CAST(SUM(CASE WHEN px IS NOT NULL AND (x < 0) <> (px < 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings,
+       CAST(FLOOR(sqrt(CAST(SUM(x * x) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+            AS BIGINT) AS rms_ppm
+FROM w GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # round 5 batch 7: Markov transitions, entropy profiling, period-over-period
 # growth, hot-key skew report
@@ -5349,6 +5399,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "partitioned_roundtrip": (q_partitioned_roundtrip, SQL_PARTITIONED_ROUNDTRIP),
     "incremental_agg_merge": (q_incremental_agg_merge, SQL_INCREMENTAL_AGG_MERGE),
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
+    "multimodal_audio_features": (
+        q_multimodal_audio_features,
+        SQL_MULTIMODAL_AUDIO_FEATURES,
+    ),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "entropy_profile": (q_entropy_profile, SQL_ENTROPY_PROFILE),
     "period_over_period": (q_period_over_period, SQL_PERIOD_OVER_PERIOD),
@@ -5366,16 +5420,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     # --- last driver row r02 (deferred 15): rotated into the checked window ---
-    "hll_distinct": (q_hll_distinct, None),
     # ---------------- the 50-entry driver window ends here ----------------
-    # The 30 new round-5 queries + the Arrow-path knn re-attest leave room
-    # for the stale-11 block but only ONE of the r02-deferred 15
-    # (hll_distinct, above); the remaining 14 — sql_surface through
-    # join_anti, including q3_shipping_priority (still smoke-run every
-    # round as the entry() flagship) — stay r02-stale one more round.
-    # All are code-untouched since r1/r2 and locally re-verified every
-    # pytest run by tests/test_oracle_parity.py. NEXT ROTATION (r6): lead
-    # with these fourteen.
+    # The 31 new round-5 queries + the Arrow-path knn re-attest fill the
+    # window with exactly the changed-8, the new-31, and the stale-11
+    # block; the whole r02-deferred 15 — hll_distinct through join_anti,
+    # including q3_shipping_priority (still smoke-run every round as the
+    # entry() flagship) — stays r02-stale one more round. All are
+    # code-untouched since r1/r2 and locally re-verified every pytest run
+    # by tests/test_oracle_parity.py. NEXT ROTATION (r6): lead with these
+    # fifteen.
+    "hll_distinct": (q_hll_distinct, None),
     "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
     "percentiles_approx": (q_percentiles_approx, None),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),

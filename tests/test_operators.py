@@ -818,3 +818,33 @@ def test_knn_arrow_bit_parity_with_expression_twin(spark):
     got = {tuple(r) for r in q_knn_label_vote(spark, sf).collect()}
     want = {tuple(r) for r in _knn_label_vote_expr(spark, sf).collect()}
     assert got == want and len(got) > 0
+
+
+def test_wav_decode_samples_features_and_refusals():
+    """wav_decode_samples: exact integer features on a known PCM16 clip;
+    stereo/8-bit/malformed inputs return all-None instead of garbage."""
+    import struct
+
+    from labelspark_spark.operators.multimodal import (
+        wav_decode_samples,
+        wav_encode_pcm,
+    )
+
+    vals = [100, -200, 300, 0, -1]
+    wav = wav_encode_pcm(
+        n_samples=len(vals), channels=1, bits=16,
+        samples=struct.pack("<5h", *vals),
+    )
+    f = wav_decode_samples(wav)
+    assert f["n_samples"] == 5
+    assert f["energy"] == 100**2 + 200**2 + 300**2 + 0 + 1
+    assert f["peak"] == 300
+    # sign flips: +100/-200, -200/+300, +300/0(nonneg: no... 300->0 both nonneg? 0 is nonneg), 0->-1
+    assert f["zero_crossings"] == 3
+    import math
+    assert f["rms_ppm"] == math.floor(math.sqrt(f["energy"] / 5) * 1e6 + 0.5)
+
+    stereo = wav_encode_pcm(n_samples=4, channels=2, bits=16)
+    assert wav_decode_samples(stereo)["n_samples"] is None
+    assert wav_decode_samples(b"RIFFjunk")["n_samples"] is None
+    assert wav_decode_samples(None)["n_samples"] is None
