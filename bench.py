@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "event_transitions",
     "skew_report",
+    "market_basket",
+    "multimodal_audio_features",
 ]
 
 

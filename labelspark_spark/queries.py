@@ -4890,6 +4890,79 @@ GROUP BY 1
 """
 
 
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs appearing in the
+    same order, with lift (observed co-rate over independence). The pair
+    build is ROW-LOCAL — items collected per order (baskets are small by
+    nature) and i<j pairs generated by nested sequence/transform, so
+    pair enumeration never self-joins the big fact table; the oracle
+    runs the equivalent classic self-join. Item supports broadcast (one
+    row per part); top-20 through the two-phase window guard."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(items) - 1),"
+        " i -> transform(sequence(i + 1, size(items)),"
+        " j -> struct(items[i-1] AS pa, items[j-1] AS pb))))"
+    )
+    pairs = (
+        baskets.filter(F.size("items") >= 2)
+        .select(F.explode(pair_expr).alias("_p"))
+        .select("_p.pa", "_p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .filter(F.col("n_cooccur") >= 2)
+    )
+    item_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_c"))
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("_no"))
+    top = _global_topk(
+        pairs, 20, [F.col("n_cooccur").desc(), F.col("pa").asc(), F.col("pb").asc()], "rank"
+    )
+    enriched = (
+        top.join(
+            F.broadcast(item_counts.select(F.col("l_partkey").alias("pa"), F.col("_c").alias("_ca"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(item_counts.select(F.col("l_partkey").alias("pb"), F.col("_c").alias("_cb"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = F.floor(
+        F.col("n_cooccur") * F.col("_no") * F.lit(1000000.0)
+        / (F.col("_ca") * F.col("_cb"))
+        + F.lit(0.5)
+    ).cast("bigint")
+    return enriched.select("rank", "pa", "pb", "n_cooccur", lift.alias("lift_ppm"))
+
+
+SQL_MARKET_BASKET = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_cooccur
+  FROM p a JOIN p b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), ic AS (SELECT l_partkey, COUNT(*) AS c FROM p GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS no FROM p),
+top AS (
+  SELECT pa, pb, n_cooccur,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_cooccur DESC, pa, pb) AS INTEGER) AS rank
+  FROM pairs QUALIFY rank <= 20
+)
+SELECT rank, pa, pb, CAST(n_cooccur AS BIGINT) AS n_cooccur,
+       CAST(FLOOR(n_cooccur * n.no * 1000000.0 / (ia.c * ib.c) + 0.5) AS BIGINT)
+         AS lift_ppm
+FROM top
+JOIN ic ia ON ia.l_partkey = top.pa
+JOIN ic ib ON ib.l_partkey = top.pb
+CROSS JOIN n
+"""
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL sample-level audio decode, oracle-checked end to end — the
     audio twin of multimodal_pixels, closing the sample-codec stub: PCM16
@@ -5403,6 +5476,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_multimodal_audio_features,
         SQL_MULTIMODAL_AUDIO_FEATURES,
     ),
+    "market_basket": (q_market_basket, SQL_MARKET_BASKET),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "entropy_profile": (q_entropy_profile, SQL_ENTROPY_PROFILE),
     "period_over_period": (q_period_over_period, SQL_PERIOD_OVER_PERIOD),
@@ -5418,17 +5492,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
-    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
-    # --- last driver row r02 (deferred 15): rotated into the checked window ---
     # ---------------- the 50-entry driver window ends here ----------------
-    # The 31 new round-5 queries + the Arrow-path knn re-attest fill the
-    # window with exactly the changed-8, the new-31, and the stale-11
-    # block; the whole r02-deferred 15 — hll_distinct through join_anti,
-    # including q3_shipping_priority (still smoke-run every round as the
-    # entry() flagship) — stays r02-stale one more round. All are
-    # code-untouched since r1/r2 and locally re-verified every pytest run
-    # by tests/test_oracle_parity.py. NEXT ROTATION (r6): lead with these
-    # fifteen.
+    # The 32 new round-5 queries + the Arrow-path knn re-attest fill the
+    # window with the changed-8, the new-32, and 10 of the stale-11 block
+    # (never-driver-checked new queries outrank re-attesting r02 greens);
+    # text_tfidf (last of the stale 11) and the whole r02-deferred 15 —
+    # hll_distinct through join_anti, including q3_shipping_priority
+    # (still smoke-run every round as the entry() flagship) — stay
+    # r02-stale one more round. All are code-untouched since r1/r2 and
+    # locally re-verified every pytest run by tests/test_oracle_parity.py.
+    # NEXT ROTATION (r6): lead with these sixteen.
+    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     "hll_distinct": (q_hll_distinct, None),
     "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
     "percentiles_approx": (q_percentiles_approx, None),
