@@ -86,6 +86,25 @@ BENCH_QUERIES = [
     "skew_report",
     "market_basket",
     "multimodal_audio_features",
+    # round-5 second wave: relational depth, hyperfunctions, curation,
+    # lakehouse layout. triangle_count is oracle-checked but NOT benched:
+    # the two-join triangle enumeration is quadratic in node degree by
+    # nature (~40M join rows at sf0.1) — a census job, not a headline
+    # query; compaction_plan/epoch_shard are sub-50ms trivia.
+    "tpch_q5_local_volume",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty",
+    "time_weighted_avg",
+    "interval_coverage",
+    "counter_rate",
+    "dedup_repeated_spans",
+    "chunk_dedup_global",
+    "quality_classifier",
+    "token_ids",
+    "embedding_quantize",
+    "snapshot_diff",
+    "zorder_layout",
+    "bitmap_funnel",
 ]
 
 

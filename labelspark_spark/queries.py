@@ -5416,6 +5416,1029 @@ SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows, TRUE AS recall_ok FROM exact
 
 
 # --------------------------------------------------------------------------
+# round 5 batch 6: deep relational shapes (TPC-H Q5 / Q13 / Q17 analogs)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier volume — a six-table star join
+    (customer x orders x lineitem x supplier x nation x region) with the
+    c_nationkey = s_nationkey locality predicate. Scale strategy: the
+    entire dimension arm (supplier |S| x nation 25 x region 5, plus
+    customer's nation) broadcasts; only the orders-lineitem fact join
+    shuffles, on its natural key. Catalyst pushes the region filter and
+    the date range into the scans. Revenue in exact cents (_money
+    doctrine: floor((price*(1-disc))*100+0.5) per row, bigint sum)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(dim), s["s_nationkey"] == dim["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — the double
+    aggregation over a LEFT OUTER join (customers with zero qualifying
+    orders must appear as c_count=0). First groupBy is on c_custkey (the
+    join key, so AQE can fold it into the join's shuffle); the second
+    groups the |customers|-row result by the tiny count domain."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+SQL_TPCH_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity lineitems —
+    the correlated scalar subquery (per-part avg quantity) decorrelated
+    into an aggregate + self-join, the standard Catalyst rewrite. The
+    threshold test q < 0.2*avg(q) is evaluated in EXACT integer
+    arithmetic (q_cents * 5 * n < sum_cents, since 0.2*avg = sum/(5n)):
+    a double avg would sum in partition order and the last ulp could
+    flip boundary rows between engines. Per-part avg is a broadcast
+    (|parts| rows); only lineitem's own groupBy shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    per_part = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(cents).alias("_sum_cents"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    price_cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    joined = li.join(F.broadcast(per_part), "l_partkey").filter(
+        cents * 5 * F.col("_n") < F.col("_sum_cents")
+    )
+    return joined.agg(
+        (F.sum(price_cents).cast("double") / 100.0 / 5.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH pp AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+  GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 / 5.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem JOIN pp USING (l_partkey)
+WHERE CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) * 5 * n < sum_cents
+"""
+
+
+# --------------------------------------------------------------------------
+# round 5 batch 7: time-series hyperfunctions (TWA, coverage, counter rate)
+# --------------------------------------------------------------------------
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a sampled metric per user (the
+    TimescaleDB `time_weight` / monitoring-TWAP shape): each sample
+    holds its value until the next sample, so TWA = sum(value*dt)/
+    sum(dt) over consecutive-sample intervals. All arithmetic exact:
+    value in cents, dt in epoch milliseconds (integer div of micros,
+    same truncation both engines), bigint products (max |term| ~
+    56021 cents * 2.6e9 ms ≈ 1.5e14 — no overflow) — a double
+    accumulation would be partition-order nondeterministic. LAST
+    sample contributes no interval; single-sample users drop (dt sum
+    0). Window is user-partitioned: no global funnel."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    staged = ev.select(
+        "user_id",
+        cents.alias("_cents"),
+        ms.alias("_ms"),
+        F.lead(ms).over(w).alias("_next_ms"),
+    ).filter(F.col("_next_ms").isNotNull())
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.sum((F.col("_next_ms") - F.col("_ms")) * F.col("_cents")).alias("_wsum"),
+            F.sum(F.col("_next_ms") - F.col("_ms")).alias("_dt"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .filter(F.col("_dt") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            (F.col("_dt").cast("double") / 1000.0).alias("span_s"),
+            # one double division at the end, identical shape both sides
+            (F.col("_wsum").cast("double") / F.col("_dt") / 100.0).alias("twa"),
+        )
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH s AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) // 1000 AS ms,
+         LEAD(epoch_us(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_ms
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(next_ms - ms) AS DOUBLE) / 1000.0 AS span_s,
+       CAST(SUM((next_ms - ms) * cents) AS DOUBLE) / SUM(next_ms - ms) / 100.0 AS twa
+FROM s WHERE next_ms IS NOT NULL
+GROUP BY user_id HAVING SUM(next_ms - ms) > 0
+"""
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per user: each event opens a 5-minute
+    activity interval [ts, ts+300s); overlaps merge via the running-max
+    sweep (prev_max_end = MAX(end) over preceding rows, contribution =
+    end - greatest(start, prev_max_end) clamped at 0) — the standard
+    O(n log n) interval-union without a self-join. Epoch-ms integers
+    throughout; user-partitioned window, no global funnel. n_islands
+    counts maximal merged runs (gap strictly > 0 opens a new one)."""
+    ev = _t(spark, sf_dir, "events")
+    ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+    iv = ev.select(
+        "user_id",
+        ms.alias("_s"),
+        (ms + F.lit(300_000)).alias("_e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("_s", "event_id")
+    prev_max = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = iv.select(
+        "user_id",
+        "_s",
+        "_e",
+        prev_max.alias("_pme"),
+    ).select(
+        "user_id",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.col("_e") - F.greatest(F.col("_s"), F.coalesce("_pme", F.col("_s"))),
+        ).alias("_cover_ms"),
+        F.when(F.col("_pme").isNull() | (F.col("_s") > F.col("_pme")), 1)
+        .otherwise(0)
+        .alias("_new_island"),
+    )
+    return staged.groupBy("user_id").agg(
+        (F.sum("_cover_ms").cast("double") / 1000.0).alias("covered_s"),
+        F.sum("_new_island").cast("bigint").alias("n_islands"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000 AS s,
+         epoch_us(ts) // 1000 + 300000 AS e
+  FROM events
+), sweep AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+)
+SELECT user_id,
+       CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pme, s)))) AS DOUBLE) / 1000.0
+         AS covered_s,
+       CAST(SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_islands,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM sweep GROUP BY user_id
+"""
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter delta aggregation (the TimescaleDB
+    `counter_agg` / Prometheus `increase()` shape): per-user ordered
+    deltas of a gauge read as a counter — a negative delta is a counter
+    RESET, contributing the new reading itself. Exact cents; one
+    user-partitioned window; per-user rate = total increase / span."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+    staged = ev.select(
+        "user_id",
+        cents.alias("_c"),
+        ms.alias("_ms"),
+        F.lag(cents).over(w).alias("_prev"),
+    )
+    delta = F.col("_c") - F.col("_prev")
+    inc = (
+        F.when(F.col("_prev").isNull(), F.lit(0).cast("bigint"))
+        .when(delta < 0, F.col("_c"))
+        .otherwise(delta)
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.sum(inc).alias("_inc_cents"),
+            F.sum(F.when(delta < 0, 1).otherwise(0)).cast("bigint").alias("n_resets"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max("_ms").alias("_max_ms"),
+            F.min("_ms").alias("_min_ms"),
+        )
+        .filter(F.col("_max_ms") > F.col("_min_ms"))
+        .select(
+            "user_id",
+            (F.col("_inc_cents").cast("double") / 100.0).alias("total_increase"),
+            "n_resets",
+            "n_samples",
+            (
+                F.col("_inc_cents").cast("double")
+                / (F.col("_max_ms") - F.col("_min_ms"))
+                * 10.0
+            ).alias("rate_per_s"),
+        )
+    )
+
+
+SQL_COUNTER_RATE = """
+WITH s AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         epoch_us(ts) // 1000 AS ms,
+         LAG(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), d AS (
+  SELECT user_id, ms,
+         CASE WHEN prev IS NULL THEN 0
+              WHEN c - prev < 0 THEN c
+              ELSE c - prev END AS inc,
+         CASE WHEN prev IS NOT NULL AND c - prev < 0 THEN 1 ELSE 0 END AS reset
+  FROM s
+)
+SELECT user_id,
+       CAST(SUM(inc) AS DOUBLE) / 100.0 AS total_increase,
+       CAST(SUM(reset) AS BIGINT) AS n_resets,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(inc) AS DOUBLE) / (MAX(ms) - MIN(ms)) * 10.0 AS rate_per_s
+FROM d GROUP BY user_id HAVING MAX(ms) > MIN(ms)
+"""
+
+
+# --------------------------------------------------------------------------
+# round 5 batch 8: training-data curation ops (spans, chunk dedup,
+# classifier scoring, tokenizer application, epoch sharding, int8 quant)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span coverage (the ExactSubstr signal of
+    Lee et al. 2022, bounded to 8-token spans): for every doc, how many
+    of its distinct 8-gram spans also occur in ANOTHER doc. Spans are
+    built ROW-LOCALLY (sequence/transform + slice — no per-token
+    shuffle), de-duplicated within the doc, then one posting-list
+    aggregation counts docs per span and a second join folds the
+    shared-span coverage back per doc. Both shuffles key on the span —
+    the posting-list shape that scales; ppm coverage is integer-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " +"), lambda x: x != ""
+    )
+    n = F.size(toks)
+    spans = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - 7),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+        )
+    )
+    ds = (
+        docs.filter(n >= 8)
+        .select("doc_id", F.explode(spans).alias("span"))
+    )
+    # docs-per-span via a span-PARTITIONED window, not agg + re-join:
+    # one generate pass and one wide shuffle (an agg+join would re-scan
+    # and re-explode the corpus for the probe side — the spans are the
+    # most expensive thing here, never build them twice)
+    w = Window.partitionBy("span")
+    return (
+        ds.withColumn("_n_docs", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared",
+            F.expr("n_shared * 1000000 div n_spans").alias("shared_ppm"),
+        )
+    )
+
+
+SQL_DEDUP_REPEATED_SPANS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+  FROM documents
+), ds AS (
+  SELECT DISTINCT doc_id, span
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 7),
+                                 i -> array_to_string(toks[i:i+7], ' '))) AS span
+    FROM t WHERE len(toks) >= 8
+  )
+), per_span AS (
+  SELECT span, COUNT(*) AS n_docs FROM ds GROUP BY span
+)
+SELECT ds.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS shared_ppm
+FROM ds JOIN per_span USING (span)
+GROUP BY ds.doc_id
+"""
+
+
+def q_chunk_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide exact chunk dedup: documents split into
+    non-overlapping 16-token chunks; only the FIRST occurrence of each
+    distinct chunk (by (doc_id, chunk_id), encoded as one composite
+    bigint so min() is the keeper rule) survives. Output is the per-doc
+    removal report. One aggregation + one join, both keyed on the chunk
+    text — the dedup ledger a 100 TB pipeline maintains; chunking is
+    row-local."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / 16).cast("int")),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, i * 16 + 1, 16)).alias("ckey"),
+        ),
+    )
+    ch = (
+        docs.filter(n > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            "c.chunk_id",
+            "c.ckey",
+            (F.col("doc_id") * 1_000_000 + F.col("c.chunk_id")).alias("_pos"),
+        )
+    )
+    # first-occurrence keeper via a ckey-PARTITIONED window (one chunk
+    # generate pass + one wide shuffle; agg + re-join would chunk the
+    # corpus twice — same reasoning as dedup_repeated_spans)
+    keep_w = Window.partitionBy("ckey")
+    return (
+        ch.withColumn("_keep_pos", F.min("_pos").over(keep_w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_pos") != F.col("_keep_pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_removed",
+            F.expr("n_removed * 1000000 div n_chunks").alias("removed_ppm"),
+        )
+    )
+
+
+SQL_CHUNK_DEDUP_GLOBAL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+  FROM documents
+), ch AS (
+  SELECT doc_id, i AS chunk_id,
+         array_to_string(toks[i*16+1:i*16+16], ' ') AS ckey,
+         doc_id * 1000000 + i AS pos
+  FROM t, unnest(generate_series(0, CAST(FLOOR((len(toks) - 1) / 16) AS INTEGER))) AS u(i)
+  WHERE len(toks) > 0
+), keeper AS (
+  SELECT ckey, MIN(pos) AS keep_pos FROM ch GROUP BY ckey
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN pos <> keep_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN pos <> keep_pos THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS removed_ppm
+FROM ch JOIN keeper USING (ckey)
+GROUP BY doc_id
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier (the fastText/CCNet-style
+    scoring stage of a curation pipeline, with handcrafted features
+    instead of learned embeddings — the learned model would broadcast
+    its weight vector the same way): four row-local features quantized
+    to integer ppm, one integer dot product with integer weights, a
+    threshold keep decision. Zero shuffle; exact cross-engine hash by
+    construction (no float ever touches the score)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.whitespace_tokens(T.normalize_text(F.col("text")))
+    n = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    sw = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"]
+    n_sw = F.size(F.filter(toks, lambda x: F.lower(x).isin(sw))).cast("bigint")
+    n_num = F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).cast("bigint")
+    staged = docs.select(
+        "doc_id",
+        n.alias("n_tok"),
+        sum_len.alias("_sum_len"),
+        n_sw.alias("_n_sw"),
+        n_num.alias("_n_num"),
+    ).filter(F.col("n_tok") > 0)
+    mean_wl_ppm = F.expr("_sum_len * 1000000 div n_tok")
+    stop_ppm = F.expr("_n_sw * 1000000 div n_tok")
+    num_ppm = F.expr("_n_num * 1000000 div n_tok")
+    score = (
+        F.lit(-3_000_000).cast("bigint")
+        + F.col("n_tok") * 40
+        + F.expr("_sum_len * 1000000 div n_tok div 2")
+        + stop_ppm * 3
+        - num_ppm * 5
+    )
+    return staged.select(
+        "doc_id",
+        "n_tok",
+        mean_wl_ppm.alias("mean_wl_ppm"),
+        stop_ppm.alias("stop_ppm"),
+        num_ppm.alias("num_ppm"),
+        score.alias("score_ppm"),
+        (score > 0).alias("keep"),
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH t AS (
+  SELECT doc_id, {TOKS_SQL.format(c=NORM_SQL.format(c='text'))} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
+           AS sum_len,
+         CAST(len(list_filter(toks, x -> lower(x) IN {_SW})) AS BIGINT) AS n_sw,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT)
+           AS n_num
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, n_tok,
+       sum_len * 1000000 // n_tok AS mean_wl_ppm,
+       n_sw * 1000000 // n_tok AS stop_ppm,
+       n_num * 1000000 // n_tok AS num_ppm,
+       -3000000 + n_tok * 40 + sum_len * 1000000 // n_tok // 2
+         + (n_sw * 1000000 // n_tok) * 3 - (n_num * 1000000 // n_tok) * 5
+         AS score_ppm,
+       (-3000000 + n_tok * 40 + sum_len * 1000000 // n_tok // 2
+         + (n_sw * 1000000 // n_tok) * 3 - (n_num * 1000000 // n_tok) * 5) > 0
+         AS keep
+FROM m
+"""
+
+
+def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: map each document's first 16 tokens to
+    vocabulary ids (corpus top-100 by frequency, OOV -> 0) — the
+    id-encoding stage between vocab build and chunk packing. The vocab
+    is tiny by construction (top-k), so the id lookup is a BROADCAST
+    join against the posexploded (doc, pos, token) grain; the ordered
+    id array reassembles with array_sort over (pos, id) structs —
+    collect_list alone is shuffle-order-nondeterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = _global_topk(
+        counts, 100, [F.col("n").desc(), F.col("token")], "token_id"
+    ).select("token", "token_id")
+    first16 = (
+        docs.filter(F.size(toks) > 0)
+        .select("doc_id", F.posexplode(F.slice(toks, 1, 16)).alias("pos", "token"))
+    )
+    mapped = first16.join(F.broadcast(vocab), "token", "left_outer").select(
+        "doc_id",
+        "pos",
+        F.coalesce("token_id", F.lit(0)).cast("int").alias("tid"),
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n_tok16"),
+            F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+
+
+SQL_TOKEN_IDS = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+  FROM documents
+), counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(toks) AS token FROM tok) GROUP BY token
+), vocab AS (
+  SELECT token, token_id FROM (
+    SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS token_id
+    FROM counts
+  ) WHERE token_id <= 100
+), pe AS (
+  SELECT doc_id, s.i AS pos, toks[s.i + 1] AS token
+  FROM tok, unnest(generate_series(0, least(len(toks), 16) - 1)) AS s(i)
+  WHERE len(toks) > 0
+), mapped AS (
+  SELECT doc_id, pos, CAST(COALESCE(v.token_id, 0) AS INTEGER) AS tid
+  FROM pe LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id,
+       list(tid ORDER BY pos, tid) AS ids,
+       CAST(COUNT(*) AS BIGINT) AS n_tok16,
+       CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM mapped GROUP BY doc_id
+"""
+
+
+def q_epoch_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order sharding: every doc lands in one of
+    8 epoch shards by a salted md5-derived hash (re-run-stable, no
+    stored assignment, uniform at any corpus size — the shard a 100 TB
+    run would write as its training-file layout). Pure row-local hash +
+    one 8-group aggregate; the shard-level stats double as a layout
+    skew check."""
+    from labelspark_spark.operators.dedup import _hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = F.pmod(
+        _hash60(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string"))), F.lit(8)
+    )
+    return (
+        docs.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+SQL_EPOCH_SHARD = """
+SELECT CAST(('0x' || substring(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+            AS BIGINT) % 8 AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents GROUP BY 1
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (the compression step before
+    shipping an embedding corpus to an ANN index): per-vector absmax
+    scale, q_i = floor(x*127/amax + 0.5), and the reconstruction SSE
+    quantized to exact integer pp-trillion per TERM before summation —
+    a float sum would depend on the engines' fold order. Entirely
+    row-local (zero shuffle); float32 inputs widen to float64 losslessly
+    and every IEEE op has the same shape on both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(xs, F.abs))
+    err_ppt = F.aggregate(
+        F.transform(
+            xs,
+            lambda x: F.floor(
+                F.pow(x - F.floor(x * 127 / amax + 0.5) * amax / 127, F.lit(2.0))
+                * 1e12
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc + e,
+    )
+    return emb.filter(amax > 0).select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        amax.alias("amax"),
+        err_ppt.alias("sse_ppt"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH x AS (
+  SELECT vec_id, embedding::DOUBLE[] AS xs,
+         list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS amax
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(xs) AS INTEGER) AS n_dims,
+       amax,
+       CAST(list_sum(list_transform(xs,
+              v -> CAST(FLOOR(POW(v - FLOOR(v * 127 / amax + 0.5) * amax / 127, 2.0)
+                              * 1e12 + 0.5) AS BIGINT))) AS BIGINT) AS sse_ppt
+FROM x WHERE amax > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# round 5 batch 9: lakehouse table-maintenance ops (snapshot diff,
+# compaction planning, z-order layout)
+# --------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation between two table versions (the
+    Delta/Iceberg time-travel DIFF a data platform runs after every
+    backfill): two deterministic hash-slices of `documents` play v1/v2
+    (~81%% overlap; every 7th overlapping doc is 'updated' in v2), rows
+    pair by key with ONE full-outer shuffle join, and change detection
+    compares md5 row fingerprints — never the payloads, so at 100 TB
+    only (key, 32-byte hash) rides the shuffle. Output is the
+    added/removed/changed/unchanged census."""
+    from labelspark_spark.operators.dedup import _hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    sl = lambda salt: F.pmod(  # noqa: E731
+        _hash60(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), F.lit(10)
+    )
+    v1 = docs.filter(sl("v1:") < 9).select(
+        "doc_id", F.md5(F.col("text")).alias("h1")
+    )
+    v2 = docs.filter(sl("v2:") < 9).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(
+                F.col("text")
+            )
+        ).alias("h2"),
+    )
+    joined = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h1 FROM documents
+  WHERE CAST(('0x' || substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+             AS BIGINT) % 10 < 9
+), v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS h2
+  FROM documents
+  WHERE CAST(('0x' || substring(md5('v2:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+             AS BIGINT) % 10 < 9
+)
+SELECT CASE WHEN h1 IS NULL THEN 'added'
+            WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 <> h2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+GROUP BY 1
+"""
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE bin-packing pass of
+    a lakehouse table): per-(lang, source) 'files' (size = total chars)
+    are packed into ~150 KB output bins by the sorted-fill rule
+    bin = floor(running_size_before / target) — deterministic, and the
+    running sum runs in a window PARTITIONED BY lang (the table's
+    partition column), so no single-task funnel: each partition plans
+    its own compaction independently, exactly as a 100 TB OPTIMIZE
+    schedules per-partition jobs."""
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").alias("bytes")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("bytes").desc(), F.col("source")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    planned = files.select(
+        "lang",
+        "source",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("_before"),
+    ).select(
+        "lang",
+        "bytes",
+        F.expr("_before div 150000").alias("bin"),
+    )
+    return planned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("bin_bytes"),
+    )
+
+
+SQL_COMPACTION_PLAN = """
+WITH files AS (
+  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY lang, source
+), planned AS (
+  SELECT lang, bytes,
+         COALESCE(SUM(bytes) OVER (PARTITION BY lang ORDER BY bytes DESC, source
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) // 150000 AS bin
+  FROM files
+)
+SELECT lang, CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+FROM planned GROUP BY lang, bin
+"""
+
+
+def _zvalue(a, b):
+    """16-bit Morton interleave of two 8-bit bucket ids (bit i of `a`
+    lands at 2i, bit i of `b` at 2i+1) — closed-form shift/mask, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+_ZVALUE_SQL = " + ".join(
+    f"(((a >> {i}) & 1) << {2 * i}) + (((b >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout for two-column pruning — what
+    OPTIMIZE ZORDER BY (partkey, suppkey) computes before rewriting
+    files: each row's two join keys bucket to 8 bits, interleave to a
+    16-bit z-value, and z-range 'files' of 1024 z-codes each report
+    their min/max per dimension. The span product per file is the
+    pruning quality metric (a z-ordered file covers a small rectangle
+    in BOTH dims, so a predicate on EITHER column skips most files —
+    linear sort would only prune one). Closed-form bit math, one
+    aggregate; the real rewrite would range-partition by zvalue."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = F.pmod(F.col("l_partkey"), F.lit(256)).cast("int")
+    b = F.pmod(F.col("l_suppkey"), F.lit(256)).cast("int")
+    staged = li.select(
+        a.alias("_a"), b.alias("_b")
+    ).select(
+        "_a",
+        "_b",
+        _zvalue(F.col("_a"), F.col("_b")).alias("_z"),
+    )
+    return (
+        staged.groupBy(F.expr("_z div 1024").alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_a").alias("min_a"),
+            F.max("_a").alias("max_a"),
+            F.min("_b").alias("min_b"),
+            F.max("_b").alias("max_b"),
+        )
+        .select(
+            "zfile",
+            "n_rows",
+            "min_a",
+            "max_a",
+            "min_b",
+            "max_b",
+            (
+                (F.col("max_a") - F.col("min_a") + 1)
+                * (F.col("max_b") - F.col("min_b") + 1)
+            ).alias("span_product"),
+        )
+    )
+
+
+SQL_ZORDER_LAYOUT = f"""
+WITH ab AS (
+  SELECT l_partkey % 256 AS a, l_suppkey % 256 AS b FROM lineitem
+), z AS (
+  SELECT a, b, {_ZVALUE_SQL} AS zv FROM ab
+)
+SELECT zv // 1024 AS zfile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(a) AS INTEGER) AS min_a, CAST(MAX(a) AS INTEGER) AS max_a,
+       CAST(MIN(b) AS INTEGER) AS min_b, CAST(MAX(b) AS INTEGER) AS max_b,
+       CAST((MAX(a) - MIN(a) + 1) * (MAX(b) - MIN(b) + 1) AS INTEGER) AS span_product
+FROM z GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# round 5 batch 10: graph + bitmap analytics
+# --------------------------------------------------------------------------
+
+
+def q_bitmap_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmask behavioral segmentation: each user's event-type set
+    folds into ONE integer via bit_or(1 << type_bit) — the roaring-
+    bitmap-style encoding that makes set-membership questions ('did
+    view AND click AND purchase?') a single integer AND at any scale.
+    Two partial-aggregated shuffles (user grain, then the <=32-row
+    mask domain); no distinct-collecting arrays ever materialize."""
+    ev = _t(spark, sf_dir, "events")
+    # 1 << type_bit, closed-form (pyspark's shiftleft takes a literal
+    # shift only, and the CASE is the same single codegen expression)
+    bitval = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    per_user = ev.groupBy("user_id").agg(F.bit_or(bitval).alias("mask"))
+    return per_user.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.col("mask").bitwiseAND(F.lit(7)) == 7).alias("has_funnel3"),
+    )
+
+
+SQL_BITMAP_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         bit_or(1 << CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                     WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END) AS mask
+  FROM events GROUP BY user_id
+)
+SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_users,
+       (mask & 7) = 7 AS has_funnel3
+FROM per_user GROUP BY mask
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (nodes = parts,
+    edge when two parts share an order): the classic two-join triangle
+    enumeration over an ORIENTED edge list (every edge stored once as
+    a < b, every triangle found exactly once as a < b < c — the
+    orientation is what keeps the join fan-out bounded; production
+    systems orient by degree, here key order suffices on a near-uniform
+    degree distribution). Edge building is a self-join on the order
+    key; all joins are equi-joins on ids only."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    x = items.alias("x")
+    y = items.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+            "left_semi",
+        )
+    )
+    nodes = edges.select(F.col("a").alias("p")).union(
+        edges.select(F.col("b").alias("p"))
+    ).distinct()
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM items x JOIN items y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+), tri AS (
+  SELECT 1 FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+), nodes AS (
+  SELECT a AS p FROM edges UNION SELECT b FROM edges
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5481,7 +6504,38 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "entropy_profile": (q_entropy_profile, SQL_ENTROPY_PROFILE),
     "period_over_period": (q_period_over_period, SQL_PERIOD_OVER_PERIOD),
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
-    # --- last driver row r02 (stale 11): rotated into the checked window ---
+    # --- new in round 5 (second wave): 10 of 17 fit the window ---
+    "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+    "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
+    "counter_rate": (q_counter_rate, SQL_COUNTER_RATE),
+    "dedup_repeated_spans": (q_dedup_repeated_spans, SQL_DEDUP_REPEATED_SPANS),
+    "chunk_dedup_global": (q_chunk_dedup_global, SQL_CHUNK_DEDUP_GLOBAL),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "token_ids": (q_token_ids, SQL_TOKEN_IDS),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    # ---------------- the 50-entry driver window ends here ----------------
+    # Round-5 window accounting: changed-8 + first-wave-32 + 10 of the
+    # second-wave-17 = 50 (never-driver-checked new queries outrank
+    # re-attesting old greens). Below the line, ALL still covered by
+    # tests/test_oracle_parity.py every pytest run: the remaining 7
+    # second-wave queries (tpch_q5/q13/q17, epoch_shard, compaction_plan,
+    # zorder_layout, bitmap_funnel), then the r02-stale 11
+    # (posexplode_tokens..range_join_binned, text_tfidf) and the
+    # r02-deferred 15 (hll_distinct..join_anti, incl. q3 — still smoke-run
+    # every round as the entry() flagship).
+    # NEXT ROTATION (r6): lead with the 7 unchecked second-wave queries,
+    # then the r02-stale 11 + deferred 15 — that fills 33 of the window;
+    # round-6 additions take the rest.
+    "tpch_q5_local_volume": (q_tpch_q5_local_volume, SQL_TPCH_Q5),
+    "tpch_q13_custdist": (q_tpch_q13_custdist, SQL_TPCH_Q13),
+    "tpch_q17_small_qty": (q_tpch_q17_small_qty, SQL_TPCH_Q17),
+    "epoch_shard": (q_epoch_shard, SQL_EPOCH_SHARD),
+    "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "bitmap_funnel": (q_bitmap_funnel, SQL_BITMAP_FUNNEL),
+    # --- last driver row r02 (stale 11) ---
     "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
     "date_spine": (q_date_spine, SQL_DATE_SPINE),
     "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
@@ -5492,16 +6546,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "regexp_funcs": (q_regexp_funcs, SQL_REGEXP_FUNCS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN_BINNED),
-    # ---------------- the 50-entry driver window ends here ----------------
-    # The 32 new round-5 queries + the Arrow-path knn re-attest fill the
-    # window with the changed-8, the new-32, and 10 of the stale-11 block
-    # (never-driver-checked new queries outrank re-attesting r02 greens);
-    # text_tfidf (last of the stale 11) and the whole r02-deferred 15 —
-    # hll_distinct through join_anti, including q3_shipping_priority
-    # (still smoke-run every round as the entry() flagship) — stay
-    # r02-stale one more round. All are code-untouched since r1/r2 and
-    # locally re-verified every pytest run by tests/test_oracle_parity.py.
-    # NEXT ROTATION (r6): lead with these sixteen.
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     "hll_distinct": (q_hll_distinct, None),
     "sql_surface": (q_sql_surface, SQL_SURFACE_STMT),
