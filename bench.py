@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "zorder_layout",
     "bitmap_funnel",
+    "asof_tolerance",
+    "group_sample_k",
+    "sliding_distinct_users",
+    "bloom_prune",
 ]
 
 

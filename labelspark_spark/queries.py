@@ -6439,6 +6439,287 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
 
 
 # --------------------------------------------------------------------------
+# round 5 batch 11: streaming session windows, tolerant as-of, group
+# sampling, sliding distinct, bloom runtime-filter pruning
+# --------------------------------------------------------------------------
+
+
+def q_events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hard-signal: REAL streaming session windows — the events
+    table replays through a file-source stream into
+    F.session_window(gap=10min) state, complete-mode memory sink, and
+    the final state is hash-checked against the SAME gaps-and-islands
+    SQL oracle as the batch twin (q_events_sessionize): streaming
+    session merge must converge to the batch answer."""
+    from labelspark_spark.streaming import events as se
+
+    d = _stage_stream_dir(sf_dir, copies=1)
+    stream = _normalize_ts(se.read_events_stream(spark, d))
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    _replay_to_memory(agg, "events_stream_session_sink", "complete")
+    return spark.table("events_stream_session_sink").select(
+        "session_start", "session_end", "user_id", "n_events"
+    )
+
+
+SQL_EVENTS_STREAM_SESSION = SQL_EVENTS_SESSIONIZE
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match TOLERANCE (pandas merge_asof semantics):
+    the latest order at-or-before each event counts only if it is at
+    most 30 days old — staler matches null out. Same union+window
+    single-shuffle formulation as q_asof_join (never a range join);
+    the tolerance is a row-local post-filter on the carried match
+    timestamp, so the plan is identical plus one Project."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            F.col("o_orderdate").alias("matched_ts"),
+        )
+    )
+    joined = asof_ops.asof_join(
+        ev,
+        latest,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "matched_ts"],
+    )
+    fresh = F.col("matched_ts") >= F.col("ts") - F.expr("INTERVAL 30 DAYS")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("o_orderkey")).alias("last_orderkey"),
+        F.coalesce(fresh, F.lit(False)).alias("within_tol"),
+    )
+
+
+SQL_ASOF_TOLERANCE = """
+WITH latest AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), l AS (SELECT o_custkey, o_orderdate, o_orderkey FROM latest WHERE rn = 1)
+SELECT e.event_id, e.user_id,
+       CASE WHEN l.o_orderdate >= e.ts - INTERVAL 30 DAY
+            THEN l.o_orderkey END AS last_orderkey,
+       COALESCE(l.o_orderdate >= e.ts - INTERVAL 30 DAY, FALSE) AS within_tol
+FROM events e ASOF LEFT JOIN l
+  ON e.user_id = l.o_custkey AND e.ts >= l.o_orderdate
+"""
+
+
+def q_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group k-sampling (eval-set carving: exactly 4
+    docs per (lang, source) stratum): rank by a salted md5 hash inside
+    a GROUP-partitioned window — re-run-stable, no stored assignment,
+    unbiased by ingest order, and never a global sort. The hash is the
+    sort key AND the tiebreak is the unique doc_id, so the sample is
+    total-ordered on any engine."""
+    from labelspark_spark.operators.dedup import _hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    hv = _hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(hv.asc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", hv.alias("_h"))
+        .withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= 4)
+        .select("lang", "source", "doc_id", "rank_in_group")
+    )
+
+
+SQL_GROUP_SAMPLE_K = """
+SELECT lang, source, doc_id, CAST(rank_in_group AS INTEGER) AS rank_in_group
+FROM (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                                            1, 15))::UBIGINT AS BIGINT) ASC,
+                    doc_id
+         ) AS rank_in_group
+  FROM documents
+) WHERE rank_in_group <= 4
+"""
+
+
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day DISTINCT active users per day — the windowed
+    COUNT(DISTINCT) SQL forbids in a frame, made scalable by the
+    offset-expansion rewrite: each (user, active-day) pair contributes
+    to the 7 report days it is visible from, a second distinct
+    collapses multi-active users, and a plain count per report day
+    finishes. Three key-partitioned shuffles, each on a bounded grain
+    (user-day, user-reportday, day) — no per-day state explosion, no
+    self-join over the raw events."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    maxday = ud.agg(F.max("day").alias("_maxd"))
+    expanded = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_off"),
+            "day",
+        )
+        .select("user_id", F.date_add("day", F.col("_off")).alias("report_day"))
+        .distinct()
+    )
+    return (
+        expanded.crossJoin(F.broadcast(maxday))
+        .filter(F.col("report_day") <= F.col("_maxd"))
+        .groupBy(F.col("report_day").cast("string").alias("report_day"))
+        .agg(F.count(F.lit(1)).alias("n_active_7d"))
+    )
+
+
+SQL_SLIDING_DISTINCT_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), expanded AS (
+  SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS report_day
+  FROM ud, unnest(generate_series(0, 6)) AS t(o)
+)
+SELECT strftime(report_day, '%Y-%m-%d') AS report_day,
+       CAST(COUNT(*) AS BIGINT) AS n_active_7d
+FROM expanded
+WHERE report_day <= (SELECT MAX(day) FROM ud)
+GROUP BY 1
+"""
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join pruning, made explicit (what
+    Spark's own `spark.sql.optimizer.runtime.bloomFilter` injects for a
+    selective dim side): the high-balance supplier keys fold into a
+    65536-bit / 3-hash bloom whose BIT WORDS are the only thing the
+    driver collects (1024 longs = 8 KB, BOUNDED by m regardless of dim
+    cardinality — the same collect class as the k-means centroids),
+    then membership is a row-local 3-probe bit test on the fact table.
+    Output is the pruning census: true matches kept, bloom false
+    positives (pass, no real match), rows pruned; false negatives are
+    impossible by construction, which the oracle enforces by computing
+    the identical bloom in SQL. The md5-derived hashes are the
+    engine-portable pattern used by every sampler in this module."""
+    from labelspark_spark.operators.dedup import _hash60
+
+    M_WORDS = 1024  # 65536 bits
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey")
+    )
+
+    def _hashes(key_col):
+        return [
+            F.pmod(_hash60(F.concat(F.lit(f"b{i}:"), key_col.cast("string"))),
+                   F.lit(65536))
+            for i in range(3)
+        ]
+
+    pos = dim.select(
+        F.explode(F.array(*_hashes(F.col("s_suppkey")))).alias("pos")
+    ).distinct()
+    words = (
+        pos.groupBy(F.expr("pos div 64").alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("mask"))
+        .collect()
+    )
+    by_word = {int(r["w"]): int(r["mask"]) for r in words}
+    bits = [by_word.get(w, 0) for w in range(M_WORDS)]
+    bits_df = F.broadcast(
+        li.sparkSession.createDataFrame([(bits,)], "bits array<bigint>")
+    )
+
+    probed = li.select("l_suppkey").crossJoin(bits_df)
+    h0, h1, h2 = _hashes(F.col("l_suppkey"))
+    # bit test: (bits[h div 64] >> (h mod 64)) & 1 == 1 — staged hash
+    # columns + SQL expr because the shift amount is a column
+    staged = probed.select(
+        "l_suppkey",
+        "bits",
+        h0.alias("_h0"),
+        h1.alias("_h1"),
+        h2.alias("_h2"),
+    )
+    bloom_pass = F.expr(
+        "((element_at(bits, cast(_h0 div 64 as int) + 1) >> cast(_h0 % 64 as int)) & 1) = 1"
+        " AND ((element_at(bits, cast(_h1 div 64 as int) + 1) >> cast(_h1 % 64 as int)) & 1) = 1"
+        " AND ((element_at(bits, cast(_h2 div 64 as int) + 1) >> cast(_h2 % 64 as int)) & 1) = 1"
+    )
+    flagged = staged.select(
+        "l_suppkey", bloom_pass.alias("_pass")
+    ).join(
+        F.broadcast(dim.withColumn("_real", F.lit(True))),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_outer",
+    )
+    cls = (
+        F.when(F.col("_real").isNotNull() & F.col("_pass"), F.lit("kept_match"))
+        .when(F.col("_pass"), F.lit("false_positive"))
+        .when(F.col("_real").isNotNull(), F.lit("FALSE_NEGATIVE"))
+        .otherwise(F.lit("pruned"))
+    )
+    return flagged.groupBy(cls.alias("outcome")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SQL_BLOOM_PRUNE = """
+WITH dim AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000
+), pos AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5('b' || i || ':' || CAST(s_suppkey AS VARCHAR)),
+                                 1, 15))::UBIGINT AS BIGINT) % 65536 AS p
+  FROM dim, unnest([0, 1, 2]) AS t(i)
+), probe AS (
+  SELECT l_suppkey,
+         (SELECT COUNT(*) FROM pos WHERE p = CAST(('0x' || substring(
+              md5('b0:' || CAST(l_suppkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 65536) > 0
+         AND
+         (SELECT COUNT(*) FROM pos WHERE p = CAST(('0x' || substring(
+              md5('b1:' || CAST(l_suppkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 65536) > 0
+         AND
+         (SELECT COUNT(*) FROM pos WHERE p = CAST(('0x' || substring(
+              md5('b2:' || CAST(l_suppkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 65536) > 0
+           AS bpass,
+         EXISTS (SELECT 1 FROM dim WHERE s_suppkey = l_suppkey) AS breal
+  FROM lineitem
+)
+SELECT CASE WHEN breal AND bpass THEN 'kept_match'
+            WHEN bpass THEN 'false_positive'
+            WHEN breal THEN 'FALSE_NEGATIVE'
+            ELSE 'pruned' END AS outcome,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM probe GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -6516,6 +6797,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     # ---------------- the 50-entry driver window ends here ----------------
+    # (batch 11 — below the r5 window, leads the r6 rotation)
+    "events_stream_session": (q_events_stream_session, SQL_EVENTS_STREAM_SESSION),
+    "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
+    "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
+    "sliding_distinct_users": (q_sliding_distinct_users, SQL_SLIDING_DISTINCT_USERS),
+    "bloom_prune": (q_bloom_prune, SQL_BLOOM_PRUNE),
     # Round-5 window accounting: changed-8 + first-wave-32 + 10 of the
     # second-wave-17 = 50 (never-driver-checked new queries outrank
     # re-attesting old greens). Below the line, ALL still covered by

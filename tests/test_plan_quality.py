@@ -265,3 +265,66 @@ def test_partitioned_roundtrip_prunes_partitions(spark):
     assert any("event_type" in ln for ln in pf), pf
     # the partition filter is genuinely restrictive (IN on two values)
     assert any("purchase" in ln or "click" in ln for ln in pf), pf
+
+
+def test_tpch_q5_dimension_arm_broadcasts(spark):
+    """q_tpch_q5_local_volume: every dimension join (customer, supplier,
+    nation x region) must be a BroadcastHashJoin — the only sort-merge
+    worthy shuffle is the orders-lineitem fact join. A dimension that
+    falls to SortMergeJoin re-shuffles the 100 TB fact once per dim."""
+    from labelspark_spark.queries import q_tpch_q5_local_volume
+
+    df = q_tpch_q5_local_volume(spark, SF_SMOKE)
+    plan = explain.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:500]
+    # date-range filter reaches the orders scan
+    assert "PushedFilters" in plan
+
+
+def test_span_and_chunk_dedup_single_generate(spark):
+    """dedup_repeated_spans / chunk_dedup_global: the corpus is exploded
+    into spans/chunks exactly ONCE (key-partitioned window, not
+    agg+re-join, which would re-scan and re-generate — the generate is
+    the expensive step at 100 TB)."""
+    from labelspark_spark.queries import q_chunk_dedup_global, q_dedup_repeated_spans
+
+    import re
+
+    for fn in (q_dedup_repeated_spans, q_chunk_dedup_global):
+        plan = explain.formatted_plan(fn(spark, SF_SMOKE))
+        nodes = re.findall(r"^\(\d+\) Generate", plan, re.M)
+        assert len(nodes) == 1, f"{fn.__name__}: {len(nodes)} Generate nodes"
+
+
+def test_bloom_prune_fact_side_never_shuffles(spark):
+    """q_bloom_prune: the fact table must reach its bloom verdict via
+    broadcasts only (the 8 KB bit words + the dim for the truth join);
+    the single Exchange in the plan is the final 4-row census
+    aggregation, never a fact-keyed repartition."""
+    from labelspark_spark.queries import q_bloom_prune
+
+    df = q_bloom_prune(spark, SF_SMOKE)
+    import re
+
+    plan = explain.formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M)) >= 2
+    # only the census agg exchanges (hashpartitioning on the outcome label)
+    wide = re.findall(r"^\(\d+\) Exchange$", plan, re.M)
+    assert len(wide) == 1, plan[:800]
+
+
+def test_snapshot_diff_single_join_shuffle(spark):
+    """q_snapshot_diff: one full-outer join on the key plus the census
+    agg — and only (doc_id, md5) ride the exchanges, never text."""
+    from labelspark_spark.queries import q_snapshot_diff
+
+    df = q_snapshot_diff(spark, SF_SMOKE)
+    import re
+
+    plan = explain.formatted_plan(df)
+    wide = re.findall(r"^\(\d+\) Exchange$", plan, re.M)
+    assert len(wide) <= 3, wide  # two join inputs + census agg
+    exchange_lines = [
+        ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln
+    ]
+    assert not any("text" in ln for ln in exchange_lines), exchange_lines
