@@ -78,18 +78,24 @@ def _top_level_bracket_groups(s: str) -> list[str]:
 def global_window_specs(df: DataFrame) -> list[str]:
     """Arguments of every UNPARTITIONED Window node in the plan.
 
-    A partitioned Window's formatted ``Arguments:`` carries three
-    top-level bracket groups ``[exprs], [partitionSpec], [orderSpec]``;
-    an unpartitioned one only two (no partition group). Unpartitioned
-    WindowExec moves ALL input rows to one task — the 100 TB straggler
-    the two-phase top-k (queries._global_topk) exists to avoid — so any
-    occurrence must be justified by a bounded input.
+    A fully-specified Window's formatted ``Arguments:`` carries three
+    top-level bracket groups ``[exprs], [partitionSpec], [orderSpec]``.
+    Two groups is ambiguous: a window with partitionBy but no orderBy
+    (``count(*) over (partition by k)``) ALSO prints two —
+    ``[exprs], [partitionSpec]`` — and that one shuffles per key, not
+    to a single task. The groups are distinguishable by content: an
+    orderSpec item always prints a sort direction (``ASC``/``DESC``),
+    a partitionSpec item never does. Unpartitioned WindowExec moves
+    ALL input rows to one task — the 100 TB straggler the two-phase
+    top-k (queries._global_topk) exists to avoid — so any occurrence
+    must be justified by a bounded input.
     """
     import re
 
     out: list[str] = []
     plan = formatted_plan(df)
     for m in re.finditer(r"\(\d+\) Window(?:\n[^\n(]*)*?\nArguments: (.*)", plan):
-        if len(_top_level_bracket_groups(m.group(1))) == 2:
+        groups = _top_level_bracket_groups(m.group(1))
+        if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
             out.append(m.group(1))
     return out

@@ -6720,6 +6720,861 @@ FROM probe GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# round 5 batch 12: TPC-H depth — the classic decision-support shapes the
+# testdata's columns can express (no partsupp / commitdate / shipmode /
+# container / phone in the driver schema, so Q2/Q4/Q12/Q14/Q16/Q20/Q21/Q22
+# are faithful ADAPTATIONS of the same plan shape: the join graph, the
+# correlation/decorrelation pattern, and the aggregate structure are the
+# canonical ones, only the filter column substitutes). Reference parity:
+# the reference exposes all of these only as "materialize then pandas"
+# (client.py:38-81); every one here is a pure Catalyst plan.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q2_preferred_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part preferred supplier — the correlated
+    MIN subquery decorrelated into a per-part window argmin. partsupp
+    doesn't exist in this schema, so the shipped (partkey, suppkey)
+    pairs from lineitem stand in for it, and min s_acctbal stands in
+    for min ps_supplycost. Scale: the pair-distinct is the only wide
+    shuffle (on the composite key); part/supplier/nation all
+    broadcast; the argmin window partitions on p_partkey (never
+    global). Acctbal compared in exact cents with s_suppkey tiebreak
+    so the argmin row is engine-deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 25) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_brand")
+    )
+    bal_cents = F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", bal_cents.alias("_bal")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), ps["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    w = Window.partitionBy("p_partkey").orderBy("_bal", "s_suppkey")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            (F.col("_bal").cast("double") / 100.0).alias("s_acctbal"),
+        )
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p_partkey, p_brand, s_name, n_name,
+         CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey
+                            ORDER BY CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT),
+                                     s_suppkey) AS rn
+  FROM ps
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_size = 25 AND p_type = 'LARGE'
+)
+SELECT p_partkey, p_brand, s_name, n_name,
+       CAST(bal AS DOUBLE) / 100.0 AS s_acctbal
+FROM cand WHERE rn = 1
+"""
+
+
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — the EXISTS subquery
+    as a LEFT SEMI join with a non-equi residual (shipped within 60
+    days of order date substitutes for commitdate < receiptdate,
+    which this schema lacks). The semi join shuffles once on
+    orderkey; the date window rides as a residual condition so no
+    second pass over lineitem. Output is a 5-row priority histogram."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] >= o["o_orderdate"])
+        & (li["l_shipdate"] < o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate <  o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecasting-revenue change — the pure scan-filter-agg
+    (no joins, the Catalyst pushdown showcase: all three predicates
+    reach the parquet scan as PushedFilters). Discounts are exact
+    hundredths in the data, so BETWEEN 0.05 AND 0.07 selects
+    identically in both engines. Revenue = sum(extendedprice *
+    discount) in exact cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 100 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = f"""
+SELECT {MONEY_SQL.format(x="l_extendedprice * l_discount")} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipping between two nations, both
+    directions, by ship year. The fact join (lineitem x orders)
+    shuffles on orderkey; supplier, customer, and both nation lookups
+    broadcast. The two-direction disjunction sits above the broadcast
+    joins so each fact row is tested once — no union of two plans."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("_snk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("_cnk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg((F.sum(rev_cents).cast("double") / 100.0).alias("revenue"))
+
+
+SQL_TPCH_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {MONEY_SQL.format(x="volume")} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the CASE-inside-SUM
+    conditional-aggregation pattern over a five-way star. Share is
+    emitted as integer ppm via exact bigint cross-multiplication
+    (nation_cents * 1e6 div total_cents — max ~1e11*1e6 < 2^63): a
+    double division of two partition-order double sums would be
+    run-nondeterministic on both axes. AMERICA-region customers,
+    PROMO-type parts, share of supplier nation NATION_5 per order
+    year."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    amer_nations = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("_ank"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(amer_nations), F.col("c_nationkey") == F.col("_ank"), "left_semi"
+    ).select("c_custkey")
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("_sname")
+    )
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(supp_nation), s["s_nationkey"] == F.col("_snk"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("_sname") == "NATION_5", rev_cents).otherwise(F.lit(0))).alias(
+            "_nat"
+        ),
+        F.sum(rev_cents).alias("_tot"),
+    )
+    return agg.select(
+        "o_year",
+        F.expr("_nat * 1000000L div _tot").alias("mkt_share_ppm"),
+        (F.col("_tot").cast("double") / 100.0).alias("total_revenue"),
+    )
+
+
+SQL_TPCH_Q8 = """
+WITH amer AS (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA'
+), j AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+         n_name AS sname
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+    AND EXISTS (SELECT 1 FROM customer JOIN amer ON c_nationkey = n_nationkey
+                WHERE c_custkey = o_custkey)
+)
+SELECT o_year,
+       (SUM(CASE WHEN sname = 'NATION_5' THEN cents ELSE 0 END) * 1000000)
+         // SUM(cents) AS mkt_share_ppm,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_revenue
+FROM j GROUP BY o_year
+"""
+
+
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year. No
+    partsupp in this schema, so cost = p_retailprice * quantity
+    substitutes for ps_supplycost * quantity — same amount expression
+    shape (revenue minus cost, per row, BEFORE the aggregate). Both
+    terms are floored to cents separately then subtracted, keeping
+    the bigint sum exact; parts filtered on a name substring
+    ('widget'), year from l_shipdate (no orders join needed — one
+    fewer fact shuffle than canonical, same output shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    cost_cents = F.floor(
+        F.col("p_retailprice") * F.col("l_quantity") * 100 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(
+            (F.sum(rev_cents - cost_cents).cast("double") / 100.0).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+              - CAST(FLOOR(p_retailprice * l_quantity * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_profit,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, CAST(year(l_shipdate) AS INTEGER)
+"""
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    a quarter. The customer dimension broadcasts into the fact join;
+    the top-20 runs through the two-phase _global_topk (per-partition
+    prune first — never a full-table single-partition window).
+    Ranking key is the exact cents sum with c_custkey tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    bal_cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", bal_cents.alias("_bal")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "_bal")
+        .agg(F.sum(rev_cents).alias("_rev"))
+    )
+    top = _global_topk(
+        per_cust, 20, [F.col("_rev").desc(), F.col("c_custkey").asc()], "rk"
+    )
+    return top.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        (F.col("_bal").cast("double") / 100.0).alias("c_acctbal"),
+        (F.col("_rev").cast("double") / 100.0).alias("revenue"),
+        "rk",
+    )
+
+
+SQL_TPCH_Q10 = """
+WITH per_cust AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-07-01'
+    AND o_orderdate <  TIMESTAMP '1997-10-01'
+  GROUP BY c_custkey, c_name, n_name, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+)
+SELECT c_custkey, c_name, n_name,
+       CAST(bal AS DOUBLE) / 100.0 AS c_acctbal,
+       CAST(rev AS DOUBLE) / 100.0 AS revenue,
+       CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rev DESC, c_custkey) AS rk FROM per_cust)
+WHERE rk <= 20
+"""
+
+
+def q_tpch_q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix by shipping bucket — the
+    two-branch CASE-SUM over a fact-fact join. No shipmode/commit/
+    receipt dates in this schema, so the group key is the ship-delay
+    bucket (datediff(shipdate, orderdate): <30 fast, <90 normal,
+    else late) — same high/low-priority conditional-count structure
+    as canonical Q12."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, F.lit("fast"))
+        .when(delay < 90, F.lit("normal"))
+        .otherwise(F.lit("late"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
+            WHEN datediff('day', o_orderdate, l_shipdate) < 90 THEN 'normal'
+            ELSE 'late' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q_tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue share by ship month of 1997 —
+    conditional sum over a broadcast part join, share as exact-ppm
+    integer division (same doctrine as q8)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    agg = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(F.lit(0))
+            ).alias("_promo"),
+            F.sum(rev_cents).alias("_tot"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        F.expr("_promo * 1000000L div _tot").alias("promo_share_ppm"),
+        (F.col("_promo").cast("double") / 100.0).alias("promo_revenue"),
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       (SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) * 1000000)
+         // SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+         AS promo_share_ppm,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE) / 100.0 AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier(s) — the revenue view + HAVING
+    rev = MAX(rev) correlated pattern, decorrelated into a broadcast
+    singleton max joined back (ties all surface, as canonical
+    requires). Exact cents make the max comparison engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_cents).alias("_rev"))
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("_rev").cast("double") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+"""
+
+
+def q_tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) with a NOT IN supplier exclusion — the anti-join +
+    COUNT(DISTINCT) pattern. Shipped pairs substitute for partsupp;
+    negative-acctbal suppliers substitute for the complaints LIKE.
+    The pair-distinct and the count-distinct share the same shuffle
+    key family; part and the tiny exclusion list broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 15, 20, 25, 30, 35))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — the HAVING SUM(qty) >
+    threshold subquery folded into the fact aggregate, then joined
+    back to orders/customer (both sides of the back-join arrive
+    pre-shuffled on orderkey). Top-100 by (totalprice desc, orderkey)
+    through the two-phase prune; totalprice is ranked, never summed,
+    so the raw double is comparison-safe."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_cents).alias("_q"))
+        .filter(F.col("_q") > 250 * 100)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    top = _global_topk(
+        joined, 100, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], "rk"
+    )
+    return top.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        (F.col("_q").cast("double") / 100.0).alias("total_qty"),
+        "rk",
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 25000
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(q AS DOUBLE) / 100.0 AS total_qty, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, q,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM big JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+)
+WHERE rk <= 100
+"""
+
+
+def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under three disjunctive
+    brand/size/quantity branches — the OR-of-ANDs predicate that
+    exercises Catalyst's CNF extraction (the common l_partkey =
+    p_partkey conjunct must still drive a single equi-join, with the
+    disjunction as residual; brand/size legs push to the part scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), (li["l_partkey"] == p["p_partkey"]) & branch)
+        .agg(
+            (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q19 = f"""
+SELECT {MONEY_SQL.format(x="l_extendedprice * (1 - l_discount)")} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an outsized share of a
+    part's flow — the nested IN-subquery chain (suppliers IN pairs
+    WHERE qty > fraction of part total) decorrelated into
+    aggregate + broadcast-threshold join + distinct semi-join, the
+    same rewrite Catalyst applies to canonical Q20 (availqty > 0.5 *
+    shipped becomes a fair-share test here: a supplier qualifies if
+    it shipped more than TWICE its fair share of a SMALL-type part's
+    total — supp*n_supps > 2*total stays populated at any scale,
+    where an absolute >50% share empties out as suppliers-per-part
+    grows). Exact bigint cross-multiplication; the per-part totals
+    reuse the per-(part,supp) aggregate — one fact shuffle total."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "SMALL")
+        .select("p_partkey")
+    )
+    qty_cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    sp = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty_cents).alias("_sp"))
+    )
+    tot = (
+        sp.groupBy("l_partkey")
+        .agg(F.sum("_sp").alias("_tot"), F.count(F.lit(1)).alias("_ns"))
+        .withColumnRenamed("l_partkey", "_pk")
+    )
+    dom = sp.join(F.broadcast(tot), sp["l_partkey"] == F.col("_pk")).filter(
+        F.col("_sp") * F.col("_ns") > 2 * F.col("_tot")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(
+            F.broadcast(dom.select("l_suppkey").distinct()),
+            s["s_suppkey"] == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH sp AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS spq
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+  GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey AS pk, SUM(spq) AS totq, CAST(COUNT(*) AS BIGINT) AS ns
+  FROM sp GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT DISTINCT l_suppkey FROM sp JOIN tot ON l_partkey = pk
+  WHERE spq * ns > 2 * totq)
+"""
+
+
+def q_tpch_q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the supplier who kept the order waiting — the
+    EXISTS(other supplier)/NOT EXISTS(other late supplier) pair
+    decorrelated into windows over one per-(order, supplier)
+    aggregate: on multi-supplier orders, count the orders where this
+    supplier's latest ship date IS the order's latest AND no other
+    supplier shares it (sole last shipper ~ 'the one everyone else
+    was waiting on'; commit/receipt dates don't exist here). One
+    shuffle on orderkey for the aggregate; the windows reuse its
+    partitioning; top-10 via two-phase prune."""
+    li = _t(spark, sf_dir, "lineitem")
+    os_ = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("_sd"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        os_.withColumn("_omax", F.max("_sd").over(w))
+        .withColumn("_nsupp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_nmax",
+            F.sum(F.when(F.col("_sd") == F.col("_omax"), 1).otherwise(0)).over(w),
+        )
+    )
+    late = flagged.filter(
+        (F.col("_nsupp") >= 2)
+        & (F.col("_sd") == F.col("_omax"))
+        & (F.col("_nmax") == 1)
+    )
+    cnt = late.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    named = cnt.join(F.broadcast(s), cnt["l_suppkey"] == s["s_suppkey"])
+    top = _global_topk(
+        named, 10, [F.col("numwait").desc(), F.col("s_suppkey").asc()], "rk"
+    )
+    return top.select("s_suppkey", "s_name", "numwait", "rk")
+
+
+SQL_TPCH_Q21 = """
+WITH os AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sd
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), flagged AS (
+  SELECT l_suppkey, sd,
+         MAX(sd) OVER (PARTITION BY l_orderkey) AS omax,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS nsupp,
+         -- suppliers sharing THIS ship date; at sd = omax this equals the
+         -- count of suppliers achieving the order max (no nested windows,
+         -- which DuckDB rejects)
+         COUNT(*) OVER (PARTITION BY l_orderkey, sd) AS n_at_sd
+  FROM os
+), cnt AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM flagged WHERE nsupp >= 2 AND sd = omax AND n_at_sd = 1
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, numwait, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT s_suppkey, s_name, numwait,
+         ROW_NUMBER() OVER (ORDER BY numwait DESC, s_suppkey) AS rk
+  FROM cnt JOIN supplier ON l_suppkey = s_suppkey
+)
+WHERE rk <= 10
+"""
+
+
+def q_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global sales opportunity — above-average-
+    balance customers with no recent orders (every customer here has
+    SOME order, so 'no order since 1999' substitutes for NOT EXISTS;
+    nation substitutes for the phone country code). The average-
+    balance threshold is the canonical correlated scalar, evaluated
+    as exact cross-multiplication (bal_cents * n_pos > sum_pos_cents)
+    against a broadcast singleton; the NOT EXISTS is a left-anti
+    against the distinct recent-customer keys."""
+    bal_cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", bal_cents.alias("_bal")
+    )
+    pos = (
+        c.filter(F.col("_bal") > 0)
+        .agg(F.sum("_bal").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        F.col("_bal") * F.col("_n") > F.col("_s")
+    )
+    dormant = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum("_bal").cast("double") / 100.0).alias("totacctbal"),
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+  FROM customer
+), pos AS (
+  SELECT SUM(bal) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM c WHERE bal > 0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal) AS DOUBLE) / 100.0 AS totacctbal
+FROM c, pos
+WHERE bal * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -6812,9 +7667,25 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (posexplode_tokens..range_join_binned, text_tfidf) and the
     # r02-deferred 15 (hll_distinct..join_anti, incl. q3 — still smoke-run
     # every round as the entry() flagship).
-    # NEXT ROTATION (r6): lead with the 7 unchecked second-wave queries,
-    # then the r02-stale 11 + deferred 15 — that fills 33 of the window;
-    # round-6 additions take the rest.
+    # NEXT ROTATION (r6): lead with the never-driver-checked queries below
+    # this line (7 second-wave + the round-5 batch-12 TPC-H depth block),
+    # then the r02-stale 11 + deferred 15; round-6 additions take the rest.
+    "tpch_q2_preferred_supplier": (q_tpch_q2_preferred_supplier, SQL_TPCH_Q2),
+    "tpch_q4_order_priority": (q_tpch_q4_order_priority, SQL_TPCH_Q4),
+    "tpch_q6_forecast_revenue": (q_tpch_q6_forecast_revenue, SQL_TPCH_Q6),
+    "tpch_q7_volume_shipping": (q_tpch_q7_volume_shipping, SQL_TPCH_Q7),
+    "tpch_q8_market_share": (q_tpch_q8_market_share, SQL_TPCH_Q8),
+    "tpch_q9_product_profit": (q_tpch_q9_product_profit, SQL_TPCH_Q9),
+    "tpch_q10_returned_items": (q_tpch_q10_returned_items, SQL_TPCH_Q10),
+    "tpch_q12_ship_delay": (q_tpch_q12_ship_delay, SQL_TPCH_Q12),
+    "tpch_q14_promo_effect": (q_tpch_q14_promo_effect, SQL_TPCH_Q14),
+    "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, SQL_TPCH_Q15),
+    "tpch_q16_supplier_counts": (q_tpch_q16_supplier_counts, SQL_TPCH_Q16),
+    "tpch_q18_large_orders": (q_tpch_q18_large_orders, SQL_TPCH_Q18),
+    "tpch_q19_disjunctive_revenue": (q_tpch_q19_disjunctive_revenue, SQL_TPCH_Q19),
+    "tpch_q20_dominant_supplier": (q_tpch_q20_dominant_supplier, SQL_TPCH_Q20),
+    "tpch_q21_last_shipper": (q_tpch_q21_last_shipper, SQL_TPCH_Q21),
+    "tpch_q22_dormant_customers": (q_tpch_q22_dormant_customers, SQL_TPCH_Q22),
     "tpch_q5_local_volume": (q_tpch_q5_local_volume, SQL_TPCH_Q5),
     "tpch_q13_custdist": (q_tpch_q13_custdist, SQL_TPCH_Q13),
     "tpch_q17_small_qty": (q_tpch_q17_small_qty, SQL_TPCH_Q17),
