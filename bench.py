@@ -94,6 +94,19 @@ BENCH_QUERIES = [
     "tpch_q5_local_volume",
     "tpch_q13_custdist",
     "tpch_q17_small_qty",
+    # round-5 batch-12 TPC-H depth (the join-heavy ones; the sub-50ms
+    # scan-agg trivia q4/q6/q12/q14/q19/q22 stay out) + hyperfunctions
+    "tpch_q2_preferred_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q16_supplier_counts",
+    "tpch_q18_large_orders",
+    "tpch_q21_last_shipper",
+    "duration_in_state",
+    "downsample_ltob",
+    "dsir_importance",
     "time_weighted_avg",
     "interval_coverage",
     "counter_rate",

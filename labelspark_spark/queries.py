@@ -4890,6 +4890,115 @@ GROUP BY 1
 """
 
 
+def _stage_stream_dir_with_sentinels(
+    sf_dir: str, n_sentinels: int = 2, offset_days: int = 30
+) -> str:
+    """Stage events.parquet plus ``n_sentinels`` one-row far-future
+    parquet files. OUTER stream-stream joins only emit null-extended
+    rows when the watermark passes a row's join window, and the
+    watermark only advances between micro-batches — so a single-batch
+    replay would silently drop every unmatched row. Each sentinel file
+    forces one more batch and pushes the watermark ``offset_days``
+    further. CRITICAL: the global watermark is the MIN over every
+    withWatermark node, and each node only sees rows that survive the
+    filters UPSTREAM of it — a sentinel event_type that matches
+    neither join side would advance nothing (measured: the newest
+    real purchase then never flushes). So each sentinel file carries
+    one 'purchase' AND one 'click' row on user_id -1, advancing both
+    nodes; consumers filter user_id >= 0 on read-back. Built with
+    pyarrow against the ORIGINAL file's schema so both physical ts
+    variants the driver testdata has shipped (TIMESTAMP(NANOS) /
+    TIMESTAMP_NTZ(us)) survive byte-identically."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="events_stream_oj_")
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, f"{d}/part-0.parquet")
+    t = pq.read_table(src)
+    pdf = t.slice(0, 1).to_pandas()
+    for i in range(n_sentinels):
+        s = pd.concat([pdf, pdf], ignore_index=True)
+        s["event_id"] = [-1 - 2 * i, -2 - 2 * i]
+        s["user_id"] = -1
+        s["event_type"] = ["purchase", "click"]
+        s["ts"] = s["ts"] + pd.Timedelta(days=offset_days * (i + 1))
+        pq.write_table(
+            pa.Table.from_pandas(s, schema=t.schema, preserve_index=False),
+            f"{d}/part-sentinel-{i}.parquet",
+        )
+    return d
+
+
+def q_events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hard-signal: watermarked LEFT OUTER stream-stream join —
+    purchases left-joined to the same user's clicks within the prior
+    6 hours. The outer side exercises the state-EVICTION contract the
+    inner join never does: an unmatched purchase emits its
+    null-extended row only once the watermark proves no matching
+    click can still arrive. Two far-future sentinel batches (see
+    _stage_stream_dir_with_sentinels) advance the watermark so every
+    unmatched purchase flushes before the replay ends; the sink then
+    equals the batch left join exactly — matched pair counts AND
+    unmatched counts, hash-checked."""
+    from labelspark_spark.streaming import events as se
+
+    d = _stage_stream_dir_with_sentinels(sf_dir)
+    purchases = (
+        se.read_events_stream(spark, d)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        se.read_events_stream(spark, d)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 6 hours"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    _replay_to_memory(pairs, "events_stream_outer_join_sink", "append")
+    return (
+        spark.table("events_stream_outer_join_sink")
+        .filter(F.col("p_user") >= 0)  # drop watermark-sentinel rows
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("c_ts").alias("n_matched_pairs"),
+            F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+        )
+    )
+
+
+SQL_EVENTS_STREAM_OUTER_JOIN = """
+SELECT p.user_id,
+       CAST(COUNT(c.ts) AS BIGINT) AS n_matched_pairs,
+       CAST(SUM(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+GROUP BY 1
+"""
+
+
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: top-20 part pairs appearing in the
     same order, with lift (observed co-rate over independence). The pair
@@ -5756,6 +5865,224 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_samples,
        CAST(SUM(inc) AS DOUBLE) / (MAX(ms) - MIN(ms)) * 10.0 AS rate_per_s
 FROM d GROUP BY user_id HAVING MAX(ms) > MIN(ms)
+"""
+
+
+def q_duration_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-duration aggregation (the TimescaleDB `state_agg` /
+    `duration_in` shape): each event puts its user INTO that
+    event_type state until the user's next event, so time-in-state =
+    sum of lead(ts)-ts over the per-user sequence. Exact epoch-ms
+    integers through the bigint sum; each user's final event has no
+    successor and contributes no interval (open-ended states are
+    excluded by declared semantics, not silently extended). The lead
+    window partitions per user — no global funnel; share_ppm is exact
+    integer cross-multiplication against a broadcast singleton."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+    staged = ev.select(
+        "event_type",
+        ms.alias("_ms"),
+        F.lead(ms).over(w).alias("_next"),
+    ).filter(F.col("_next").isNotNull())
+    agg = staged.groupBy("event_type").agg(
+        F.sum(F.col("_next") - F.col("_ms")).alias("_tot_ms"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    g = agg.agg(F.sum("_tot_ms").alias("_g"))
+    return agg.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        (F.col("_tot_ms").cast("double") / 1000.0).alias("duration_s"),
+        "n_intervals",
+        F.expr("_tot_ms * 1000000L div _g").alias("share_ppm"),
+    )
+
+
+SQL_DURATION_IN_STATE = """
+WITH s AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000 AS ms,
+         LEAD(epoch_us(ts) // 1000)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ms
+  FROM events
+), agg AS (
+  SELECT event_type, SUM(next_ms - ms) AS tot_ms,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals
+  FROM s WHERE next_ms IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, CAST(tot_ms AS DOUBLE) / 1000.0 AS duration_s, n_intervals,
+       (tot_ms * 1000000) // (SELECT SUM(tot_ms) FROM agg) AS share_ppm
+FROM agg
+"""
+
+
+def q_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling (the simplified,
+    SQL-expressible sibling of LTTB — Steinarsson 2013): keep, per
+    user per day, the sample whose triangle with its immediate
+    neighbors has the largest area (the most visually-significant
+    point). True LTTB chains bucket selections sequentially and is
+    inherently order-dependent; LTOB's per-point area uses only the
+    raw neighbors, so it stays one window pass, partitioned by user —
+    the standard dashboard-downsampling trade. Area doubled (avoids
+    /2) in exact integer ms x cents cross products; argmax tiebreak
+    (area desc, ts, event_id) is total, so the kept row is
+    engine-deterministic. Interior points only: a series' endpoints
+    have no triangle and are excluded by declared semantics."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    staged = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            ms.alias("_x"),
+            cents.alias("_y"),
+        )
+        .withColumn("_xp", F.lag("_x").over(w))
+        .withColumn("_yp", F.lag("_y").over(w))
+        .withColumn("_xn", F.lead("_x").over(w))
+        .withColumn("_yn", F.lead("_y").over(w))
+        .filter(F.col("_xp").isNotNull() & F.col("_xn").isNotNull())
+    )
+    area2 = F.abs(
+        (F.col("_xp") - F.col("_xn")) * (F.col("_y") - F.col("_yp"))
+        - (F.col("_xp") - F.col("_x")) * (F.col("_yn") - F.col("_yp"))
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    ranked = staged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "_y",
+        day.alias("day"),
+        area2.alias("_a2"),
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "day").orderBy(
+                F.col("_a2").desc(), F.col("ts"), F.col("event_id")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "day",
+            "event_id",
+            (F.col("_y").cast("double") / 100.0).alias("value"),
+            F.col("_a2").alias("area2"),
+        )
+    )
+
+
+SQL_DOWNSAMPLE_LTOB = """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) // 1000 AS x,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y,
+         LAG(epoch_us(ts) // 1000)  OVER w AS xp,
+         LAG(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))  OVER w AS yp,
+         LEAD(epoch_us(ts) // 1000) OVER w AS xn,
+         LEAD(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS yn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), a AS (
+  SELECT user_id, event_id, ts, y, date_trunc('day', ts) AS day,
+         abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp)) AS a2
+  FROM s WHERE xp IS NOT NULL AND xn IS NOT NULL
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+                               ORDER BY a2 DESC, ts, event_id) AS rn
+  FROM a
+)
+SELECT user_id, day, event_id, CAST(y AS DOUBLE) / 100.0 AS value, a2 AS area2
+FROM r WHERE rn = 1
+"""
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how much its unigram distribution looks
+    like a TARGET domain (here source='src0'). Per token, the
+    importance ratio is (target relative freq / corpus relative
+    freq); a document's score sums the per-occurrence ratio. The
+    ratio is computed double-side identically (exact bigint counts,
+    one identical-shape multiply-divide — IEEE ops are engine-
+    deterministic) then quantized to ppm BEFORE the per-doc sum, so
+    the sum stays in exact bigint arithmetic. Tokens unseen in the
+    target get ratio 0 (they carry no target evidence). Scale shape:
+    token stats are one groupBy over the exploded corpus; the
+    per-occurrence join is on the token key (broadcastable vocab
+    here, plain shuffle join on a web corpus); no driver
+    materialization."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(T.whitespace_tokens(F.col("text"))).alias("tok"),
+    )
+    stats = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("_src_n"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("_tgt_n"),
+    )
+    totals = stats.agg(
+        F.sum("_src_n").alias("_src_tot"), F.sum("_tgt_n").alias("_tgt_tot")
+    )
+    weighted = stats.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.floor(
+            (F.col("_tgt_n").cast("double") * F.col("_src_tot"))
+            / (F.col("_src_n").cast("double") * F.col("_tgt_tot"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("_w_ppm"),
+    )
+    return (
+        toks.join(F.broadcast(weighted), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_w_ppm").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("_s div n_tokens").alias("dsir_score_ppm"),
+        )
+    )
+
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({TOKS_SQL.format(c="text")}) AS tok
+  FROM documents
+), stats AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS src_n,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
+  FROM toks GROUP BY tok
+), tot AS (
+  SELECT SUM(src_n) AS src_tot, SUM(tgt_n) AS tgt_tot FROM stats
+), weighted AS (
+  SELECT tok,
+         CAST(FLOOR((CAST(tgt_n AS DOUBLE) * src_tot)
+                    / (CAST(src_n AS DOUBLE) * tgt_tot) * 1000000 + 0.5)
+              AS BIGINT) AS w_ppm
+  FROM stats, tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       SUM(w_ppm) // COUNT(*) AS dsir_score_ppm
+FROM toks JOIN weighted USING (tok)
+GROUP BY doc_id
 """
 
 
@@ -7670,6 +7997,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # NEXT ROTATION (r6): lead with the never-driver-checked queries below
     # this line (7 second-wave + the round-5 batch-12 TPC-H depth block),
     # then the r02-stale 11 + deferred 15; round-6 additions take the rest.
+    "events_stream_outer_join": (
+        q_events_stream_outer_join,
+        SQL_EVENTS_STREAM_OUTER_JOIN,
+    ),
+    "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
+    "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
+    "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "tpch_q2_preferred_supplier": (q_tpch_q2_preferred_supplier, SQL_TPCH_Q2),
     "tpch_q4_order_priority": (q_tpch_q4_order_priority, SQL_TPCH_Q4),
     "tpch_q6_forecast_revenue": (q_tpch_q6_forecast_revenue, SQL_TPCH_Q6),
