@@ -6086,6 +6086,132 @@ GROUP BY doc_id
 """
 
 
+def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join — THE write-amortized 100 TB
+    join strategy: lineitem and orders are written ONCE as managed
+    tables bucketed 16 ways on the join key, so the join reads both
+    sides already co-partitioned and the SortMergeJoin runs with ZERO
+    exchange on either input (plan-asserted in test_plan_quality —
+    the only shuffle left in the whole query is the final tiny
+    priority aggregate). The merge hint pins SMJ so the attestation
+    doesn't silently degrade to a broadcast join on small test data.
+    Same revenue-by-priority answer as the plain join, hash-checked."""
+    from labelspark_spark.sources.writers import write_bucketed
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(
+        li, "bj_lineitem", ["l_orderkey"], num_buckets=16, sort_cols=["l_orderkey"]
+    )
+    write_bucketed(
+        o, "bj_orders", ["o_orderkey"], num_buckets=16, sort_cols=["o_orderkey"]
+    )
+    jl = spark.table("bj_lineitem")
+    jo = spark.table("bj_orders")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        jl.join(jo.hint("merge"), jl["l_orderkey"] == jo["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: foreachBatch streaming MERGE/upsert — the canonical
+    lakehouse silver-table maintenance loop. Each micro-batch computes
+    its per-user latest row (max over the (ts, event_id) struct) and
+    merges it into the running state as a NEW parquet version
+    (append-only versioned commits, the overwrite-while-reading-safe
+    shape of a Delta MERGE without the log). The replay stages the
+    events file TWICE: batch 2 re-delivers every batch-1 row, so a
+    blind append would double-count — the upsert's idempotency under
+    at-least-once delivery is exactly what the hash check proves
+    (final state == single-copy batch argmax). State merge cost is
+    per-user, not per-event: the running table never exceeds
+    |users|."""
+    import tempfile
+
+    from labelspark_spark.streaming import events as se
+
+    d = _stage_stream_dir(sf_dir, copies=2)
+    state_root = tempfile.mkdtemp(prefix="stream_upsert_state_")
+    stream = se.read_events_stream(spark, d)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+    versions: list[str] = []
+
+    def merge_batch(batch: DataFrame, bid: int) -> None:
+        per_user = (
+            batch.select(
+                "user_id",
+                F.struct(
+                    ms.alias("_ms"),
+                    F.col("event_id").alias("_eid"),
+                    F.col("event_type").alias("_ty"),
+                    cents.alias("_c"),
+                ).alias("_s"),
+            )
+            .groupBy("user_id")
+            .agg(F.max("_s").alias("_s"))
+        )
+        if versions:
+            prev = batch.sparkSession.read.parquet(versions[-1])
+            merged = (
+                prev.unionByName(per_user)
+                .groupBy("user_id")
+                .agg(F.max("_s").alias("_s"))
+            )
+        else:
+            merged = per_user
+        path = f"{state_root}/v{bid}"
+        merged.write.mode("overwrite").parquet(path)
+        versions.append(path)
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(versions[-1]).select(
+        "user_id",
+        F.col("_s._ty").alias("last_type"),
+        (F.col("_s._c").cast("double") / 100.0).alias("last_value"),
+        F.col("_s._ms").alias("last_ts_ms"),
+    )
+
+
+SQL_EVENTS_STREAM_UPSERT = """
+WITH r AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         epoch_us(ts) // 1000 AS ms,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_type,
+       CAST(c AS DOUBLE) / 100.0 AS last_value, ms AS last_ts_ms
+FROM r WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # round 5 batch 8: training-data curation ops (spans, chunk dedup,
 # classifier scoring, tokenizer application, epoch sharding, int8 quant)
@@ -8001,6 +8127,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_events_stream_outer_join,
         SQL_EVENTS_STREAM_OUTER_JOIN,
     ),
+    "events_stream_upsert": (q_events_stream_upsert, SQL_EVENTS_STREAM_UPSERT),
+    "bucketed_join_roundtrip": (q_bucketed_join_roundtrip, SQL_BUCKETED_JOIN),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),

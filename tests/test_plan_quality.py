@@ -328,3 +328,25 @@ def test_snapshot_diff_single_join_shuffle(spark):
         ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln
     ]
     assert not any("text" in ln for ln in exchange_lines), exchange_lines
+
+
+def test_bucketed_join_has_no_input_exchange(spark):
+    """q_bucketed_join_roundtrip: both sides are bucketed 16 ways on the
+    join key, so the SortMergeJoin must consume the scans DIRECTLY —
+    zero Exchange below the join. The only shuffle in the whole plan is
+    the final 5-row priority aggregate."""
+    import re
+
+    from labelspark_spark.queries import q_bucketed_join_roundtrip
+
+    df = q_bucketed_join_roundtrip(spark, SF_SMOKE)
+    plan = explain.formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan[:600]
+    wide = re.findall(r"^\(\d+\) Exchange$", plan, re.M)
+    assert len(wide) == 1, plan[:1200]
+    exchange_lines = [
+        ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln
+    ]
+    assert all("o_orderpriority" in ln for ln in exchange_lines), exchange_lines
+    # bucket pruning metadata reached the scans
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan[:1200]
