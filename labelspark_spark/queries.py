@@ -5339,6 +5339,70 @@ GROUP BY 1
 """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip — the second columnar format a
+    lakehouse migration actually encounters (Hive estates are ORC).
+    Documents write to ORC with zlib compression and read back through
+    Spark's native vectorized ORC reader; the language aggregate must
+    match the parquet-sourced oracle exactly, proving the format
+    conversion is lossless for string/bigint columns. ORC predicate
+    pushdown is on by default (spark.sql.orc.filterPushdown), so the
+    source filter reaches the stripe level like parquet row groups."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="orc_rt_")
+    docs.write.mode("overwrite").option("compression", "zlib").orc(d)
+    back = spark.read.orc(d).filter(F.col("n_chars") > 0)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents WHERE n_chars > 0
+GROUP BY lang
+"""
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip (the interchange format of
+    every annotation/export pipeline, and the reference's upload
+    payload format — labelspark uploader.py:242-261 builds ndjson).
+    Orders write as gzipped ndjson and read back with an EXPLICIT
+    schema (schema inference on a 100 TB JSON dump is a full extra
+    pass — always pass the schema); timestamps roundtrip through ISO
+    strings. The priority aggregate must equal the parquet-sourced
+    oracle, proving the text encode/decode is lossless for
+    bigint/double/timestamp columns at these magnitudes."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="jsonl_rt_")
+    o.write.mode("overwrite").option("compression", "gzip").json(d)
+    back = spark.read.schema(o.schema).json(d)
+    price_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(price_cents).cast("double") / 100.0).alias("total_price"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price,
+       MAX(o_orderdate) AS last_order
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-view maintenance: a standing aggregate state (80% of
     events by deterministic id slice) merged with a delta batch (the
@@ -8129,6 +8193,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "events_stream_upsert": (q_events_stream_upsert, SQL_EVENTS_STREAM_UPSERT),
     "bucketed_join_roundtrip": (q_bucketed_join_roundtrip, SQL_BUCKETED_JOIN),
+    "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
