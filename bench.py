@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "duration_in_state",
     "downsample_ltob",
     "dsir_importance",
+    "bpe_train_iters",
+    "bucketed_join_roundtrip",
+    "orc_roundtrip",
+    "jsonl_roundtrip",
     "time_weighted_avg",
     "interval_coverage",
     "counter_rate",

@@ -3317,6 +3317,162 @@ SELECT pair, n, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+def q_bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING loop, 3 unrolled iterations (Sennrich 2016): each
+    round learns the most frequent adjacent token pair (count desc,
+    then lexicographic — fully deterministic), applies it corpus-wide
+    with the greedy LEFTMOST-non-overlapping rule, and re-counts on
+    the merged corpus. The greedy rule is expressed POSITIONALLY so
+    both engines agree without a sequential fold (DuckDB has no typed
+    fold): match islands via the gaps-and-islands offset, then keep
+    even offsets within each island — for runs like 'a a a a' that is
+    exactly the leftmost-greedy pairing. Scale shape: every window
+    partitions per document; the only global object per round is the
+    single learned merge (broadcast). Real tokenizers train on a
+    sampled few-GB slice — the loop SHAPE (learn -> broadcast ->
+    rewrite -> re-count) is what carries to 100 TB. Outputs one row
+    per iteration: the learned merge, its raw pair count, merges
+    actually applied (non-overlapping), and corpus size after.
+
+    Lineage discipline: each iteration localCheckpoints the rewritten
+    corpus (the connected_components pattern) — without it the stats
+    aggregates re-derive the whole chain per branch per iteration
+    (measured 11.4s @ sf0.1; checkpointed ~3x faster). Only the 1-row
+    learned merge and two scalar counters ever reach the driver (the
+    'centroids and scalar stats probes' doctrine class)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
+    seqs = docs.select(
+        "doc_id", F.posexplode(toks).alias("idx", "tok")
+    ).localCheckpoint()
+    stats: list[tuple] = []
+    for it in (1, 2, 3):
+        wdoc = Window.partitionBy("doc_id").orderBy("idx")
+        prs = seqs.withColumn("_b", F.lead("tok").over(wdoc)).filter(
+            F.col("_b").isNotNull()
+        )
+        cnt = prs.groupBy(
+            F.col("tok").alias("_pa"), F.col("_b").alias("_pb")
+        ).agg(F.count(F.lit(1)).alias("_c"))
+        top = _global_topk(
+            cnt, 1, [F.col("_c").desc(), F.col("_pa"), F.col("_pb")], "_r"
+        ).collect()[0]
+        pa, pb, c = top["_pa"], top["_pb"], int(top["_c"])
+        m = (
+            seqs.withColumn("_nxt", F.lead("tok").over(wdoc))
+            .withColumn(
+                "_is_m",
+                F.coalesce(
+                    (F.col("tok") == F.lit(pa)) & (F.col("_nxt") == F.lit(pb)),
+                    F.lit(False),
+                ),
+            )
+            .withColumn(
+                "_grp",
+                F.col("idx") - F.sum(F.col("_is_m").cast("long")).over(wdoc),
+            )
+            .withColumn(
+                "_isl0",
+                F.min(F.when(F.col("_is_m"), F.col("idx"))).over(
+                    Window.partitionBy("doc_id", "_grp")
+                ),
+            )
+            .withColumn(
+                "_sel",
+                F.col("_is_m") & ((F.col("idx") - F.col("_isl0")) % 2 == 0),
+            )
+            .withColumn(
+                "_prev_sel",
+                F.coalesce(F.lag("_sel").over(wdoc), F.lit(False)),
+            )
+        )
+        seqs = (
+            m.filter(~F.col("_prev_sel"))
+            .select(
+                "doc_id",
+                (F.row_number().over(wdoc) - 1).alias("idx"),
+                F.when(F.col("_sel"), F.lit(f"{pa}+{pb}"))
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+                F.col("_sel"),
+            )
+            .localCheckpoint()
+        )
+        counts = seqs.agg(
+            F.sum(F.col("_sel").cast("long")).alias("_m"),
+            F.count(F.lit(1)).alias("_n"),
+        ).collect()[0]
+        seqs = seqs.drop("_sel")
+        stats.append((it, f"{pa}+{pb}", c, int(counts["_m"]), int(counts["_n"])))
+    return spark.createDataFrame(
+        stats,
+        "iter int, merged_token string, n_pairs bigint, "
+        "n_merged bigint, tokens_after bigint",
+    )
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One unrolled BPE-training iteration as DuckDB CTEs (seq{i-1} ->
+    seq{i} + st{i}) — the exact mirror of the Spark loop body."""
+    p = i - 1
+    return f"""
+, pr{i} AS (
+  SELECT tok AS a, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY idx) AS b
+  FROM seq{p}
+), pc{i} AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pr{i} WHERE b IS NOT NULL GROUP BY a, b
+), top{i} AS (
+  SELECT a, b, c FROM pc{i} ORDER BY c DESC, a, b LIMIT 1
+), m{i} AS (
+  SELECT s.doc_id, s.idx, s.tok,
+         COALESCE(s.tok = t.a AND
+                  LEAD(s.tok) OVER (PARTITION BY s.doc_id ORDER BY s.idx) = t.b,
+                  FALSE) AS is_m
+  FROM seq{p} s CROSS JOIN top{i} t
+), g{i} AS (
+  SELECT *, idx - SUM(CASE WHEN is_m THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+  FROM m{i}
+), s{i} AS (
+  SELECT *, is_m AND COALESCE(
+             (idx - MIN(CASE WHEN is_m THEN idx END)
+                      OVER (PARTITION BY doc_id, grp)) % 2 = 0, FALSE) AS sel
+  FROM g{i}
+), k{i} AS (
+  SELECT doc_id, idx, tok, sel,
+         COALESCE(LAG(sel) OVER (PARTITION BY doc_id ORDER BY idx), FALSE)
+           AS prev_sel
+  FROM s{i}
+), seq{i} AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS idx,
+         CASE WHEN sel THEN (SELECT a || '+' || b FROM top{i}) ELSE tok END AS tok
+  FROM k{i} WHERE NOT prev_sel
+), st{i} AS (
+  SELECT CAST({i} AS INTEGER) AS iter, a || '+' || b AS merged_token,
+         c AS n_pairs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s{i} WHERE sel) AS n_merged,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM seq{i}) AS tokens_after
+  FROM top{i}
+)"""
+
+
+SQL_BPE_TRAIN_ITERS = (
+    f"""
+WITH base AS (
+  SELECT doc_id, {TOKS_SQL.format(c="text")} AS toks FROM documents
+), seq0 AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS idx, toks[CAST(i AS INT)] AS tok
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM base)
+)"""
+    + "".join(_bpe_iter_sql(i) for i in (1, 2, 3))
+    + """
+SELECT * FROM st1 UNION ALL SELECT * FROM st2 UNION ALL SELECT * FROM st3
+"""
+)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: a deterministic 20% hash-slice of the
     corpus plays the 'arriving batch', deduped ONLY against the other
@@ -6290,7 +6446,18 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), de-duplicated within the doc, then one posting-list
     aggregation counts docs per span and a second join folds the
     shared-span coverage back per doc. Both shuffles key on the span —
-    the posting-list shape that scales; ppm coverage is integer-exact."""
+    the posting-list shape that scales; ppm coverage is integer-exact.
+    Spans are hashed to a 60-bit md5-derived key ROW-LOCALLY, before
+    the distinct and the shuffle: the wide exchange then carries one
+    bigint per span instead of ~50 bytes of 8-gram text (~6x fewer
+    shuffle bytes), and because the ORACLE hashes with the identical
+    md5 expression, the check stays exact even under a collision.
+    Measured on local[32] @ sf0.1 the md5 CPU offsets the byte saving
+    (3.5s vs 3.3s — in-memory shuffle is free); the hash key is kept
+    because on a real cluster the exchange is NETWORK-bound and bytes,
+    not per-row CPU, set the span-posting shuffle's cost."""
+    from labelspark_spark.operators.dedup import _hash60
+
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower(F.col("text")), " +"), lambda x: x != ""
@@ -6299,7 +6466,7 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n - 7),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+            lambda i: _hash60(F.concat_ws(" ", F.slice(toks, i, 8))),
         )
     )
     ds = (
@@ -6338,7 +6505,9 @@ WITH t AS (
   FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, len(toks) - 7),
-                                 i -> array_to_string(toks[i:i+7], ' '))) AS span
+                                 i -> CAST(('0x' || substring(md5(
+                                        array_to_string(toks[i:i+7], ' ')),
+                                        1, 15))::UBIGINT AS BIGINT))) AS span
     FROM t WHERE len(toks) >= 8
   )
 ), per_span AS (
@@ -8195,6 +8364,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bucketed_join_roundtrip": (q_bucketed_join_roundtrip, SQL_BUCKETED_JOIN),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+    "bpe_train_iters": (q_bpe_train_iters, SQL_BPE_TRAIN_ITERS),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
