@@ -6774,6 +6774,102 @@ FROM documents GROUP BY 1
 """
 
 
+def _jl_sign_matrix(out_dims: int = 16, in_dims: int = 64) -> list[list[int]]:
+    """Deterministic Rademacher (+-1) projection matrix from md5 —
+    regenerated identically anywhere, no RNG state, no stored model."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl:{k}:{j}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1
+            for j in range(in_dims)
+        ]
+        for k in range(out_dims)
+    ]
+
+
+def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims (the
+    dimensionality-reduction step before ANN indexing at 100 TB: 4x
+    fewer bytes per vector with JL-bounded distance distortion). The
+    +-1 Rademacher matrix (Achlioptas 2003 — database-friendly JL) is
+    derived from md5 in PYTHON once and inlined as a literal into BOTH
+    plans, so the engines share the exact matrix with no stored model.
+    Components quantize to integer ppm FIRST; projection, norms, and
+    the distortion ratio are then pure bigint arithmetic — fully
+    hash-checkable, unlike a float PCA. Entirely row-local: zero
+    shuffle, whole-stage codegen, scales embarrassingly. The JL
+    concentration bound on ratio_ppm is asserted in
+    tests/test_approx_recall.py."""
+    mat = _jl_sign_matrix()
+    mat_expr = (
+        "array("
+        + ", ".join("array(" + ", ".join(str(v) for v in row) + ")" for row in mat)
+        + ")"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    e_ppm = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("bigint"),
+    )
+    staged = emb.select("vec_id", e_ppm.alias("_e"))
+    proj = F.transform(
+        F.expr(mat_expr),
+        lambda row: F.aggregate(
+            F.zip_with(row, F.col("_e"), lambda s, e: s.cast("bigint") * e),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    sq_sum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    out = staged.select(
+        "vec_id",
+        proj.alias("proj"),
+        sq_sum(F.col("_e")).alias("onorm2"),
+    ).withColumn("pnorm2", sq_sum(F.col("proj")))
+    return out.filter(F.col("onorm2") > 1000000).select(
+        "vec_id",
+        "proj",
+        "pnorm2",
+        F.expr("pnorm2 div ((16L * onorm2) div 1000000L)").alias("ratio_ppm"),
+    )
+
+
+def _jl_matrix_duckdb() -> str:
+    mat = _jl_sign_matrix()
+    return (
+        "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in mat) + "]"
+    )
+
+
+SQL_EMBEDDING_JL = f"""
+WITH x AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        v -> CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT)) AS e
+  FROM embeddings
+), p AS (
+  SELECT vec_id, e,
+         list_transform({_jl_matrix_duckdb()},
+                        row -> CAST(list_sum(list_transform(generate_series(1, 64),
+                                      j -> row[j] * e[j])) AS BIGINT)) AS proj
+  FROM x
+), n AS (
+  SELECT vec_id, proj,
+         CAST(list_sum(list_transform(proj, v -> v * v)) AS BIGINT) AS pnorm2,
+         CAST(list_sum(list_transform(e, v -> v * v)) AS BIGINT) AS onorm2
+  FROM p
+)
+SELECT vec_id, proj, pnorm2,
+       pnorm2 // ((16 * onorm2) // 1000000) AS ratio_ppm
+FROM n WHERE onorm2 > 1000000
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 vector quantization (the compression step before
     shipping an embedding corpus to an ANN index): per-vector absmax
@@ -8365,6 +8461,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "bpe_train_iters": (q_bpe_train_iters, SQL_BPE_TRAIN_ITERS),
+    "embedding_jl_projection": (q_embedding_jl_projection, SQL_EMBEDDING_JL),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),

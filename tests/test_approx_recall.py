@@ -404,3 +404,20 @@ def test_pq_topk_recall_and_quality(spark):
     for r in approx.collect():
         if (r.query_id, r.neighbor_id) in ex_cos:
             assert r.cos == ex_cos[(r.query_id, r.neighbor_id)]
+
+
+def test_jl_projection_distance_concentration(spark):
+    """q_embedding_jl_projection: the Johnson-Lindenstrauss bound in
+    practice. For a +-1 Rademacher projection to k=16 dims, the squared
+    norm ratio E[pnorm2 / (k * onorm2)] = 1 with sd ~ sqrt(2/k) ~ 0.35,
+    so the per-vector ratio_ppm must concentrate around 1e6: median
+    within 20%, and >= 90% of vectors within [0.3, 2.2] (≈ ±3.4 sd)."""
+    from labelspark_spark.queries import q_embedding_jl_projection
+
+    rows = q_embedding_jl_projection(spark, SF_SMOKE).select("ratio_ppm").collect()
+    ratios = sorted(r.ratio_ppm / 1e6 for r in rows)
+    assert len(ratios) >= 100
+    median = ratios[len(ratios) // 2]
+    assert 0.8 <= median <= 1.2, f"JL ratio median {median:.3f} off 1.0"
+    inside = sum(1 for r in ratios if 0.3 <= r <= 2.2) / len(ratios)
+    assert inside >= 0.9, f"only {inside:.1%} of JL ratios within bound"
