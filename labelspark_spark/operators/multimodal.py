@@ -539,6 +539,161 @@ def decode_video_meta(
     return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
 
 
+def exif_encode(
+    orientation: int, make: str, dt: str, big_endian: bool = False
+) -> bytes:
+    """Minimal valid JPEG carrying a real EXIF APP1 segment: TIFF
+    header + IFD0 with Make (ASCII, offset-addressed), Orientation
+    (SHORT, inlined in the value field), DateTime (ASCII 20 bytes).
+    ``big_endian`` selects MM vs II TIFF byte order so the parser's
+    both endianness paths get exercised by the fixtures."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    make_b = make.encode() + b"\0"
+    dt_b = dt.encode() + b"\0"
+    n = 3
+    # IFD0 starts right after the 8-byte TIFF header; out-of-line data
+    # follows the entry table + next-IFD pointer
+    data_start = 8 + 2 + n * 12 + 4
+    entries = (
+        struct.pack(e + "HHI", 0x010F, 2, len(make_b))
+        + struct.pack(e + "I", data_start)
+        + struct.pack(e + "HHI", 0x0112, 3, 1)
+        + struct.pack(e + "H", orientation)
+        + b"\0\0"
+        + struct.pack(e + "HHI", 0x0132, 2, len(dt_b))
+        + struct.pack(e + "I", data_start + len(make_b))
+    )
+    tiff = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", 8)
+        + struct.pack(e + "H", n)
+        + entries
+        + struct.pack(e + "I", 0)
+        + make_b
+        + dt_b
+    )
+    app1 = b"Exif\0\0" + tiff
+    return b"\xff\xd8\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1 + b"\xff\xd9"
+
+
+def parse_exif(content: bytes | None) -> dict:
+    """Pure-Python EXIF reader: JPEG marker walk to APP1, TIFF header
+    (both II and MM byte orders), IFD0 entry scan for Make (0x010F),
+    Orientation (0x0112), DateTime (0x0132). Inline SHORT values are
+    read from the left-justified value field per the TIFF spec;
+    ASCII values follow their offset. Defensive on truncation —
+    returns Nones, never raises (labelspark masks undecodable media
+    the same way, client.py:49-52)."""
+    none = {"byte_order": None, "orientation": None, "make": None, "datetime": None}
+    if not content or len(content) < 4 or content[:2] != b"\xff\xd8":
+        return none
+    # marker walk to APP1 (skips any other APPn/COM segments first)
+    i = 2
+    tiff_off = None
+    while i + 4 <= len(content):
+        if content[i] != 0xFF:
+            return none
+        marker = content[i + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > len(content):
+            return none
+        if marker == 0xE1 and content[i + 4 : i + 10] == b"Exif\0\0":
+            tiff_off = i + 10
+            break
+        i += 2 + seg_len
+    if tiff_off is None or tiff_off + 8 > len(content):
+        return none
+    t = content[tiff_off:]
+    order = t[:2]
+    if order == b"II":
+        bo, bo_name = "little", "II"
+    elif order == b"MM":
+        bo, bo_name = "big", "MM"
+    else:
+        return none
+
+    def u16(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    def u32(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    if len(t) < 8 or u16(t[2:4]) != 42:
+        return none
+    ifd = u32(t[4:8])
+    if ifd + 2 > len(t):
+        return none
+    n = u16(t[ifd : ifd + 2])
+    out = dict(none)
+    out["byte_order"] = bo_name
+
+    def ascii_at(off: int, count: int) -> str | None:
+        if off + count > len(t) or count < 1:
+            return None
+        raw = t[off : off + count]
+        return raw.rstrip(b"\0").decode("ascii", errors="replace")
+
+    for k in range(n):
+        e0 = ifd + 2 + k * 12
+        if e0 + 12 > len(t):
+            break
+        tag = u16(t[e0 : e0 + 2])
+        typ = u16(t[e0 + 2 : e0 + 4])
+        count = u32(t[e0 + 4 : e0 + 8])
+        val = t[e0 + 8 : e0 + 12]
+        if tag == 0x0112 and typ == 3 and count == 1:
+            out["orientation"] = u16(val[:2])
+        elif tag == 0x010F and typ == 2:
+            out["make"] = ascii_at(u32(val), count)
+        elif tag == 0x0132 and typ == 2:
+            out["datetime"] = ascii_at(u32(val), count)
+    return out
+
+
+def decode_exif_meta(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched EXIF decode via mapInPandas (the TIFF IFD walk is
+    offset-chasing, so it is the scan path like the MP4 box walk)."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("byte_order", StringType(), True),
+            StructField("orientation", IntegerType(), True),
+            StructField("make", StringType(), True),
+            StructField("datetime", StringType(), True),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                metas = [parse_exif(c) for c in chunk[content_col]]
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        "byte_order": [m["byte_order"] for m in metas],
+                        "orientation": pd.array(
+                            [m["orientation"] for m in metas], dtype="Int32"
+                        ),
+                        "make": [m["make"] for m in metas],
+                        "datetime": [m["datetime"] for m in metas],
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
+
+
 def parse_image_header(content: bytes | None) -> dict:
     """Pure-Python image header parser (the real codec for metadata):
     PNG IHDR, GIF logical screen, JPEG SOF0/1/2 marker scan. Returns

@@ -2840,6 +2840,42 @@ FROM documents
 """
 
 
+def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF metadata codec: per doc a minimal JPEG with a genuine
+    APP1/TIFF segment is generated (operators/multimodal.py:exif_encode
+    — IFD0 with Make/Orientation/DateTime), alternating II and MM TIFF
+    byte orders by doc parity so BOTH endianness paths of the reader
+    run; parse_exif walks JPEG markers -> TIFF header -> IFD entries
+    (inline SHORT + offset-addressed ASCII) via Arrow-batched
+    mapInPandas. Closed-form oracle from the generation formulas —
+    the camera-metadata twin of the MP4 box walk."""
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _enc(d: int) -> bytes:
+        return mm.exif_encode(
+            orientation=d % 8 + 1,
+            make=f"CAM{d % 5}",
+            dt=f"2024:01:{d % 28 + 1:02d} {d % 24:02d}:00:00",
+            big_endian=(d % 2 == 0),
+        )
+
+    staged = _stage_media(docs, _enc)
+    return mm.decode_exif_meta(staged, content_col="content", id_col="doc_id")
+
+
+SQL_MULTIMODAL_EXIF = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+       CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+       'CAM' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' '
+         || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00' AS datetime
+FROM documents
+"""
+
+
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization of the embedding column — the standard prep step
     before cosine ANN (unit vectors turn cosine into dot product). Pure
@@ -3119,6 +3155,94 @@ SELECT user_id, CAST(segment AS BIGINT) AS version, event_type,
                 '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
        n_events
 FROM agg
+"""
+
+
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal point-in-time dimension lookup — the consumer side of
+    SCD2: each purchase event resolves the browsing STATE its user was
+    in when it happened (the interval [valid_from, valid_to) covering
+    the purchase ts), the classic fact-to-versioned-dimension as-of
+    join of every warehouse. The dimension is built from the
+    NON-purchase events (same run-collapse as q_scd2_history);
+    purchases before any state interval surface as 'unknown', never
+    silently dropped. Scale shape: the join is EQUI on user_id with
+    the interval containment as residual — the per-user interval list
+    is small by construction, so this never degenerates into the
+    unbinned range-join blowup; one user-keyed shuffle each side."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim_src = ev.filter(F.col("event_type") != "purchase")
+    marked = dim_src.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_chg"),
+    )
+    seg = marked.withColumn(
+        "_seg", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    agg = seg.groupBy("user_id", "_seg", "state").agg(
+        F.min("ts").alias("_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("_seg")
+    iv = agg.select(
+        F.col("user_id").alias("_uid"),
+        "state",
+        "_from",
+        F.lead("_from").over(w2).alias("_to"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = p.join(
+        iv,
+        (p["user_id"] == iv["_uid"])
+        & (p["ts"] >= iv["_from"])
+        & (iv["_to"].isNull() | (p["ts"] < iv["_to"])),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("state"), F.lit("unknown")).alias("state_at_purchase")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        _money(F.col("value")).alias("revenue"),
+    )
+
+
+SQL_SCD2_ASOF_LOOKUP = f"""
+WITH marked AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seg AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS segment
+  FROM marked
+), agg AS (
+  SELECT user_id, segment, state, MIN(ts) AS vfrom
+  FROM seg GROUP BY user_id, segment, state
+), iv AS (
+  SELECT user_id, state, vfrom,
+         LEAD(vfrom) OVER (PARTITION BY user_id ORDER BY segment) AS vto
+  FROM agg
+)
+SELECT COALESCE(iv.state, 'unknown') AS state_at_purchase,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {MONEY_SQL.format(x="p.value")} AS revenue
+FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+LEFT JOIN iv ON p.user_id = iv.user_id
+            AND p.ts >= iv.vfrom AND (iv.vto IS NULL OR p.ts < iv.vto)
+GROUP BY 1
 """
 
 
@@ -8462,6 +8586,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "bpe_train_iters": (q_bpe_train_iters, SQL_BPE_TRAIN_ITERS),
     "embedding_jl_projection": (q_embedding_jl_projection, SQL_EMBEDDING_JL),
+    "scd2_asof_lookup": (q_scd2_asof_lookup, SQL_SCD2_ASOF_LOOKUP),
+    "multimodal_exif": (q_multimodal_exif, SQL_MULTIMODAL_EXIF),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),

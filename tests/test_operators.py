@@ -848,3 +848,30 @@ def test_wav_decode_samples_features_and_refusals():
     assert wav_decode_samples(stereo)["n_samples"] is None
     assert wav_decode_samples(b"RIFFjunk")["n_samples"] is None
     assert wav_decode_samples(None)["n_samples"] is None
+
+
+def test_parse_exif_roundtrip_and_robustness():
+    """exif_encode -> parse_exif round-trips both TIFF byte orders and
+    the parser returns all-None on malformed input, never raises."""
+    from labelspark_spark.operators.multimodal import exif_encode, parse_exif
+
+    for be, order in ((False, "II"), (True, "MM")):
+        blob = exif_encode(6, "CAM3", "2024:01:05 07:00:00", big_endian=be)
+        assert parse_exif(blob) == {
+            "byte_order": order,
+            "orientation": 6,
+            "make": "CAM3",
+            "datetime": "2024:01:05 07:00:00",
+        }
+    none = {"byte_order": None, "orientation": None, "make": None, "datetime": None}
+    good = exif_encode(1, "X", "2024:01:01 00:00:00")
+    assert parse_exif(None) == none
+    assert parse_exif(b"") == none
+    assert parse_exif(b"\x89PNG") == none          # not a JPEG
+    assert parse_exif(good[:6]) == none            # truncated mid-marker
+    assert parse_exif(good[:30]) == none           # truncated inside TIFF
+    # JPEG without any APP1: plain SOI/EOI
+    assert parse_exif(b"\xff\xd8\xff\xd9") == none
+    # APP1 present but not EXIF payload
+    bad = b"\xff\xd8\xff\xe1\x00\x08XMP\x00\x00\x00\xff\xd9"
+    assert parse_exif(bad) == none
