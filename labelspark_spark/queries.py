@@ -1676,6 +1676,142 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+def q_quantile_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL decile assignment without a global sort: the scale-safe
+    alternative to ``ntile(10) OVER ()`` (which funnels the whole
+    table through one task). Phase 1 computes the 9 interpolated
+    decile boundaries as one AGGREGATE (percentile/quantile_cont
+    parity is established by q_percentiles); phase 2 broadcasts the
+    9-double array and buckets each row with a row-local fold —
+    decile = 1 + #boundaries strictly below the value. The length
+    distribution drives curriculum ordering / length-bucketed
+    batching in a training pipeline. Zero wide shuffle beyond the
+    boundary aggregate and the 10-row summary."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = ", ".join(str(q / 10) for q in range(1, 10))
+    bounds = docs.agg(F.expr(f"percentile(n_chars, array({qs}))").alias("_b"))
+    assigned = docs.crossJoin(F.broadcast(bounds)).select(
+        "n_chars",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("_b"),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("n_chars").cast("double") > b, 1).otherwise(0),
+            )
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_QUANTILE_BUCKET_ASSIGN = """
+WITH b AS (
+  SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM documents
+), a AS (
+  SELECT n_chars,
+         CAST(1 + list_sum(list_transform(bs,
+                x -> CASE WHEN CAST(n_chars AS DOUBLE) > x THEN 1 ELSE 0 END))
+              AS INTEGER) AS decile
+  FROM documents, b
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM a GROUP BY decile
+"""
+
+
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-split into
+    two arms (md5, engine-replayable — the same assignment device as
+    train_val_split), conversion = the user's FIRST event is a
+    purchase (scale-INDEPENDENT ~1/|event types| base rate — 'any
+    purchase ever' saturates to 100% as events-per-user grows, which
+    zeroes the pooled variance and divides by zero), and the
+    two-proportion pooled z-statistic computed from EXACT integer
+    counts with one identical-shape double expression on both engines
+    (IEEE /, *, sqrt are correctly rounded, so identical inputs +
+    identical shape = identical doubles), quantized to ppm. A
+    degenerate experiment (zero variance) yields NULL z via the same
+    NULLIF guard on both sides. One user-keyed aggregate + a
+    single-row reduce."""
+    from labelspark_spark.operators.dedup import _hash60
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("_first")
+    ).select(
+        "user_id",
+        F.when(F.col("_first.event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("_conv"),
+    )
+    arm_a = (
+        F.pmod(_hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), F.lit(2))
+        == 0
+    )
+    counts = per_user.agg(
+        F.sum(F.when(arm_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(arm_a, F.col("_conv")).otherwise(0)).cast("bigint").alias("c_a"),
+        F.sum(F.when(arm_a, 0).otherwise(1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(arm_a, 0).otherwise(F.col("_conv"))).cast("bigint").alias("c_b"),
+    )
+    z_expr = (
+        "(CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) / "
+        "nullif(sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * "
+        "(1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * "
+        "(1.0 / n_a + 1.0 / n_b)), 0.0)"
+    )
+    return counts.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.expr("c_a * 1000000L div n_a").alias("rate_a_ppm"),
+        F.expr("c_b * 1000000L div n_b").alias("rate_b_ppm"),
+        F.floor(F.expr(z_expr) * 1000000 + F.lit(0.5)).cast("bigint").alias("z_ppm"),
+    )
+
+
+SQL_AB_TEST_ZTEST = """
+WITH fe AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+         CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+              ::UBIGINT AS BIGINT) % 2 = 0 AS arm_a
+  FROM fe WHERE rn = 1
+), c AS (
+  SELECT CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm_a THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm_a THEN 0 ELSE conv END) AS BIGINT) AS c_b
+  FROM per_user
+)
+SELECT n_a, c_a, n_b, c_b,
+       (c_a * 1000000) // n_a AS rate_a_ppm,
+       (c_b * 1000000) // n_b AS rate_b_ppm,
+       CAST(FLOOR(
+         (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+         nullif(sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+              (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+              (1.0 / n_a + 1.0 / n_b)), 0.0)
+         * 1000000 + 0.5) AS BIGINT) AS z_ppm
+FROM c
+"""
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice within each priority (window + filter,
     the canonical per-group top-k: no global sort, no driver collect)."""
@@ -8588,6 +8724,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_jl_projection": (q_embedding_jl_projection, SQL_EMBEDDING_JL),
     "scd2_asof_lookup": (q_scd2_asof_lookup, SQL_SCD2_ASOF_LOOKUP),
     "multimodal_exif": (q_multimodal_exif, SQL_MULTIMODAL_EXIF),
+    "quantile_bucket_assign": (q_quantile_bucket_assign, SQL_QUANTILE_BUCKET_ASSIGN),
+    "ab_test_ztest": (q_ab_test_ztest, SQL_AB_TEST_ZTEST),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
