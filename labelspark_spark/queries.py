@@ -1676,6 +1676,52 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 the Spark-4-native way: a registered Python DataSource
+    (sources/python_datasource.py) whose reader declares one
+    InputPartition PER PAGE of a paginated export — page bodies decode
+    on executors, never the driver (the reference collects the whole
+    export driver-side, client.py:38-81). The synthetic page payload
+    is md5-deterministic so DuckDB reproduces it exactly from
+    generate_series; a real deployment swaps the page generator for
+    the HTTP fetch inside the same partition structure. Partition
+    fan-out is asserted in tests/test_client.py."""
+    from labelspark_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    df = (
+        spark.read.format("labelspark_rest")
+        .option("pages", "8")
+        .option("page_size", "125")
+        .option("seed", "ds1")
+        .load()
+    )
+    return df.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("score_ppm").alias("sum_score"),
+        F.max("row_id").alias("max_row_id"),
+        F.countDistinct("page").alias("n_pages"),
+    )
+
+
+SQL_PYTHON_DATASOURCE = """
+WITH ids AS (
+  SELECT unnest(generate_series(0, 999)) AS row_id
+), h AS (
+  SELECT row_id, row_id // 125 AS page,
+         CAST(('0x' || substring(md5('ds1:' || CAST(row_id AS VARCHAR)), 1, 15))
+              ::UBIGINT AS BIGINT) AS hv
+  FROM ids
+)
+SELECT 'class_' || CAST(hv % 7 AS VARCHAR) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(hv % 1000000) AS BIGINT) AS sum_score,
+       CAST(MAX(row_id) AS BIGINT) AS max_row_id,
+       CAST(COUNT(DISTINCT page) AS BIGINT) AS n_pages
+FROM h GROUP BY 1
+"""
+
+
 def q_quantile_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOBAL decile assignment without a global sort: the scale-safe
     alternative to ``ntile(10) OVER ()`` (which funnels the whole
@@ -8726,6 +8772,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_exif": (q_multimodal_exif, SQL_MULTIMODAL_EXIF),
     "quantile_bucket_assign": (q_quantile_bucket_assign, SQL_QUANTILE_BUCKET_ASSIGN),
     "ab_test_ztest": (q_ab_test_ztest, SQL_AB_TEST_ZTEST),
+    "python_datasource_scan": (q_python_datasource_scan, SQL_PYTHON_DATASOURCE),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),

@@ -1,0 +1,87 @@
+"""Spark 4 Python DataSource (DSv2): the paginated REST export as a
+NATIVE Spark source.
+
+The reference's export path materializes the whole label export on the
+driver and fans it back out (labelspark client.py:38-81); its video
+path issues one requests.get per row inside a UDF. The idiomatic
+Spark-4 shape is a registered Python DataSource whose reader declares
+one :class:`InputPartition` PER PAGE — the cursor space is enumerated
+up front on the driver (cheap: page numbers only), and every page body
+is fetched and decoded ON AN EXECUTOR. At 100 TB-scale exports the
+page fan-out is the whole ballgame: 10k pages = 10k parallel tasks,
+zero driver memory, retries per-task for free.
+
+The payload here is the deterministic synthetic feed the driver
+contract can oracle-check (md5-derived fields, exactly reproducible in
+DuckDB); a real deployment swaps ``_page_rows`` for an HTTP fetch
+through the same partition structure (the ``Transport.fetch_frames``
+boundary in client.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _h60(s: str) -> int:
+    """60-bit md5 hash — identical to operators.dedup._hash60 and to the
+    DuckDB expression ('0x' || substring(md5(s), 1, 15))::UBIGINT."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _page_rows(page: int, page_size: int, seed: str) -> Iterator[tuple]:
+    """One page of the synthetic export: (row_id, page, label, score_ppm),
+    every field a pure function of (seed, row_id)."""
+    for i in range(page_size):
+        row_id = page * page_size + i
+        h = _h60(f"{seed}:{row_id}")
+        yield (row_id, page, f"class_{h % 7}", h % 1000000)
+
+
+class PageInputPartition(InputPartition):
+    def __init__(self, page: int, page_size: int, seed: str) -> None:
+        self.page = page
+        self.page_size = page_size
+        self.seed = seed
+
+
+class RestExportReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.pages = int(options.get("pages", 8))
+        self.page_size = int(options.get("page_size", 125))
+        self.seed = options.get("seed", "export")
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per page: pagination IS the parallelism
+        return [
+            PageInputPartition(p, self.page_size, self.seed)
+            for p in range(self.pages)
+        ]
+
+    def read(self, partition: PageInputPartition) -> Iterator[tuple]:
+        # runs on an executor; a real connector performs the HTTP GET for
+        # exactly this page here
+        return _page_rows(partition.page, partition.page_size, partition.seed)
+
+
+class RestExportDataSource(DataSource):
+    """``spark.read.format("labelspark_rest")`` after registration via
+    ``spark.dataSource.register(RestExportDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "labelspark_rest"
+
+    def schema(self) -> str:
+        return "row_id bigint, page int, label string, score_ppm bigint"
+
+    def reader(self, schema) -> RestExportReader:
+        return RestExportReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering replaces the entry)."""
+    spark.dataSource.register(RestExportDataSource)

@@ -288,3 +288,28 @@ def test_video_frame_ingest_through_transport(client, spark):
     assert got[("dr-v1", 1)]["car.count"] == 2
     assert got[("dr-v1", 1)]["weather"] == "rain"
     assert got[("dr-v2", 0)]["car.count"] is None
+
+
+def test_python_datasource_partition_fanout(spark):
+    """The Python DataSource must expose one input partition per page —
+    pagination-as-parallelism is the whole point of the DSv2 shape."""
+    from labelspark_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    df = (
+        spark.read.format("labelspark_rest")
+        .option("pages", "6")
+        .option("page_size", "10")
+        .option("seed", "fanout")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 6
+    rows = df.collect()
+    assert len(rows) == 60
+    # per-partition page purity: every partition holds exactly one page
+    pages_per_part = (
+        df.select("page")
+        .rdd.mapPartitions(lambda it: [len({r.page for r in it})])
+        .collect()
+    )
+    assert all(n == 1 for n in pages_per_part)
