@@ -1722,6 +1722,37 @@ FROM h GROUP BY 1
 """
 
 
+def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 x S2: the SAME Python DataSource consumed as a STREAM —
+    the page cursor is the offset, one page per micro-batch (8
+    batches), appended to a memory sink and aggregated on read-back.
+    The final table must equal the batch scan's aggregate exactly:
+    cursor-paginated ingestion is exactly-once because every page is a
+    deterministic function of its offset. This is the Spark-4-native
+    replacement for the reference's poll-and-collect export loop."""
+    from labelspark_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    stream = (
+        spark.readStream.format("labelspark_rest")
+        .option("pages", "8")
+        .option("page_size", "125")
+        .option("seed", "ds1")
+        .load()
+    )
+    _replay_to_memory(stream, "python_ds_stream_sink", "append")
+    return (
+        spark.table("python_ds_stream_sink")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("score_ppm").alias("sum_score"),
+            F.max("row_id").alias("max_row_id"),
+            F.countDistinct("page").alias("n_pages"),
+        )
+    )
+
+
 def q_quantile_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOBAL decile assignment without a global sort: the scale-safe
     alternative to ``ntile(10) OVER ()`` (which funnels the whole
@@ -8773,6 +8804,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quantile_bucket_assign": (q_quantile_bucket_assign, SQL_QUANTILE_BUCKET_ASSIGN),
     "ab_test_ztest": (q_ab_test_ztest, SQL_AB_TEST_ZTEST),
     "python_datasource_scan": (q_python_datasource_scan, SQL_PYTHON_DATASOURCE),
+    "python_datasource_stream": (q_python_datasource_stream, SQL_PYTHON_DATASOURCE),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),

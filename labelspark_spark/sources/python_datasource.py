@@ -23,7 +23,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _h60(s: str) -> int:
@@ -67,8 +72,54 @@ class RestExportReader(DataSourceReader):
         return _page_rows(partition.page, partition.page_size, partition.seed)
 
 
+class RestExportStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the export feed: the OFFSET is the page
+    cursor, one page per micro-batch. ``read`` returns the next page
+    and advances the offset; once the cursor reaches ``pages`` it
+    returns empty WITHOUT advancing, which is how the source reports
+    'caught up' (processAllAvailable then terminates). Replays between
+    committed offsets (``readBetweenOffsets``) re-derive pages purely
+    from the cursor — exactly-once on restart for free because the
+    payload is a deterministic function of the offset, the property a
+    real cursor-paginated API gives you via its page tokens."""
+
+    def __init__(self, options: dict) -> None:
+        self.pages = int(options.get("pages", 8))
+        self.page_size = int(options.get("page_size", 125))
+        self.seed = options.get("seed", "export")
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict):
+        # rows are returned as iter(list): the simple-reader protocol
+        # needs a true iterator (its caught-up check calls next()) AND
+        # pickles the prefetched batch into the planned partition — a
+        # generator fails 'cannot pickle generator', while a list
+        # iterator satisfies both; a page is bounded by page_size, so
+        # materializing is the per-batch memory contract anyway
+        p = int(start["page"])
+        if p >= self.pages:
+            return iter([]), {"page": p}
+        return iter(list(_page_rows(p, self.page_size, self.seed))), {"page": p + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                row
+                for p in range(int(start["page"]), int(end["page"]))
+                for row in _page_rows(p, self.page_size, self.seed)
+            ]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class RestExportDataSource(DataSource):
-    """``spark.read.format("labelspark_rest")`` after registration via
+    """``spark.read.format("labelspark_rest")`` (batch) or
+    ``spark.readStream.format("labelspark_rest")`` (one page per
+    micro-batch) after registration via
     ``spark.dataSource.register(RestExportDataSource)``."""
 
     @classmethod
@@ -80,6 +131,9 @@ class RestExportDataSource(DataSource):
 
     def reader(self, schema) -> RestExportReader:
         return RestExportReader(self.options)
+
+    def simpleStreamReader(self, schema) -> RestExportStreamReader:
+        return RestExportStreamReader(self.options)
 
 
 def register(spark) -> None:
