@@ -1753,6 +1753,54 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 the Spark-4-native way: orders written THROUGH the Python
+    DataSource's DSv2 write path — every task spools its partition as
+    a staged ndjson file, the driver commit publishes a manifest, and
+    only manifest-listed files are read back (the two-phase commit the
+    reference's collect-then-post loop cannot give; an orphan stage
+    file from a failed task is invisible). Read-back aggregates must
+    equal the direct-source oracle, proving the sink is lossless and
+    the commit protocol complete."""
+    import json as _json
+    import os
+    import tempfile
+
+    from labelspark_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="pyds_sink_")
+    o.write.format("labelspark_rest").option("path", d).mode("append").save()
+    # an uncommitted orphan stage (simulating a failed speculative task)
+    # must be ignored by the manifest-driven read-back
+    with open(os.path.join(d, "stage-orphan.ndjson"), "w") as f:
+        f.write('{"o_orderkey": -1, "o_orderpriority": "X", "o_totalprice": 1.0}\n')
+    with open(os.path.join(d, "manifest.json")) as f:
+        manifest = _json.load(f)
+    files = [os.path.join(d, name) for name in manifest["files"]]
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).json(files)
+    price_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(price_cents).cast("double") / 100.0).alias("total_price"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+SQL_PYTHON_DATASOURCE_SINK = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_quantile_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOBAL decile assignment without a global sort: the scale-safe
     alternative to ``ntile(10) OVER ()`` (which funnels the whole
@@ -8805,6 +8853,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ab_test_ztest": (q_ab_test_ztest, SQL_AB_TEST_ZTEST),
     "python_datasource_scan": (q_python_datasource_scan, SQL_PYTHON_DATASOURCE),
     "python_datasource_stream": (q_python_datasource_stream, SQL_PYTHON_DATASOURCE),
+    "python_datasource_sink": (q_python_datasource_sink, SQL_PYTHON_DATASOURCE_SINK),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),

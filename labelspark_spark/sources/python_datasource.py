@@ -26,8 +26,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -116,10 +118,67 @@ class RestExportStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class SpoolCommitMessage(WriterCommitMessage):
+    def __init__(self, file: str, rows: int) -> None:
+        self.file = file
+        self.rows = rows
+
+
+class RestSpoolWriter(DataSourceWriter):
+    """DSv2 write path with the REAL two-phase commit protocol the
+    reference's driver-side upload loop lacks (uploader.py:93 collects
+    everything, then posts): each TASK spools its partition as a staged
+    ndjson file and returns a commit message; the DRIVER commit writes
+    a manifest naming exactly the committed files, and abort deletes
+    the stage — readers treat the manifest as the source of truth, so a
+    failed/speculated task can never leak half-written output. On a
+    cluster the path must be shared storage (or each stage an HTTP
+    batch POST with the manifest a final marker call)."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> SpoolCommitMessage:
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"stage-{uuid.uuid4().hex}.ndjson"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return SpoolCommitMessage(name, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        manifest = {
+            "files": sorted(m.file for m in messages if m is not None),
+            "total_rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "manifest.json"), "w") as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.file))
+                except OSError:
+                    pass
+
+
 class RestExportDataSource(DataSource):
     """``spark.read.format("labelspark_rest")`` (batch) or
     ``spark.readStream.format("labelspark_rest")`` (one page per
-    micro-batch) after registration via
+    micro-batch), and ``df.write.format("labelspark_rest")`` (staged
+    ndjson spool + manifest commit), after registration via
     ``spark.dataSource.register(RestExportDataSource)``."""
 
     @classmethod
@@ -134,6 +193,9 @@ class RestExportDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> RestExportStreamReader:
         return RestExportStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> RestSpoolWriter:
+        return RestSpoolWriter(self.options)
 
 
 def register(spark) -> None:
