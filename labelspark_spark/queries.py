@@ -4585,6 +4585,105 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via Median Absolute Deviation — the heavy-tail-
+    safe twin of q_anomaly_zscore (one wild value inflates a z-score's
+    own std and hides itself; the median/MAD breakdown point is 50%).
+    Medians are exact interpolated percentiles over integer cents
+    (results land on .0/.5 — exactly representable, and percentile /
+    quantile_cont parity is established by q_percentiles), deviations
+    are exact doubles, and the modified z-score 0.6745*dev/MAD is one
+    identical-shape IEEE expression, ppm-quantized. Two group
+    aggregates + two broadcast joins; the fact table never re-sorts."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    med = ev.select("event_type", cents.alias("_c")).groupBy("event_type").agg(
+        F.expr("percentile(_c, 0.5)").alias("_med")
+    )
+    dev = (
+        ev.select("event_id", "event_type", "value", cents.alias("_c"))
+        .join(F.broadcast(med), "event_type")
+        .withColumn("_dev", F.abs(F.col("_c").cast("double") - F.col("_med")))
+    )
+    mad = dev.groupBy(F.col("event_type").alias("_et")).agg(
+        F.expr("percentile(_dev, 0.5)").alias("_mad")
+    )
+    rz = F.lit(0.6745) * (F.col("_c").cast("double") - F.col("_med")) / F.col("_mad")
+    return (
+        dev.join(F.broadcast(mad), dev["event_type"] == F.col("_et"))
+        .filter((F.col("_mad") > 0) & (F.abs(rz) > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.floor(rz * 1000000.0 + F.lit(0.5)).cast("bigint").alias("robust_z_ppm"),
+        )
+    )
+
+
+SQL_ANOMALY_MAD = """
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med FROM c GROUP BY 1
+), dev AS (
+  SELECT c.*, med, abs(CAST(cents AS DOUBLE) - med) AS d
+  FROM c JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT event_id, dev.event_type, value,
+       CAST(FLOOR(0.6745 * (CAST(cents AS DOUBLE) - med) / mad * 1000000.0 + 0.5)
+            AS BIGINT) AS robust_z_ppm
+FROM dev JOIN mad USING (event_type)
+WHERE mad > 0 AND abs(0.6745 * (CAST(cents AS DOUBLE) - med) / mad) > 3.5
+"""
+
+
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence-pattern mining: per user, the
+    time-ordered event-type initials collapse into one string (sorted
+    row-locally inside array_sort over (ts, event_id, type) structs —
+    the collect is per-user-bounded, no window needed), and the
+    journey pattern 'view then clicks/views then purchase' is counted
+    as non-overlapping regex matches 'v[cv]*p' — leftmost-greedy in
+    both Java regex and RE2 for this alternation-free pattern. The
+    row-per-user string build is the standard distributed
+    sequence-mining trick: pattern logic stays row-local after ONE
+    user-keyed shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: F.substring(x["event_type"], 1, 1),
+            ),
+            "",
+        ).alias("_seq")
+    )
+    return seq.select(
+        "user_id",
+        F.length("_seq").cast("bigint").alias("seq_len"),
+        F.expr("regexp_count(_seq, 'v[cv]*p')").cast("bigint").alias("n_journeys"),
+    )
+
+
+SQL_EVENT_PATTERN_MATCH = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(s, 'v[cv]*p')) AS BIGINT) AS n_journeys
+FROM seq
+"""
+
+
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outliers (|z| > 2.5). The mean/variance inputs are
     exact bigint cent sums (partition-order double sums are run-
@@ -8854,6 +8953,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "python_datasource_scan": (q_python_datasource_scan, SQL_PYTHON_DATASOURCE),
     "python_datasource_stream": (q_python_datasource_stream, SQL_PYTHON_DATASOURCE),
     "python_datasource_sink": (q_python_datasource_sink, SQL_PYTHON_DATASOURCE_SINK),
+    "anomaly_mad": (q_anomaly_mad, SQL_ANOMALY_MAD),
+    "event_pattern_match": (q_event_pattern_match, SQL_EVENT_PATTERN_MATCH),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
