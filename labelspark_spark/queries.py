@@ -8934,8 +8934,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # r02-deferred 15 (hll_distinct..join_anti, incl. q3 — still smoke-run
     # every round as the entry() flagship).
     # NEXT ROTATION (r6): lead with the never-driver-checked queries below
-    # this line (7 second-wave + the round-5 batch-12 TPC-H depth block),
-    # then the r02-stale 11 + deferred 15; round-6 additions take the rest.
+    # this line — the round-5 third wave (events_stream_outer_join ..
+    # event_pattern_match: streaming outer join/upsert, hyperfunctions,
+    # DSIR, BPE training, JL projection, EXIF, DSv2 scan/stream/sink,
+    # bucketed join, ORC/JSONL roundtrips, MAD, pattern mining; ~30) +
+    # the 16-query TPC-H depth block + the 7 unchecked second-wave; that
+    # overflows the 50-window, so the r02-stale 11 + deferred 15 move to
+    # the r7 head. All below-window queries stay locally attested by
+    # tests/test_oracle_parity.py every pytest run.
     "events_stream_outer_join": (
         q_events_stream_outer_join,
         SQL_EVENTS_STREAM_OUTER_JOIN,
