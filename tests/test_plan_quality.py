@@ -350,3 +350,41 @@ def test_bucketed_join_has_no_input_exchange(spark):
     assert all("o_orderpriority" in ln for ln in exchange_lines), exchange_lines
     # bucket pruning metadata reached the scans
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan[:1200]
+
+
+def test_tpch_q9_dimension_arm_broadcasts(spark):
+    """q_tpch_q9_product_profit: part, supplier, and nation must all
+    broadcast — the only lineitem-side work is one scan + one hash
+    aggregate; a dimension falling to SortMergeJoin would re-shuffle
+    the 100 TB fact per dim."""
+    import re
+
+    from labelspark_spark.queries import q_tpch_q9_product_profit
+
+    df = q_tpch_q9_product_profit(spark, SF_SMOKE)
+    plan = explain.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:600]
+    assert "SortMergeJoin" not in plan
+    # the only exchange is the final group-by (nation, year)
+    wide = re.findall(r"^\(\d+\) Exchange$", plan, re.M)
+    assert len(wide) == 1, plan[:800]
+
+
+def test_tpch_q18_no_extra_fact_shuffle(spark):
+    """q_tpch_q18_large_orders: the HAVING aggregate and the back-join
+    to orders both key on l_orderkey/o_orderkey — the join must not
+    introduce a third fact-sized shuffle beyond the two key exchanges
+    (plus the bounded two-phase top-k machinery)."""
+    from labelspark_spark.queries import q_tpch_q18_large_orders
+
+    df = q_tpch_q18_large_orders(spark, SF_SMOKE)
+    plan = explain.formatted_plan(df)
+    key_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Arguments: hashpartitioning" in ln
+        and ("l_orderkey" in ln or "o_orderkey" in ln)
+    ]
+    assert len(key_exchanges) <= 2, key_exchanges
+    # customer resolves via broadcast, never a shuffle
+    assert "BroadcastHashJoin" in plan
