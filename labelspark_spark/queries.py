@@ -1801,6 +1801,83 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: the props JSON
+    column parses ONCE into the binary VARIANT encoding (parse_json),
+    and field access is try_variant_get — O(1) on the encoded form,
+    where the get_json_object path (json_roundtrip) re-parses text per
+    extraction. On a 100 TB bronze table of ragged JSON the parse-once
+    encoding is the difference between one scan and k re-parses for k
+    extracted fields. Aggregated per value decade so the oracle stays
+    a plain JSON-path extraction."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select(k.alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .groupBy(F.expr("_k div 10").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").cast("bigint").alias("sum_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+SQL_VARIANT_JSON_OPS = """
+SELECT CAST(props->>'$.k' AS INTEGER) // 10 AS k_decade,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+WHERE props->>'$.k' IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read — the lakehouse reality that half a
+    table's files predate a column: batch 1 writes orders WITHOUT
+    o_orderpriority, batch 2 writes it WITH; a mergeSchema read unions
+    the file schemas, surfacing NULL for pre-evolution rows, which
+    the query maps to an explicit '<pre-evolution>' bucket (never
+    silently conflated with real nulls). The oracle replays the
+    evolution rule by key parity. At scale mergeSchema's footer-sample
+    cost is why a real deployment pins the merged schema in a
+    catalog — the READ semantics attested here are the same."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="schema_evo_")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{d}/batch=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{d}/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    price_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return back.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(price_cents).cast("double") / 100.0).alias("total_price"),
+    )
+
+
+SQL_SCHEMA_EVOLUTION = """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+            ELSE '<pre-evolution>' END AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM orders GROUP BY 1
+"""
+
+
 def q_quantile_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOBAL decile assignment without a global sort: the scale-safe
     alternative to ``ntile(10) OVER ()`` (which funnels the whole
@@ -8961,6 +9038,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "python_datasource_sink": (q_python_datasource_sink, SQL_PYTHON_DATASOURCE_SINK),
     "anomaly_mad": (q_anomaly_mad, SQL_ANOMALY_MAD),
     "event_pattern_match": (q_event_pattern_match, SQL_EVENT_PATTERN_MATCH),
+    "variant_json_ops": (q_variant_json_ops, SQL_VARIANT_JSON_OPS),
+    "schema_evolution_merge": (q_schema_evolution_merge, SQL_SCHEMA_EVOLUTION),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
