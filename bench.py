@@ -111,6 +111,15 @@ BENCH_QUERIES = [
     "bucketed_join_roundtrip",
     "orc_roundtrip",
     "jsonl_roundtrip",
+    "embedding_jl_projection",
+    "scd2_asof_lookup",
+    "multimodal_exif",
+    "anomaly_mad",
+    "event_pattern_match",
+    "variant_json_ops",
+    "schema_evolution_merge",
+    "quantile_bucket_assign",
+    "python_datasource_scan",
     "time_weighted_avg",
     "interval_coverage",
     "counter_rate",
