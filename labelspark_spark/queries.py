@@ -6877,12 +6877,23 @@ def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority aggregate). The merge hint pins SMJ so the attestation
     doesn't silently degrade to a broadcast join on small test data.
     Same revenue-by-priority answer as the plain join, hash-checked."""
+    import shutil
+    from urllib.parse import urlparse
+
     from labelspark_spark.sources.writers import write_bucketed
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # a previous SESSION may have left the warehouse directories behind
+    # while this session's catalog forgot the tables — clear the stale
+    # locations or the managed-table create refuses the non-empty dir
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    for table in ("bj_lineitem", "bj_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(f"{wh.path}/{table}", ignore_errors=True)
     write_bucketed(
         li, "bj_lineitem", ["l_orderkey"], num_buckets=16, sort_cols=["l_orderkey"]
     )
