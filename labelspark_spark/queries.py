@@ -1801,6 +1801,81 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_events_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hard-signal: the watermark actually DROPPING late data —
+    the one streaming behavior a single-batch replay can never show
+    (every other stream query here arrives in order, so watermarking
+    drops nothing). The replay stages events out of order: batch 1 is
+    the LATER half of the timeline (event_id odd), batch 2 the earlier
+    half. The sink is APPEND mode — the only mode where the watermark
+    truly drops data (complete mode retains all state forever; this
+    query originally ran complete and measured ZERO drops). One more
+    measured subtlety: a late row is only dropped when its window's
+    state was ALREADY EVICTED in an earlier batch — late rows merge
+    into still-live state regardless of the watermark (a 2-batch
+    odd-then-even replay emitted FULL counts with
+    numRowsDroppedByWatermark=0). So a one-row sentinel batch (a copy
+    of the max-ts row, which leaves the watermark unchanged) sits
+    between the halves: batch 2's eviction finalizes every closed
+    window with its ODD counts, and batch 3's even rows then hit
+    evicted windows and drop. All of it is DETERMINISTIC given the
+    file order (maxFilesPerTrigger=1), so the oracle replays it in
+    SQL: odd rows only, days ending at-or-below the ms-truncated
+    watermark only (the sentinel joins the never-emitted final day)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from labelspark_spark.streaming import events as se
+
+    d = tempfile.mkdtemp(prefix="events_stream_late_")
+    src = f"{sf_dir}/events.parquet"
+    t = pq.read_table(src)
+    odd = pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)
+    odds = t.filter(odd)
+    pq.write_table(odds, f"{d}/part-0.parquet")
+    # sentinel = copy of the max-ts ODD row: the watermark is then
+    # IDENTICAL in the eviction batch and the late batch (a global-max
+    # even row would nudge it between the two and split the oracle's
+    # single-wm rule)
+    mx = pc.max(odds["ts"]).as_py()
+    pq.write_table(
+        odds.filter(pc.equal(odds["ts"], mx)).slice(0, 1), f"{d}/part-1.parquet"
+    )
+    pq.write_table(t.filter(pc.invert(odd)), f"{d}/part-2.parquet")
+    stream = se.read_events_stream(spark, d)
+    agg = se.tumbling_counts(
+        stream, window_size="1 day", watermark="1 hour"
+    ).drop("sum_value")
+    _replay_to_memory(agg, "events_stream_late_sink", "append")
+    return (
+        spark.table("events_stream_late_sink")
+        # window_start IS the midnight boundary; keep it TIMESTAMP — a
+        # date cast surfaces as datetime.date while DuckDB's DATE comes
+        # back through pandas as datetime64, and the type-sensitive
+        # driver hash treats those as different values
+        .groupBy(F.col("window_start").alias("day"))
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+
+
+SQL_EVENTS_STREAM_LATE_DROP = """
+WITH wm AS (
+  -- Spark tracks event-time stats in MILLISECONDS, so the watermark is
+  -- the ms-truncated max, not the full-precision one
+  SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS w
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT date_trunc('day', e.ts) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e, wm
+WHERE e.event_id % 2 = 1
+  AND date_trunc('day', e.ts) + INTERVAL 1 DAY <= wm.w
+GROUP BY 1
+"""
+
+
 def q_variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT path for semi-structured data: the props JSON
     column parses ONCE into the binary VARIANT encoding (parse_json),
@@ -9051,6 +9126,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "event_pattern_match": (q_event_pattern_match, SQL_EVENT_PATTERN_MATCH),
     "variant_json_ops": (q_variant_json_ops, SQL_VARIANT_JSON_OPS),
     "schema_evolution_merge": (q_schema_evolution_merge, SQL_SCHEMA_EVOLUTION),
+    "events_stream_late_drop": (
+        q_events_stream_late_drop,
+        SQL_EVENTS_STREAM_LATE_DROP,
+    ),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
