@@ -1876,6 +1876,102 @@ GROUP BY 1
 """
 
 
+def q_events_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: UPDATE output mode — the third and last aggregation mode
+    (complete: re-emit everything; append: emit once on close; update:
+    re-emit only the keys each batch touched). The two-copy replay
+    touches every (type, day) key twice, so the memory sink holds up
+    to two emissions per key; per-key counts only grow, so MAX over
+    the sink reconstructs the final state, which must equal the batch
+    aggregate over BOTH copies (2x counts — update mode, unlike the
+    upsert query, is blind to redelivery; the doubled answer is the
+    proof it ran through aggregation state, not a dedup path)."""
+    from labelspark_spark.streaming import events as se
+
+    d = _stage_stream_dir(sf_dir, copies=2)
+    stream = se.read_events_stream(spark, d)
+    agg = (
+        stream.groupBy(
+            F.window(F.col("ts"), "1 day").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("day"),
+            "event_type",
+            "n_events",
+        )
+    )
+    _replay_to_memory(agg, "events_stream_update_sink", "update")
+    return (
+        spark.table("events_stream_update_sink")
+        .groupBy("day", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+SQL_EVENTS_STREAM_UPDATE = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(2 * COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_tpch_q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: value concentration — the HAVING-against-a-
+    global-scalar pattern (canonical: partsupp value per part >
+    fraction of total; here, shipped value per (nation, supplier) >
+    1/(4|S|) of the global total, partsupp-less). The global total is
+    a broadcast singleton; the threshold test is exact bigint
+    cross-multiplication (value*4*n_supp > total — no double division
+    of two partition-order sums). One fact aggregate, dimension arm
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    val_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    per_supp = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(val_cents).alias("_v"))
+    )
+    tot = per_supp.agg(
+        F.sum("_v").alias("_tot"), F.count(F.lit(1)).alias("_ns")
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(tot))
+        .filter(F.col("_v") * 4 * F.col("_ns") > F.col("_tot"))
+        .select(
+            "n_name",
+            "s_suppkey",
+            (F.col("_v").cast("double") / 100.0).alias("supplier_value"),
+            F.expr("_v * 1000000L div _tot").alias("share_ppm"),
+        )
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH per_supp AS (
+  SELECT n_name, s_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey
+), tot AS (
+  SELECT SUM(v) AS t, CAST(COUNT(*) AS BIGINT) AS ns FROM per_supp
+)
+SELECT n_name, s_suppkey,
+       CAST(v AS DOUBLE) / 100.0 AS supplier_value,
+       (v * 1000000) // t AS share_ppm
+FROM per_supp, tot
+WHERE v * 4 * ns > t
+"""
+
+
 def q_variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT path for semi-structured data: the props JSON
     column parses ONCE into the binary VARIANT encoding (parse_json),
@@ -9129,6 +9225,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_stream_late_drop": (
         q_events_stream_late_drop,
         SQL_EVENTS_STREAM_LATE_DROP,
+    ),
+    "events_stream_update_mode": (
+        q_events_stream_update_mode,
+        SQL_EVENTS_STREAM_UPDATE,
+    ),
+    "tpch_q11_value_concentration": (
+        q_tpch_q11_value_concentration,
+        SQL_TPCH_Q11,
     ),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
