@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "tpch_q16_supplier_counts",
     "tpch_q18_large_orders",
     "tpch_q21_last_shipper",
+    "tpch_q11_value_concentration",
     "duration_in_state",
     "downsample_ltob",
     "dsir_importance",
