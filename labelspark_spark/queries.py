@@ -5493,6 +5493,126 @@ def q_rolling_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion scoped to SESSIONS, not users — the metric
+    product analytics actually reports (a purchase six days after the
+    view is not the same journey). Sessions are 30-minute-gap islands
+    (exact epoch-ms compares); within each session the view->purchase
+    ORDER is tested on the session-local row_number ordinal (total
+    (ts, event_id) order, engine-identical), so 'converted' means a
+    purchase strictly AFTER a view in the same session. Two
+    user-partitioned window layers + two aggregates, all on the same
+    user-keyed shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+    gap = ms - F.lag(ms).over(w)
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(
+            F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_sess"),
+    )
+    ws = Window.partitionBy("user_id", "_sess").orderBy("ts", "event_id")
+    rn = sess.withColumn("_rn", F.row_number().over(ws))
+    per_sess = rn.groupBy("user_id", "_sess").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("_rn"))).alias("_v"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("_rn"))).alias("_p"),
+    )
+    conv = (
+        F.col("_v").isNotNull()
+        & F.col("_p").isNotNull()
+        & (F.col("_p") > F.col("_v"))
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(conv, 1).otherwise(0)).cast("bigint").alias("n_converted"),
+        F.expr(
+            "sum(case when _v is not null and _p is not null and _p > _v"
+            " then 1 else 0 end) * 1000000L div count(1)"
+        ).alias("conv_ppm"),
+    )
+
+
+SQL_SESSION_FUNNEL = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           epoch_us(ts) // 1000 AS ms,
+           LAG(epoch_us(ts) // 1000)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+    FROM events
+  )
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                               ORDER BY ts, event_id) AS rn
+  FROM s
+), per_sess AS (
+  SELECT user_id, sess,
+         MIN(CASE WHEN event_type = 'view' THEN rn END) AS v,
+         MAX(CASE WHEN event_type = 'purchase' THEN rn END) AS p
+  FROM r GROUP BY user_id, sess
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN v IS NOT NULL AND p IS NOT NULL AND p > v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       (SUM(CASE WHEN v IS NOT NULL AND p IS NOT NULL AND p > v
+                 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS conv_ppm
+FROM per_sess GROUP BY user_id
+"""
+
+
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval RANGE frame — `RANGE BETWEEN INTERVAL 24
+    HOURS PRECEDING AND CURRENT ROW` over raw timestamps, the frame
+    shape the DataFrame API cannot express (Window.rangeBetween takes
+    longs only — q_rolling_avg_7d works around it with an integer day
+    index; this query exercises the SQL-text path where the engine
+    sorts on the timestamp itself, no surrogate key, no pre-bucketing).
+    Trailing 24h event count + exact-cents sum per user; output keeps
+    event_id so every frame evaluation is individually hash-checked.
+    The per-user sort the frame needs is the same one shuffle any
+    sequence op pays — nothing global."""
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("ev_range_interval")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+               CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS value_24h
+        FROM ev_range_interval
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+SQL_WINDOW_RANGE_INTERVAL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+         AS value_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
 SQL_ROLLING_AVG_7D = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS d,
@@ -9234,6 +9354,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_tpch_q11_value_concentration,
         SQL_TPCH_Q11,
     ),
+    "window_range_interval": (q_window_range_interval, SQL_WINDOW_RANGE_INTERVAL),
+    "session_funnel": (q_session_funnel, SQL_SESSION_FUNNEL),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
