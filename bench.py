@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "schema_evolution_merge",
     "quantile_bucket_assign",
     "python_datasource_scan",
+    "session_funnel",
+    "window_range_interval",
     "time_weighted_avg",
     "interval_coverage",
     "counter_rate",

@@ -694,6 +694,116 @@ def decode_exif_meta(
     return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
 
 
+def tiff_encode_header(
+    width: int, height: int, bits: int, big_endian: bool = False
+) -> bytes:
+    """Minimal standalone TIFF: header + IFD0 with ImageWidth (LONG),
+    ImageLength (LONG), BitsPerSample (SHORT inline) — the raw-scan /
+    geo-imagery container, and the same IFD machinery EXIF wraps."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    entries = (
+        struct.pack(e + "HHI", 0x0100, 4, 1)
+        + struct.pack(e + "I", width)
+        + struct.pack(e + "HHI", 0x0101, 4, 1)
+        + struct.pack(e + "I", height)
+        + struct.pack(e + "HHI", 0x0102, 3, 1)
+        + struct.pack(e + "H", bits)
+        + b"\0\0"
+    )
+    return (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", 8)
+        + struct.pack(e + "H", 3)
+        + entries
+        + struct.pack(e + "I", 0)
+    )
+
+
+def parse_tiff_header(content: bytes | None) -> dict:
+    """Standalone-TIFF IFD0 walk (both byte orders): ImageWidth /
+    ImageLength (SHORT or LONG per spec), BitsPerSample. Defensive on
+    truncation — Nones, never raises."""
+    none = {"byte_order": None, "width": None, "height": None, "bits": None}
+    if not content or len(content) < 8:
+        return none
+    order = content[:2]
+    if order == b"II":
+        bo, bo_name = "little", "II"
+    elif order == b"MM":
+        bo, bo_name = "big", "MM"
+    else:
+        return none
+
+    def u(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    if u(content[2:4]) != 42:
+        return none
+    ifd = u(content[4:8])
+    if ifd + 2 > len(content):
+        return none
+    n = u(content[ifd : ifd + 2])
+    out = dict(none)
+    out["byte_order"] = bo_name
+    for k in range(n):
+        e0 = ifd + 2 + k * 12
+        if e0 + 12 > len(content):
+            break
+        tag = u(content[e0 : e0 + 2])
+        typ = u(content[e0 + 2 : e0 + 4])
+        val = content[e0 + 8 : e0 + 12]
+        # inline value: SHORT (type 3) left-justified in 2 bytes, LONG
+        # (type 4) the full 4
+        v = u(val[:2]) if typ == 3 else u(val) if typ == 4 else None
+        if tag == 0x0100:
+            out["width"] = v
+        elif tag == 0x0101:
+            out["height"] = v
+        elif tag == 0x0102:
+            out["bits"] = v
+    return out
+
+
+def decode_tiff_meta(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched standalone-TIFF metadata decode via mapInPandas."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("byte_order", StringType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("bits", IntegerType(), True),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                metas = [parse_tiff_header(c) for c in chunk[content_col]]
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        "byte_order": [m["byte_order"] for m in metas],
+                        "width": pd.array([m["width"] for m in metas], dtype="Int32"),
+                        "height": pd.array(
+                            [m["height"] for m in metas], dtype="Int32"
+                        ),
+                        "bits": pd.array([m["bits"] for m in metas], dtype="Int32"),
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
+
+
 def parse_image_header(content: bytes | None) -> dict:
     """Pure-Python image header parser (the real codec for metadata):
     PNG IHDR, GIF logical screen, JPEG SOF0/1/2 marker scan. Returns

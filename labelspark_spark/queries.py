@@ -3385,6 +3385,152 @@ FROM documents
 """
 
 
+def q_multimodal_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone-TIFF codec (4th real image container after PNG/GIF/
+    JPEG): per doc a genuine TIFF header is generated (both byte
+    orders by parity) and ImageWidth/ImageLength/BitsPerSample parsed
+    back through the IFD walk — the same machinery EXIF wraps,
+    exercised on raw-scan/geo-imagery-style files. Closed-form oracle
+    from the generation formulas."""
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _enc(d: int) -> bytes:
+        return mm.tiff_encode_header(
+            width=d % 2000 + 1,
+            height=d % 1000 + 1,
+            bits=8 * (d % 2 + 1),
+            big_endian=(d % 3 == 0),
+        )
+
+    staged = _stage_media(docs, _enc)
+    return mm.decode_tiff_meta(staged, content_col="content", id_col="doc_id")
+
+
+SQL_MULTIMODAL_TIFF = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+       CAST(doc_id % 2000 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 1000 + 1 AS INTEGER) AS height,
+       CAST(8 * (doc_id % 2 + 1) AS INTEGER) AS bits
+FROM documents
+"""
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the n-gram language detector: the
+    confusion matrix of declared `lang` vs detected language over the
+    corpus, with per-cell recall in exact ppm of the declared-language
+    row total. The eval-side discipline every classifier in the
+    pipeline needs — same detector expressions as q_text_langid, so
+    this doubles as a regression pin on its behavior."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("lang", *T.lang_scores(F.col("text")))
+    en, fr, es, de = (F.col(f"score_{x}") for x in ("en", "fr", "es", "de"))
+    detected = (
+        F.when((en == 0) & (fr == 0) & (es == 0) & (de == 0), F.lit("und"))
+        .when((en >= fr) & (en >= es) & (en >= de), F.lit("en"))
+        .when((fr >= es) & (fr >= de), F.lit("fr"))
+        .when(es >= de, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    cells = scored.groupBy(
+        F.col("lang").alias("declared"), detected.alias("detected")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    row_tot = cells.groupBy("declared").agg(F.sum("n_docs").alias("_rt"))
+    return cells.join(F.broadcast(row_tot), "declared").select(
+        "declared",
+        "detected",
+        "n_docs",
+        F.expr("n_docs * 1000000L div _rt").alias("recall_ppm"),
+    )
+
+
+SQL_LANGID_CONFUSION = f"""
+WITH t AS (SELECT lang, {TOKS_SQL.format(c="text")} AS toks FROM documents),
+s AS (
+  SELECT lang,
+    CAST(len(list_filter(toks, x -> lower(x) IN {_lang_in(T.LANG_PROFILES['en'])})) AS INTEGER) AS score_en,
+    CAST(len(list_filter(toks, x -> lower(x) IN {_lang_in(T.LANG_PROFILES['fr'])})) AS INTEGER) AS score_fr,
+    CAST(len(list_filter(toks, x -> lower(x) IN {_lang_in(T.LANG_PROFILES['es'])})) AS INTEGER) AS score_es,
+    CAST(len(list_filter(toks, x -> lower(x) IN {_lang_in(T.LANG_PROFILES['de'])})) AS INTEGER) AS score_de
+  FROM t
+), d AS (
+  SELECT lang AS declared,
+         CASE WHEN score_en = 0 AND score_fr = 0 AND score_es = 0 AND score_de = 0 THEN 'und'
+              WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de THEN 'en'
+              WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+              WHEN score_es >= score_de THEN 'es'
+              ELSE 'de' END AS detected
+  FROM s
+), cells AS (
+  SELECT declared, detected, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM d GROUP BY declared, detected
+), rt AS (
+  SELECT declared, SUM(n_docs) AS t FROM cells GROUP BY declared
+)
+SELECT c.declared, c.detected, c.n_docs,
+       (c.n_docs * 1000000) // rt.t AS recall_ppm
+FROM cells c JOIN rt USING (declared)
+"""
+
+
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-handling surface: the session runs ANSI mode (where
+    overflow/bad-cast/div-zero RAISE — the correctness posture), and
+    the `try_*` family is the per-expression escape hatch. Counts the
+    NULL-on-error outcomes of try_divide (zero denominators),
+    try_cast on mixed-validity strings, try_add at bigint overflow,
+    and try_element_at past array bounds — each a row-local codegen
+    expression; the oracle reproduces the NULL rules with DuckDB's
+    TRY_CAST/NULLIF equivalents."""
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("try_divide(value, cast(event_id % 3 as double))").alias("_div"),
+        F.expr(
+            "try_cast(CASE WHEN event_id % 2 = 0 THEN cast(value as string)"
+            " ELSE event_type END AS DOUBLE)"
+        ).alias("_cast"),
+        F.expr("try_add(9223372036854775807L, event_id)").alias("_ovf"),
+        F.expr("try_element_at(array(1, 2, 3), cast(event_id % 5 as int) + 1)").alias(
+            "_elem"
+        ),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_div").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_div"),
+        F.sum(F.when(F.col("_cast").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_cast"),
+        F.sum(F.when(F.col("_ovf").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_ovf"),
+        F.sum(F.when(F.col("_elem").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_elem"),
+    )
+
+
+SQL_TRY_FUNCTIONS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_div,
+       CAST(SUM(CASE WHEN TRY_CAST(CASE WHEN event_id % 2 = 0
+                                        THEN CAST(value AS VARCHAR)
+                                        ELSE event_type END AS DOUBLE) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS null_cast,
+       CAST(SUM(CASE WHEN event_id > 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_ovf,
+       CAST(SUM(CASE WHEN event_id % 5 + 1 > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_elem
+FROM events
+"""
+
+
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization of the embedding column — the standard prep step
     before cosine ANN (unit vectors turn cosine into dot product). Pure
@@ -9356,6 +9502,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "window_range_interval": (q_window_range_interval, SQL_WINDOW_RANGE_INTERVAL),
     "session_funnel": (q_session_funnel, SQL_SESSION_FUNNEL),
+    "multimodal_tiff_meta": (q_multimodal_tiff_meta, SQL_MULTIMODAL_TIFF),
+    "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
+    "try_functions": (q_try_functions, SQL_TRY_FUNCTIONS),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
