@@ -5422,6 +5422,57 @@ def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 deepest custom-stateful signal: gap sessionization through
+    applyInPandasWithState with EVENT-TIME timeout — in-batch gaps
+    close sessions inline, and each user's still-open session
+    registers a timer at last_event + gap that the WATERMARK fires
+    (processing-time timers schedule wall-clock batches forever and
+    can never be replay-deterministic; the verify-skill gotcha). Two
+    far-future sentinel batches advance the watermark so every open
+    session flushes before the replay drains (sentinel user -1 is
+    filtered on read-back). The emitted sessions must equal the batch
+    6h-gap islands EXACTLY — boundaries, counts, and exact-cent sums."""
+    from labelspark_spark.streaming import events as se
+    from labelspark_spark.streaming import stateful as st
+
+    d = _stage_stream_dir_with_sentinels(sf_dir, n_sentinels=2, offset_days=30)
+    stream = se.read_events_stream(spark, d).withWatermark("ts", "1 hour")
+    sessions = st.sessionize_event_time(stream, gap_ms=6 * 3600 * 1000)
+    _replay_to_memory(sessions, "events_stream_session_timeout_sink", "append")
+    return (
+        spark.table("events_stream_session_timeout_sink")
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start_ms", "n_events", "sum_value")
+    )
+
+
+SQL_EVENTS_STREAM_SESSION_TIMEOUT = """
+WITH s AS (
+  SELECT user_id, event_id, value,
+         epoch_us(ts) // 1000 AS ms,
+         CASE WHEN LAG(epoch_us(ts) // 1000)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) // 1000
+                   - LAG(epoch_us(ts) // 1000)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 21600000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), g AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+)
+SELECT user_id,
+       CAST(MIN(ms) AS BIGINT) AS session_start_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM g GROUP BY user_id, sess
+"""
+
+
 SQL_EVENTS_STREAM_STATEFUL = """
 SELECT user_id,
        CAST(2 * COUNT(*) AS BIGINT) AS n_events,
@@ -9505,6 +9556,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_tiff_meta": (q_multimodal_tiff_meta, SQL_MULTIMODAL_TIFF),
     "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
     "try_functions": (q_try_functions, SQL_TRY_FUNCTIONS),
+    "events_stream_session_timeout": (
+        q_events_stream_session_timeout,
+        SQL_EVENTS_STREAM_SESSION_TIMEOUT,
+    ),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),

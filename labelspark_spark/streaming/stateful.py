@@ -110,3 +110,108 @@ def user_session_stats(
             timeoutConf=timeout,
         )
     )
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_cents", LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _make_session_fn(gap_ms: int):
+    def _sessionize(key, pdfs, state: GroupState):
+        """Gap-based sessionizer with EVENT-TIME timeout.
+
+        In-batch gaps close sessions immediately; the session left open
+        at batch end registers an event-time timer at last_ms + gap_ms,
+        so the WATERMARK — not wall clock — flushes it (the semantics a
+        replay can reproduce; a processing-time timer cannot). Rows are
+        folded in (ts, event_id) order: a micro-batch delivers one
+        user's rows unordered."""
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start_ms": start,
+                        "n_events": n,
+                        "sum_value": cents / 100.0,
+                    }
+                ]
+            )
+            return
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # explicit ms conversion: pandas may deliver datetime64[ns] or
+        # [us] depending on the Arrow path — a raw int64 view would be
+        # off by 1000x on one of them
+        ms = pdf["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+        cents_arr = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+
+        start, last, n, cents = (
+            state.get if state.exists else (None, None, 0, 0)
+        )
+        out = []
+        for i in range(len(pdf)):
+            t = int(ms[i])
+            c = int(cents_arr[i])
+            if start is None:
+                start, last, n, cents = t, t, 1, c
+            elif t - last > gap_ms:
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "session_start_ms": start,
+                        "n_events": n,
+                        "sum_value": cents / 100.0,
+                    }
+                )
+                start, last, n, cents = t, t, 1, c
+            else:
+                last, n, cents = t, n + 1, cents + c
+        state.update((start, last, n, cents))
+        # the open session flushes when the WATERMARK passes its gap edge
+        state.setTimeoutTimestamp(last + gap_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return _sessionize
+
+
+def sessionize_event_time(events: DataFrame, gap_ms: int = 6 * 3600 * 1000) -> DataFrame:
+    """Gap-sessionization as a CUSTOM stateful operator with event-time
+    timeout — what `F.session_window` does built-in, re-expressed
+    through applyInPandasWithState so arbitrary per-session logic can
+    ride along. Input must be watermarked (event-time timers require
+    it); emits one row per closed session."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
