@@ -2226,6 +2226,167 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 map HIGHER-ORDER surface: map_filter, transform_values,
+    map_zip_with, and aggregate-over-map_values — all row-local
+    codegen, zero extra shuffle beyond the count/cents aggregate. Two
+    parallel maps per user (event counts, cent sums) are zipped into
+    per-type averages with exact integer division; the oracle derives
+    the same scalars straight from the grouped counts (the CHECK is
+    value semantics, not map syntax)."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c")
+    )
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("nm"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("cm"),
+    )
+    return maps.select(
+        "user_id",
+        F.size("nm").alias("n_types"),
+        F.size(F.map_filter("nm", lambda k, v: v >= 10)).alias("n_types_ge10"),
+        F.coalesce(
+            F.element_at(F.transform_values("nm", lambda k, v: v * 10), "view"),
+            F.lit(0).cast("bigint"),
+        ).alias("views_x10"),
+        F.aggregate(
+            F.map_values("nm"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("total_events"),
+        F.coalesce(
+            F.element_at(
+                # exact integer quotient via (c - c%n)/n: the double
+                # division is exact because the numerator is divisible,
+                # and quotients stay far below 2^53
+                F.map_zip_with(
+                    "cm", "nm", lambda k, c, n: ((c - c % n) / n).cast("bigint")
+                ),
+                "purchase",
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("avg_purchase_cents"),
+    )
+
+
+SQL_MAP_HOF_FUNCS = """
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(COUNT(*) AS INTEGER) AS n_types,
+       CAST(SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS INTEGER) AS n_types_ge10,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN n * 10 END), 0)
+            AS BIGINT) AS views_x10,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN c // n END), 0)
+            AS BIGINT) AS avg_purchase_cents
+FROM per_type GROUP BY user_id
+"""
+
+
+def q_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 value-window completion: first_value / last_value /
+    nth_value over an explicit full-partition frame (default frames
+    stop at CURRENT ROW, where last_value is just the row itself —
+    the classic silent bug; the explicit UNBOUNDED FOLLOWING frame is
+    the correct idiom both engines share). One row per priority via
+    a post-distinct."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("_cents").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    staged = o.select("o_orderpriority", "o_orderkey", cents.alias("_cents"))
+    ranked = staged.select(
+        "o_orderpriority",
+        F.first_value("o_orderkey").over(w).alias("top_orderkey"),
+        F.last_value("o_orderkey").over(w).alias("bottom_orderkey"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_orderkey"),
+        (F.first_value("_cents").over(w).cast("double") / 100.0).alias("top_price"),
+    )
+    return ranked.distinct()
+
+
+SQL_WINDOW_VALUE_FUNCS = """
+SELECT DISTINCT o_orderpriority,
+       FIRST_VALUE(o_orderkey) OVER w AS top_orderkey,
+       LAST_VALUE(o_orderkey) OVER w AS bottom_orderkey,
+       NTH_VALUE(o_orderkey, 3) OVER w AS third_orderkey,
+       CAST(FIRST_VALUE(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
+            AS DOUBLE) / 100.0 AS top_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input ingestion policy (S6 hardening): a CSV feed is
+    generated with a deterministic 1-in-7 corruption (a non-numeric
+    price), read back PERMISSIVE with columnNameOfCorruptRecord — the
+    contract that bad rows surface as NULL-typed fields plus the raw
+    line in the corrupt column instead of killing the 100 TB job
+    (FAILFAST) or silently vanishing (DROPMALFORMED). Good/corrupt
+    counts and the good-row sum are hash-checked; the corrupt rows'
+    keys still parse, proving per-FIELD (not per-row) nulling."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("notanumber")).otherwise(
+            F.col("o_totalprice").cast("string")
+        ),
+    )
+    d = tempfile.mkdtemp(prefix="csv_malformed_")
+    o.select(line.alias("value")).write.mode("overwrite").text(d)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_totalprice double, _corrupt string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).csv(d)
+    price_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt").isNotNull() & F.col("o_orderkey").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_corrupt_with_key"),
+        (F.sum(F.when(F.col("_corrupt").isNull(), price_cents)).cast("double") / 100.0)
+        .alias("good_total"),
+    )
+
+
+SQL_CSV_MALFORMED = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt_with_key,
+       CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+                     THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END)
+            AS DOUBLE) / 100.0 AS good_total
+FROM orders
+"""
+
+
 SQL_MAP_FUNCS = """
 SELECT user_id,
        COALESCE(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS views,
@@ -9560,6 +9721,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_events_stream_session_timeout,
         SQL_EVENTS_STREAM_SESSION_TIMEOUT,
     ),
+    "map_hof_funcs": (q_map_hof_funcs, SQL_MAP_HOF_FUNCS),
+    "window_value_funcs": (q_window_value_funcs, SQL_WINDOW_VALUE_FUNCS),
+    "csv_malformed_handling": (q_csv_malformed_handling, SQL_CSV_MALFORMED),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
