@@ -2226,6 +2226,55 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 DML surface: CREATE TABLE + two INSERT INTO ... SELECT
+    statements against a managed parquet table (the catalog-native
+    write path, distinct from the DataFrameWriter API every other
+    sink query uses). First insert loads urgent orders, the second
+    appends the high-priority tier — the read-back aggregate proves
+    INSERT is append-semantics and both cohorts landed exactly once.
+    Same stale-warehouse guard as the bucketed tables."""
+    import shutil
+    from urllib.parse import urlparse
+
+    table = "dml_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme in ("", "file"):
+        shutil.rmtree(f"{wh.path}/{table}", ignore_errors=True)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("dml_src_orders")
+    spark.sql(
+        f"CREATE TABLE {table} "
+        "(o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE) "
+        "USING parquet"
+    )
+    spark.sql(
+        f"INSERT INTO {table} "
+        "SELECT o_orderkey, o_orderpriority, o_totalprice "
+        "FROM dml_src_orders WHERE o_orderpriority = '1-URGENT'"
+    )
+    spark.sql(
+        f"INSERT INTO {table} "
+        "SELECT o_orderkey, o_orderpriority, o_totalprice "
+        "FROM dml_src_orders WHERE o_orderpriority = '2-HIGH'"
+    )
+    price_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return spark.table(table).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(price_cents).cast("double") / 100.0).alias("total_price"),
+    )
+
+
+SQL_DML_ROUNDTRIP = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
 def q_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 map HIGHER-ORDER surface: map_filter, transform_values,
     map_zip_with, and aggregate-over-map_values — all row-local
@@ -9724,6 +9773,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "map_hof_funcs": (q_map_hof_funcs, SQL_MAP_HOF_FUNCS),
     "window_value_funcs": (q_window_value_funcs, SQL_WINDOW_VALUE_FUNCS),
     "csv_malformed_handling": (q_csv_malformed_handling, SQL_CSV_MALFORMED),
+    "sql_dml_roundtrip": (q_sql_dml_roundtrip, SQL_DML_ROUNDTRIP),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),

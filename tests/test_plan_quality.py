@@ -388,3 +388,33 @@ def test_tpch_q18_no_extra_fact_shuffle(spark):
     assert len(key_exchanges) <= 2, key_exchanges
     # customer resolves via broadcast, never a shuffle
     assert "BroadcastHashJoin" in plan
+
+
+def test_nested_struct_schema_pruning(spark, tmp_path):
+    """Nested-column pruning: selecting one subfield of a struct column
+    must reach the parquet scan as a PRUNED ReadSchema (only that leaf),
+    not the whole struct — at 100 TB a wide metadata struct read for a
+    one-field projection is the difference between KB and TB scanned."""
+    from labelspark_spark.sources import read_table
+
+    d = str(tmp_path / "nested")
+    ev = read_table(spark, SF_SMOKE, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.col("value").alias("val"),
+            F.col("event_type").alias("ty"),
+            F.col("props").alias("props"),
+        ).alias("meta"),
+    )
+    nested.write.mode("overwrite").parquet(d)
+    df = spark.read.parquet(d).select("event_id", F.col("meta.uid").alias("uid"))
+    plan = explain.formatted_plan(df)
+    sch = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert sch, plan[:500]
+    line = sch[0]
+    assert "uid" in line, line
+    # the unused struct leaves must NOT be read
+    for dropped in ("val", "ty", "props"):
+        assert dropped not in line, line
