@@ -2226,6 +2226,52 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling PLAN over real MP4 metadata: container durations
+    parse through the box-walk codec (timescale 1000, duration
+    doc_id%9000+1000 ms), frame count derives at 10 fps, and every
+    25th frame index explodes into the work-list a decode pass would
+    consume (operators/multimodal.py:sample_frames — pure
+    sequence+explode, row-local). This is the exact shape of a video
+    curation pipeline's sampling stage: the expensive decode fans out
+    over (media_id, frame_idx) AFTER a cheap metadata-only plan, so
+    executors fetch only sampled frames. Closed-form oracle."""
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _enc(d: int) -> bytes:
+        return mm.mp4_encode_skeleton(timescale=1000, duration=d % 9000 + 1000)
+
+    staged = _stage_media(docs, _enc)
+    meta = mm.decode_video_meta(staged, content_col="content", id_col="doc_id")
+    # 10 fps synthetic frame clock: n_frames = duration_ms div 100
+    with_frames = meta.select(
+        "doc_id",
+        F.struct(
+            F.expr("duration_ms div 100").cast("int").alias("n_frames")
+        ).alias("meta"),
+    )
+    plan = mm.sample_frames(
+        with_frames, n_frames_col="meta.n_frames", every=25, id_col="doc_id"
+    )
+    return plan.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("frame_idx").cast("bigint").alias("last_frame_idx"),
+    )
+
+
+SQL_MULTIMODAL_FRAME_PLAN = """
+WITH m AS (
+  SELECT doc_id, (doc_id % 9000 + 1000) // 100 AS n_frames FROM documents
+)
+SELECT doc_id,
+       CAST((n_frames - 1) // 25 + 1 AS BIGINT) AS n_sampled,
+       CAST(((n_frames - 1) // 25) * 25 AS BIGINT) AS last_frame_idx
+FROM m WHERE n_frames > 0
+"""
+
+
 def q_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 DML surface: CREATE TABLE + two INSERT INTO ... SELECT
     statements against a managed parquet table (the catalog-native
@@ -9774,6 +9820,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "window_value_funcs": (q_window_value_funcs, SQL_WINDOW_VALUE_FUNCS),
     "csv_malformed_handling": (q_csv_malformed_handling, SQL_CSV_MALFORMED),
     "sql_dml_roundtrip": (q_sql_dml_roundtrip, SQL_DML_ROUNDTRIP),
+    "multimodal_frame_plan": (q_multimodal_frame_plan, SQL_MULTIMODAL_FRAME_PLAN),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
