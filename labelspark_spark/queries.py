@@ -1844,6 +1844,15 @@ def q_events_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         odds.filter(pc.equal(odds["ts"], mx)).slice(0, 1), f"{d}/part-1.parquet"
     )
     pq.write_table(t.filter(pc.invert(odd)), f"{d}/part-2.parquet")
+    # pin spaced mtimes: the file source orders batches by modification
+    # time, and colliding mtimes under load flip the replay order (the
+    # flake mode: sentinel before odds = no eviction batch)
+    import os
+    import time
+
+    base = time.time() - 600
+    for i in range(3):
+        os.utime(f"{d}/part-{i}.parquet", (base + 60 * i, base + 60 * i))
     stream = se.read_events_stream(spark, d)
     agg = se.tumbling_counts(
         stream, window_size="1 day", watermark="1 hour"
@@ -6376,6 +6385,9 @@ def _stage_stream_dir_with_sentinels(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import os
+    import time
+
     d = tempfile.mkdtemp(prefix="events_stream_oj_")
     src = f"{sf_dir}/events.parquet"
     shutil.copy(src, f"{d}/part-0.parquet")
@@ -6390,6 +6402,17 @@ def _stage_stream_dir_with_sentinels(
         pq.write_table(
             pa.Table.from_pandas(s, schema=t.schema, preserve_index=False),
             f"{d}/part-sentinel-{i}.parquet",
+        )
+    # the file source orders by MODIFICATION TIME: files written
+    # milliseconds apart can collide on coarse mtimes under load and
+    # flip the batch order (the sentinel must replay LAST) — pin
+    # explicit, well-separated mtimes
+    base = time.time() - 600
+    os.utime(f"{d}/part-0.parquet", (base, base))
+    for i in range(n_sentinels):
+        os.utime(
+            f"{d}/part-sentinel-{i}.parquet",
+            (base + 60 * (i + 1), base + 60 * (i + 1)),
         )
     return d
 
