@@ -440,6 +440,40 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-6 completion: GROUPING() indicator flags on a ROLLUP — the
+    column a BI layer needs to tell a real NULL group from a subtotal
+    row (raw rollup output conflates them). Per-column F.grouping()
+    0/1 flags are used instead of the combined grouping_id bitmask:
+    the per-column flag semantics are identical across engines, while
+    bitmask bit ORDER is an engine convention. The money sum follows
+    the exact-cents doctrine so subtotal rows hash-match too."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
+            F.grouping("l_returnflag").cast("int").alias("is_flag_total"),
+            F.grouping("l_linestatus").cast("int").alias("is_status_total"),
+        )
+    )
+
+
+SQL_GROUPING_FLAGS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS is_flag_total,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS is_status_total
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9-6: GROUPING SETS via the SQL surface (S8 temp views)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
@@ -9844,6 +9878,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "csv_malformed_handling": (q_csv_malformed_handling, SQL_CSV_MALFORMED),
     "sql_dml_roundtrip": (q_sql_dml_roundtrip, SQL_DML_ROUNDTRIP),
     "multimodal_frame_plan": (q_multimodal_frame_plan, SQL_MULTIMODAL_FRAME_PLAN),
+    "grouping_flags": (q_grouping_flags, SQL_GROUPING_FLAGS),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
