@@ -440,6 +440,48 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_modern_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate surface: count_if, bool_and/bool_or, median,
+    and the bitwise bit_and/bit_or/bit_xor aggregates (set-membership
+    masks folded across rows) — per linestatus over lineitem. Every
+    pick is engine-deterministic: count_if/booleans are exact, median
+    is the interpolated percentile (parity proven by q_percentiles),
+    and the bit aggregates fold exact integers in any order. regr_*
+    aggregates are deliberately ABSENT: their internal double
+    accumulation is partition-order-nondeterministic — the exact
+    covar/var construction in q_agg_correlation is this repo's
+    regression path."""
+    li = _t(spark, sf_dir, "lineitem")
+    # F.shiftleft only takes an int literal shift; a column shift needs
+    # the SQL form
+    mask = F.expr("shiftleft(1L, cast(l_suppkey % 16 as int))")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.median("l_quantity").alias("median_qty"),
+        F.bit_and(mask).alias("mask_and"),
+        F.bit_or(mask).alias("mask_or"),
+        F.bit_xor(mask).alias("mask_xor"),
+    )
+
+
+SQL_MODERN_AGG_FUNCS = """
+SELECT l_linestatus,
+       CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+       BOOL_AND(l_quantity > 0) AS all_positive,
+       BOOL_OR(l_discount > 0.09) AS any_deep_discount,
+       MEDIAN(l_quantity) AS median_qty,
+       CAST(BIT_AND(1::BIGINT << CAST(l_suppkey % 16 AS INTEGER)) AS BIGINT)
+         AS mask_and,
+       CAST(BIT_OR(1::BIGINT << CAST(l_suppkey % 16 AS INTEGER)) AS BIGINT)
+         AS mask_or,
+       CAST(BIT_XOR(1::BIGINT << CAST(l_suppkey % 16 AS INTEGER)) AS BIGINT)
+         AS mask_xor
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 def q_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9-6 completion: GROUPING() indicator flags on a ROLLUP — the
     column a BI layer needs to tell a real NULL group from a subtotal
@@ -9879,6 +9921,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sql_dml_roundtrip": (q_sql_dml_roundtrip, SQL_DML_ROUNDTRIP),
     "multimodal_frame_plan": (q_multimodal_frame_plan, SQL_MULTIMODAL_FRAME_PLAN),
     "grouping_flags": (q_grouping_flags, SQL_GROUPING_FLAGS),
+    "modern_agg_funcs": (q_modern_agg_funcs, SQL_MODERN_AGG_FUNCS),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
