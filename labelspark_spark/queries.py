@@ -440,6 +440,138 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 digest surface: md5 and sha2-256 over a canonicalized
+    payload (the content-addressing primitives every dedup ledger and
+    cache key in this repo builds on), plus digest-prefix bucketing —
+    proving byte-identical digests across engines, not just locally
+    stable ones. Row-local codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat_ws("|", F.col("doc_id").cast("string"), F.col("lang"))
+    return docs.select(
+        "doc_id",
+        F.md5(payload).alias("md5_hex"),
+        F.sha2(payload, 256).alias("sha256_hex"),
+        F.substring(F.md5(payload), 1, 2).alias("shard_key"),
+        F.length(F.sha2(payload, 256)).cast("int").alias("sha_len"),
+    )
+
+
+SQL_HASH_FUNCS = """
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR) || '|' || lang) AS md5_hex,
+       sha256(CAST(doc_id AS VARCHAR) || '|' || lang) AS sha256_hex,
+       substring(md5(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 2) AS shard_key,
+       CAST(length(sha256(CAST(doc_id AS VARCHAR) || '|' || lang)) AS INTEGER)
+         AS sha_len
+FROM documents
+"""
+
+
+def q_array_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 array-zip surface: two parallel per-user arrays (ordered
+    event types and cent values, built by one sort_array over collected
+    structs — row-local after the single user shuffle) are zipped with
+    arrays_zip and POSexploded, recovering (position, type, cents)
+    triples whose per-position aggregate the oracle reproduces from the
+    raw rows. The pattern behind every 'columns-of-arrays to rows'
+    transition in feature pipelines."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    packed = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type", cents.alias("c")))
+        ).alias("_s")
+    )
+    arrays = packed.select(
+        "user_id",
+        F.transform("_s", lambda x: x["event_type"]).alias("_types"),
+        F.transform("_s", lambda x: x["c"]).alias("_cents"),
+    )
+    zipped = arrays.select(
+        "user_id",
+        F.posexplode(F.arrays_zip("_types", "_cents")).alias("pos", "z"),
+    )
+    return (
+        zipped.select(
+            "pos",
+            F.col("z._types").alias("event_type"),
+            F.col("z._cents").alias("c"),
+        )
+        .filter(F.col("pos") < 3)
+        .groupBy("pos", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.sum("c").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+SQL_ARRAY_ZIP_EXPLODE = """
+WITH r AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos
+  FROM events
+)
+SELECT CAST(pos AS INTEGER) AS pos, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(c) AS DOUBLE) / 100.0 AS total_value
+FROM r WHERE pos < 3
+GROUP BY pos, event_type
+"""
+
+
+def q_sql_subquery_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst subquery-rewrite surface, all in ONE SQL statement:
+    an uncorrelated IN, a correlated EXISTS, a correlated NOT EXISTS,
+    and a scalar subquery in the projection — the four forms the
+    optimizer decorrelates into semi/anti joins and a broadcast
+    singleton. DuckDB runs the IDENTICAL text, so the check covers the
+    rewrites' semantics end-to-end. Customers in the top-acctbal
+    nations who ordered urgently but never cheaply, with the global
+    average order price alongside."""
+    for t in ("customer", "orders", "nation", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"subq_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST((SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                          AS BIGINT)) AS DOUBLE) / 100.0
+                     FROM subq_orders) AS DOUBLE) AS global_order_total
+        FROM subq_customer c
+        WHERE c.c_nationkey IN (SELECT n_nationkey FROM subq_nation
+                                WHERE n_regionkey < 2)
+          AND EXISTS (SELECT 1 FROM subq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM subq_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice < 1000)
+        GROUP BY c.c_nationkey
+        """
+    )
+
+
+SQL_SUBQUERY_FORMS = """
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST((SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                  AS BIGINT)) AS DOUBLE) / 100.0
+             FROM orders) AS DOUBLE) AS global_order_total
+FROM customer c
+WHERE c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 2)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice < 1000)
+GROUP BY c.c_nationkey
+"""
+
+
 def q_modern_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modern aggregate surface: count_if, bool_and/bool_or, median,
     and the bitwise bit_and/bit_or/bit_xor aggregates (set-membership
@@ -9922,6 +10054,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_frame_plan": (q_multimodal_frame_plan, SQL_MULTIMODAL_FRAME_PLAN),
     "grouping_flags": (q_grouping_flags, SQL_GROUPING_FLAGS),
     "modern_agg_funcs": (q_modern_agg_funcs, SQL_MODERN_AGG_FUNCS),
+    "hash_funcs": (q_hash_funcs, SQL_HASH_FUNCS),
+    "array_zip_explode": (q_array_zip_explode, SQL_ARRAY_ZIP_EXPLODE),
+    "sql_subquery_forms": (q_sql_subquery_forms, SQL_SUBQUERY_FORMS),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
