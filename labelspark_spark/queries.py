@@ -9797,9 +9797,17 @@ def q_tpch_q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier shares it (sole last shipper ~ 'the one everyone else
     was waiting on'; commit/receipt dates don't exist here). One
     shuffle on orderkey for the aggregate; the windows reuse its
-    partitioning; top-10 via two-phase prune."""
+    partitioning; top-10 via two-phase prune. The explicit
+    repartition(l_orderkey) makes the per-(order,supplier) aggregate
+    reuse the SAME exchange the windows need (hashpartitioning on
+    l_orderkey satisfies the composite clustering), so the whole
+    chain shuffles lineitem exactly once — plan-asserted."""
     li = _t(spark, sf_dir, "lineitem")
-    os_ = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("_sd"))
+    os_ = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("_sd"))
+    )
     w = Window.partitionBy("l_orderkey")
     flagged = (
         os_.withColumn("_omax", F.max("_sd").over(w))

@@ -418,3 +418,38 @@ def test_nested_struct_schema_pruning(spark, tmp_path):
     # the unused struct leaves must NOT be read
     for dropped in ("val", "ty", "props"):
         assert dropped not in line, line
+
+
+def test_tpch_q7_q8_dimension_arms_broadcast(spark):
+    """q7/q8: every dimension lookup (supplier, customer/semi, both
+    nation aliases, part) must broadcast; the only SortMergeJoin
+    allowed is the lineitem-orders fact-fact join."""
+    from labelspark_spark.queries import q_tpch_q7_volume_shipping, q_tpch_q8_market_share
+
+    for fn, min_bcast in ((q_tpch_q7_volume_shipping, 4), (q_tpch_q8_market_share, 4)):
+        plan = explain.formatted_plan(fn(spark, SF_SMOKE))
+        assert plan.count("BroadcastHashJoin") >= min_bcast, plan[:600]
+        assert plan.count("SortMergeJoin") <= 1, plan[:600]
+
+
+def test_tpch_q21_windows_share_one_order_shuffle(spark):
+    """q21: the three per-order windows must reuse ONE l_orderkey
+    exchange over the per-(order,supplier) aggregate — a plan that
+    re-shuffles per window would triple the wide traffic."""
+    from labelspark_spark.queries import q_tpch_q21_last_shipper
+
+    import re
+
+    plan = explain.formatted_plan(q_tpch_q21_last_shipper(spark, SF_SMOKE))
+    order_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"hashpartitioning\(l_orderkey#\d+L, \d+\)", ln)
+    ]
+    assert len(order_exchanges) <= 1, order_exchanges
+    # the composite-key exchange is gone: the aggregate reuses the
+    # single l_orderkey repartition
+    assert not any(
+        "hashpartitioning(l_orderkey" in ln and "l_suppkey" in ln
+        for ln in plan.splitlines()
+    ), plan[:800]
