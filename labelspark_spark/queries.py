@@ -2708,6 +2708,64 @@ FROM events GROUP BY user_id
 """
 
 
+def q_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 array SET algebra: union / intersect / except between each
+    user's first-half and second-half event-type sets (did behavior
+    change?), plus membership and position probes — all row-local
+    after one user-keyed aggregate. Outputs sorted sizes and a
+    churn flag; DuckDB's list_* twins reproduce the set semantics
+    (both engines de-duplicate in the set operators)."""
+    ev = _t(spark, sf_dir, "events")
+    half = F.when(F.col("event_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(half == "a", F.col("event_type")))
+            )
+        ).alias("_a"),
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(half == "b", F.col("event_type")))
+            )
+        ).alias("_b"),
+    )
+    return per_user.select(
+        "user_id",
+        F.size(F.array_union("_a", "_b")).alias("n_union"),
+        F.size(F.array_intersect("_a", "_b")).alias("n_common"),
+        F.size(F.array_except("_a", "_b")).alias("n_only_first"),
+        F.array_contains(F.array_union("_a", "_b"), "purchase").alias("ever_bought"),
+        (F.size(F.array_except("_a", "_b")) + F.size(F.array_except("_b", "_a")) > 0)
+        .alias("behavior_changed"),
+    )
+
+
+SQL_ARRAY_SET_FUNCS = """
+WITH per_user AS (
+  SELECT user_id,
+         list_sort(list_distinct(list(CASE WHEN event_id % 2 = 0
+                                           THEN event_type END))) AS a,
+         list_sort(list_distinct(list(CASE WHEN event_id % 2 <> 0
+                                           THEN event_type END))) AS b
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT user_id,
+         list_filter(a, x -> x IS NOT NULL) AS a,
+         list_filter(b, x -> x IS NOT NULL) AS b
+  FROM per_user
+)
+SELECT user_id,
+       CAST(len(list_distinct(list_concat(a, b))) AS INTEGER) AS n_union,
+       CAST(len(list_intersect(a, b)) AS INTEGER) AS n_common,
+       CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS INTEGER)
+         AS n_only_first,
+       list_contains(list_concat(a, b), 'purchase') AS ever_bought,
+       len(list_filter(a, x -> NOT list_contains(b, x)))
+         + len(list_filter(b, x -> NOT list_contains(a, x))) > 0 AS behavior_changed
+FROM c
+"""
+
+
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 array surface: collect/sort/serialize/index/fold in one pass."""
     li = _t(spark, sf_dir, "lineitem")
@@ -10065,6 +10123,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hash_funcs": (q_hash_funcs, SQL_HASH_FUNCS),
     "array_zip_explode": (q_array_zip_explode, SQL_ARRAY_ZIP_EXPLODE),
     "sql_subquery_forms": (q_sql_subquery_forms, SQL_SUBQUERY_FORMS),
+    "array_set_funcs": (q_array_set_funcs, SQL_ARRAY_SET_FUNCS),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
