@@ -6737,6 +6737,84 @@ def q_events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: FULL OUTER stream-stream join — BOTH sides' unmatched
+    rows must survive state eviction (a purchase with no prior click
+    AND a click that preceded no purchase each emit a null-extended
+    row once the watermark proves no partner can arrive). State on
+    both sides now carries a match flag, the strictest eviction
+    bookkeeping the streaming join engine has; the dual-sided
+    sentinels flush it completely. The grand totals (matched pairs +
+    each side's orphans) hash-match the batch full join."""
+    from labelspark_spark.streaming import events as se
+
+    d = _stage_stream_dir_with_sentinels(sf_dir)
+    purchases = (
+        se.read_events_stream(spark, d)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        se.read_events_stream(spark, d)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 6 hours"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    )
+    _replay_to_memory(pairs, "events_stream_foj_sink", "append")
+    sink = spark.table("events_stream_foj_sink").filter(
+        (F.coalesce("p_user", F.lit(0)) >= 0)
+        & (F.coalesce("c_user", F.lit(0)) >= 0)
+    )
+    return sink.agg(
+        F.sum(
+            F.when(F.col("p_ts").isNotNull() & F.col("c_ts").isNotNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("c_ts").isNull() & F.col("p_ts").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchase_orphans"),
+        F.sum(F.when(F.col("p_ts").isNull() & F.col("c_ts").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_click_orphans"),
+    )
+
+
+SQL_EVENTS_STREAM_FULL_OUTER_JOIN = """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.ts AS p_ts, c.ts AS c_ts
+  FROM p FULL JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+)
+SELECT CAST(SUM(CASE WHEN p_ts IS NOT NULL AND c_ts IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN c_ts IS NULL AND p_ts IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase_orphans,
+       CAST(SUM(CASE WHEN p_ts IS NULL AND c_ts IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click_orphans
+FROM j
+"""
+
+
 SQL_EVENTS_STREAM_OUTER_JOIN = """
 SELECT p.user_id,
        CAST(COUNT(c.ts) AS BIGINT) AS n_matched_pairs,
@@ -10124,6 +10202,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "array_zip_explode": (q_array_zip_explode, SQL_ARRAY_ZIP_EXPLODE),
     "sql_subquery_forms": (q_sql_subquery_forms, SQL_SUBQUERY_FORMS),
     "array_set_funcs": (q_array_set_funcs, SQL_ARRAY_SET_FUNCS),
+    "events_stream_full_outer_join": (
+        q_events_stream_full_outer_join,
+        SQL_EVENTS_STREAM_FULL_OUTER_JOIN,
+    ),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
