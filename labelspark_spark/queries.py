@@ -2708,6 +2708,46 @@ FROM events GROUP BY user_id
 """
 
 
+def q_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer null preservation — the generator semantics that
+    decide whether rows with empty extractions VANISH from a pipeline
+    (plain explode) or survive as accountable nulls. Long tokens
+    (>9 chars) are rare enough that many docs extract nothing; the
+    query proves each empty doc contributes exactly one null row by
+    reconciling totals: null rows == empty docs, non-null rows ==
+    total long tokens, and the grand row count is their sum. The
+    oracle computes the same totals from array lengths without
+    exploding at all."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
+    arr = F.filter(toks, lambda x: F.length(x) > 9)
+    exploded = docs.select(
+        "doc_id", F.explode_outer(arr).alias("tok")
+    )
+    return exploded.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty_docs"),
+        F.count("tok").alias("n_long_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+SQL_EXPLODE_OUTER_NULLS = f"""
+WITH a AS (
+  SELECT doc_id,
+         list_filter({TOKS_SQL.format(c="text")}, x -> length(x) > 9) AS arr
+  FROM documents
+)
+SELECT CAST(SUM(CASE WHEN len(arr) = 0 THEN 1 ELSE len(arr) END) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN len(arr) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_docs,
+       CAST(SUM(len(arr)) AS BIGINT) AS n_long_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM a
+"""
+
+
 def q_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 array SET algebra: union / intersect / except between each
     user's first-half and second-half event-type sets (did behavior
@@ -10206,6 +10246,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_events_stream_full_outer_join,
         SQL_EVENTS_STREAM_FULL_OUTER_JOIN,
     ),
+    "explode_outer_nulls": (q_explode_outer_nulls, SQL_EXPLODE_OUTER_NULLS),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
