@@ -2708,6 +2708,84 @@ FROM events GROUP BY user_id
 """
 
 
+def q_offset_window_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-aligned time buckets (the TimescaleDB `time_bucket`
+    origin feature): hourly windows starting at :15 past — business
+    windows rarely align to midnight, and F.window's startTime is the
+    engine-native way to shift the grid without shifting the data.
+    The oracle reproduces the bucket arithmetic in closed form
+    (floor((ms - off) / width) * width + off), proving the grid
+    semantics rather than trusting the function name."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = F.window(F.col("ts"), "1 hour", startTime="15 minutes")
+    agg = ev.groupBy(w.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents).cast("double") / 100.0).alias("sum_value"),
+    )
+    return agg.select(
+        # ts can be TIMESTAMP_NTZ in driver testdata; cast before
+        # unix_micros (UTC session makes the cast identity-valued)
+        F.expr("unix_micros(cast(w.start as timestamp)) div 1000").alias(
+            "bucket_start_ms"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_OFFSET_WINDOW_BUCKET = """
+SELECT ((epoch_us(ts) // 1000 - 900000)
+          - ((epoch_us(ts) // 1000 - 900000) % 3600000)) + 900000 AS bucket_start_ms,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL arithmetic surface — the OTHER exact-money route beside
+    this repo's bigint-cents doctrine: prices cast to DECIMAL(12,2)
+    sum exactly and order-independently in both engines (decimal
+    addition is associative), with the result cast to DOUBLE only at
+    the very end so the driver's type-sensitive hash sees the same
+    float64 on both sides (Decimal-vs-double output mismatch is
+    exactly how r4's salted_agg failed). Includes a decimal product
+    re-scale (price * (1 - disc) at DECIMAL(18,6)) to exercise
+    Spark's precision-propagation rules against DuckDB's."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec_price = F.col("l_extendedprice").cast("decimal(12,2)")
+    dec_disc = F.col("l_discount").cast("decimal(4,2)")
+    net = (dec_price * (F.lit(1).cast("decimal(3,2)") - dec_disc)).cast(
+        "decimal(18,6)"
+    )
+    # avg(DECIMAL) result SCALE is an engine convention (Spark rounds to
+    # scale+4, DuckDB divides in double) — divide the exact decimal sum
+    # once, the identical shape on both sides
+    return li.groupBy("l_returnflag").agg(
+        F.sum(dec_price).cast("double").alias("gross"),
+        F.sum(net).cast("double").alias("net"),
+        (F.sum(dec_price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_DECIMAL_AGG = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     AS DECIMAL(18,6))) AS DOUBLE) AS net,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+         AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode_outer null preservation — the generator semantics that
     decide whether rows with empty extractions VANISH from a pipeline
@@ -10247,6 +10325,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_EVENTS_STREAM_FULL_OUTER_JOIN,
     ),
     "explode_outer_nulls": (q_explode_outer_nulls, SQL_EXPLODE_OUTER_NULLS),
+    "offset_window_bucket": (q_offset_window_bucket, SQL_OFFSET_WINDOW_BUCKET),
+    "decimal_agg": (q_decimal_agg, SQL_DECIMAL_AGG),
     "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
