@@ -123,6 +123,19 @@ BENCH_QUERIES = [
     "python_datasource_scan",
     "session_funnel",
     "window_range_interval",
+    "sql_subquery_forms",
+    "array_set_funcs",
+    "hash_funcs",
+    "array_zip_explode",
+    "modern_agg_funcs",
+    "grouping_flags",
+    "offset_window_bucket",
+    "decimal_agg",
+    "langid_confusion",
+    "multimodal_frame_plan",
+    "explode_outer_nulls",
+    "csv_malformed_handling",
+    "sql_dml_roundtrip",
     "time_weighted_avg",
     "interval_coverage",
     "counter_rate",
