@@ -151,6 +151,11 @@ BENCH_QUERIES = [
     "group_sample_k",
     "sliding_distinct_users",
     "bloom_prune",
+    # round-6 additions: the G.711 telephony codec and the IVF-vs-exact
+    # agreement companion (runs BOTH the brute-force vote and the IVF
+    # probe — the heaviest ANN entry by design)
+    "multimodal_audio_g711",
+    "knn_ivf_agreement",
 ]
 
 
@@ -192,19 +197,42 @@ def main() -> None:
             print(f"# warm{pass_no} {name}: {dt:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-            }
-        )
+    # The driver records only the LAST 2000 chars of stdout; the full
+    # 113-query map blew past that in r5 and the round shipped
+    # `parsed: null`. stdout therefore carries a summary-only JSON line
+    # (slowest-15 queries, guaranteed < ~1800 chars); the complete
+    # per-query cold+warm maps go to stderr AND a sidecar file.
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1)
+    print("# full per-query timings: " + json.dumps(timings), file=sys.stderr)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "sf": full["sf"],
+            "n_queries": len(timings),
+            "cold_total_sec": full["cold_total_sec"],
+            "full": "BENCH_FULL.json",
+        }
+    )
+    assert len(line) < 1800, f"bench stdout line too long ({len(line)} chars)"
+    print(line)
     spark.stop()
 
 

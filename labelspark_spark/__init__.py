@@ -7,6 +7,13 @@ Reference: /root/reference (read-only); design notes in SURVEY.md.
 """
 
 from labelspark_spark.client import Client, LocalTransport
+from labelspark_spark.connector import (
+    add_col,
+    get_col_names,
+    get_table_length,
+    get_unique_values,
+    rename_col,
+)
 from labelspark_spark.legacy import (
     LABELBOX_DEFAULT_TYPE_DICTIONARY,
     add_json_answers_to_dictionary,
@@ -47,4 +54,10 @@ __all__ = [
     "jsonToDataFrame",
     "spark_schema_to_string",
     "update_metadata",
+    # reference connector.py helper quintet (connector.py:20-74)
+    "get_col_names",
+    "get_unique_values",
+    "add_col",
+    "get_table_length",
+    "rename_col",
 ]

@@ -125,6 +125,7 @@ def wav_encode_pcm(
     fmt_ext: bool = False,
     list_info: bytes | None = None,
     samples: bytes | None = None,
+    fmt_tag: int = 1,
 ) -> bytes:
     """Spec-valid PCM WAV — pure stdlib, used to generate deterministic
     audio fixtures the parsers below are oracle-checked against.
@@ -135,12 +136,13 @@ def wav_encode_pcm(
     ``list_info`` inserts a LIST/INFO metadata chunk between fmt and
     data; both shift 'data' off offset 36, which is exactly the layout
     class the fixed-offset parser must refuse and the chunk-walk parser
-    must handle."""
+    must handle. ``fmt_tag`` selects the codec id (1=PCM, 6=A-law,
+    7=µ-law — the G.711 tags use bits=8 and byte-per-sample payloads)."""
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
     data_size = n_samples * block_align
     fmt_payload = (
-        (1).to_bytes(2, "little")
+        fmt_tag.to_bytes(2, "little")
         + channels.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little")
         + byte_rate.to_bytes(4, "little")
@@ -347,6 +349,143 @@ def wav_decode_samples(content: bytes | None) -> dict:
     }
 
 
+def ulaw_to_linear(u: int) -> int:
+    """G.711 µ-law byte -> linear PCM16 (ITU-T G.711 Table 2a/2b;
+    bit-exact vs the CPython audioop reference for all 256 codes).
+    Pure closed form: complement, then ((m<<3)+0x84)<<e minus bias."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return -mag if sign else mag
+
+
+def alaw_to_linear(a: int) -> int:
+    """G.711 A-law byte -> linear PCM16 (ITU-T G.711 Table 1a/1b;
+    bit-exact vs audioop for all 256 codes). XOR 0x55 toggle, then
+    segment expansion; A-law's sign bit SET means POSITIVE — the
+    opposite of µ-law."""
+    a ^= 0x55
+    sign = a & 0x80
+    e = (a >> 4) & 7
+    m = a & 0x0F
+    mag = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+    return mag if sign else -mag
+
+
+def wav_decode_samples_g711(content: bytes | None) -> dict:
+    """REAL compressed-audio sample decode: G.711 µ-law (fmt tag 7) and
+    A-law (fmt tag 6) WAVs expanded to linear PCM16 and reduced to the
+    same exact-integer signal features as :func:`wav_decode_samples` —
+    the first telephony-codec step past raw PCM, pure stdlib. Chunk-
+    walks the RIFF layout, requires mono/8-bit/G.711, expands each byte
+    through the closed-form segment tables (bit-exact vs the audioop
+    reference), then computes n_samples / energy / peak /
+    zero_crossings / ppm RMS identically to the PCM path. Non-G.711 or
+    malformed input returns all-None; ``codec`` reports 'ulaw'/'alaw'."""
+    import math
+
+    none = {
+        "codec": None,
+        "n_samples": None,
+        "energy": None,
+        "peak": None,
+        "zero_crossings": None,
+        "rms_ppm": None,
+    }
+    if (
+        not content
+        or len(content) < 12
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"WAVE"
+    ):
+        return none
+    fmt = None
+    data = None
+    i = 12
+    n = len(content)
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt " and size >= 16 and body + 16 <= n:
+            fmt = content[body : body + 16]
+        elif cid == b"data":
+            data = content[body : min(body + size, n)]
+        if fmt is not None and data is not None:
+            break
+        i = body + size + (size % 2)
+    if fmt is None or data is None or len(data) == 0:
+        return none
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format not in (6, 7) or channels != 1 or bits != 8:
+        return none
+    expand = ulaw_to_linear if audio_format == 7 else alaw_to_linear
+    vals = [expand(b) for b in data]
+    energy = sum(v * v for v in vals)
+    peak = max(abs(v) for v in vals)
+    crossings = sum(1 for a, b in zip(vals, vals[1:]) if (a < 0) != (b < 0))
+    rms_ppm = math.floor(math.sqrt(energy / len(vals)) * 1000000.0 + 0.5)
+    return {
+        "codec": "ulaw" if audio_format == 7 else "alaw",
+        "n_samples": len(vals),
+        "energy": energy,
+        "peak": peak,
+        "zero_crossings": crossings,
+        "rms_ppm": rms_ppm,
+    }
+
+
+def decode_audio_features_g711(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched G.711 sample decode + features
+    (:func:`wav_decode_samples_g711` per blob) — same scan shape as
+    :func:`decode_audio_features`, plus the codec tag."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("codec", StringType(), True),
+            StructField("n_samples", LongType(), True),
+            StructField("energy", LongType(), True),
+            StructField("peak", IntegerType(), True),
+            StructField("zero_crossings", LongType(), True),
+            StructField("rms_ppm", LongType(), True),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                feats = [wav_decode_samples_g711(c) for c in chunk[content_col]]
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        "codec": [f["codec"] for f in feats],
+                        "n_samples": pd.array(
+                            [f["n_samples"] for f in feats], dtype="Int64"
+                        ),
+                        "energy": pd.array([f["energy"] for f in feats], dtype="Int64"),
+                        "peak": pd.array([f["peak"] for f in feats], dtype="Int32"),
+                        "zero_crossings": pd.array(
+                            [f["zero_crossings"] for f in feats], dtype="Int64"
+                        ),
+                        "rms_ppm": pd.array(
+                            [f["rms_ppm"] for f in feats], dtype="Int64"
+                        ),
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
+
+
 def decode_audio_features(
     df: DataFrame,
     content_col: str = "content",
@@ -543,8 +682,12 @@ def exif_encode(
     orientation: int, make: str, dt: str, big_endian: bool = False
 ) -> bytes:
     """Minimal valid JPEG carrying a real EXIF APP1 segment: TIFF
-    header + IFD0 with Make (ASCII, offset-addressed), Orientation
-    (SHORT, inlined in the value field), DateTime (ASCII 20 bytes).
+    header + IFD0 with Make (ASCII), Orientation (SHORT, inlined in
+    the value field), DateTime (ASCII 20 bytes). Per TIFF 6.0 §2
+    ("Value Offset"), any value whose total byte count is <= 4 is
+    stored INLINE in the 4-byte value field, left-justified — so a
+    short Make like ``'LGE'`` (4 bytes with its NUL) inlines while
+    DateTime (20 bytes) goes out-of-line after the entry table.
     ``big_endian`` selects MM vs II TIFF byte order so the parser's
     both endianness paths get exercised by the fixtures."""
     import struct
@@ -556,14 +699,23 @@ def exif_encode(
     # IFD0 starts right after the 8-byte TIFF header; out-of-line data
     # follows the entry table + next-IFD pointer
     data_start = 8 + 2 + n * 12 + 4
+    tail = b""
+
+    def ascii_entry(tag: int, raw: bytes) -> bytes:
+        nonlocal tail
+        if len(raw) <= 4:
+            # TIFF 6.0: fits the value field — inline, zero-padded right
+            return struct.pack(e + "HHI", tag, 2, len(raw)) + raw.ljust(4, b"\0")
+        off = data_start + len(tail)
+        tail += raw
+        return struct.pack(e + "HHI", tag, 2, len(raw)) + struct.pack(e + "I", off)
+
     entries = (
-        struct.pack(e + "HHI", 0x010F, 2, len(make_b))
-        + struct.pack(e + "I", data_start)
+        ascii_entry(0x010F, make_b)
         + struct.pack(e + "HHI", 0x0112, 3, 1)
         + struct.pack(e + "H", orientation)
         + b"\0\0"
-        + struct.pack(e + "HHI", 0x0132, 2, len(dt_b))
-        + struct.pack(e + "I", data_start + len(make_b))
+        + ascii_entry(0x0132, dt_b)
     )
     tiff = (
         (b"MM" if big_endian else b"II")
@@ -572,8 +724,7 @@ def exif_encode(
         + struct.pack(e + "H", n)
         + entries
         + struct.pack(e + "I", 0)
-        + make_b
-        + dt_b
+        + tail
     )
     app1 = b"Exif\0\0" + tiff
     return b"\xff\xd8\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1 + b"\xff\xd9"
@@ -582,8 +733,9 @@ def exif_encode(
 def parse_exif(content: bytes | None) -> dict:
     """Pure-Python EXIF reader: JPEG marker walk to APP1, TIFF header
     (both II and MM byte orders), IFD0 entry scan for Make (0x010F),
-    Orientation (0x0112), DateTime (0x0132). Inline SHORT values are
-    read from the left-justified value field per the TIFF spec;
+    Orientation (0x0112), DateTime (0x0132). Per TIFF 6.0, ANY value
+    whose byte count is <= 4 lives inline in the left-justified value
+    field (a short Make like 'LGE\\0' is NOT offset-addressed); longer
     ASCII values follow their offset. Defensive on truncation —
     returns Nones, never raises (labelspark masks undecodable media
     the same way, client.py:49-52)."""
@@ -633,10 +785,18 @@ def parse_exif(content: bytes | None) -> dict:
     out = dict(none)
     out["byte_order"] = bo_name
 
-    def ascii_at(off: int, count: int) -> str | None:
-        if off + count > len(t) or count < 1:
+    def ascii_val(val: bytes, count: int) -> str | None:
+        if count < 1:
             return None
-        raw = t[off : off + count]
+        if count <= 4:
+            # TIFF 6.0: byte count <= 4 -> value is INLINE in the
+            # 4-byte value field, not an offset
+            raw = val[:count]
+        else:
+            off = u32(val)
+            if off + count > len(t):
+                return None
+            raw = t[off : off + count]
         return raw.rstrip(b"\0").decode("ascii", errors="replace")
 
     for k in range(n):
@@ -650,9 +810,9 @@ def parse_exif(content: bytes | None) -> dict:
         if tag == 0x0112 and typ == 3 and count == 1:
             out["orientation"] = u16(val[:2])
         elif tag == 0x010F and typ == 2:
-            out["make"] = ascii_at(u32(val), count)
+            out["make"] = ascii_val(val, count)
         elif tag == 0x0132 and typ == 2:
-            out["datetime"] = ascii_at(u32(val), count)
+            out["datetime"] = ascii_val(val, count)
     return out
 
 

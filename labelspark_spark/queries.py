@@ -68,20 +68,21 @@ def _global_topk(df: DataFrame, k: int, order, rank_name: str) -> DataFrame:
     A bare ``Window.orderBy(...)`` funnels the whole input through ONE
     task (Spark logs "No Partition Defined ... Moving all data to a
     single partition") — fine on a 31-row vocab at sf0.1, a straggler/
-    OOM on the 1e8-row vocabulary of a web corpus. Phase 1 ranks within
-    ``spark_partition_id()`` and keeps <=k rows per partition (the
-    global top-k is necessarily a subset of the union of per-partition
-    top-ks); phase 2 runs the single-partition window over the
-    <=partitions*k survivors only. Identical results for any total
-    ``order`` (same tie order in both phases). Mirrors the ANN pattern
-    at operators/similarity.py:_rank_topk."""
-    w1 = Window.partitionBy("_pid").orderBy(*order)
-    pruned = (
-        df.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_r", F.row_number().over(w1))
-        .filter(F.col("_r") <= k)
-        .drop("_pid", "_r")
-    )
+    OOM on the 1e8-row vocabulary of a web corpus.
+
+    ``orderBy(...).limit(k)`` compiles to Spark's
+    ``TakeOrderedAndProject`` physical operator (bounded-heap top-k per
+    partition + a k-row merge; k < topKSortFallbackThreshold=10000 for
+    every caller) — no full sort, no extra exchange. The r5 two-phase
+    window variant (row_number over spark_partition_id) forced an extra
+    partition-id exchange + two sorts and benched 1.4x slower at sf0.1
+    (0.465s vs 0.328s on the vocab build); this is the plan a 100-TB
+    corpus wants. The trailing unpartitioned rank window sees exactly
+    <=k rows — bounded by the GlobalLimit, tolerated by the plan guard
+    (test_plan_quality: TakeOrderedAndProject arm). Deterministic for
+    any total ``order`` (limit and rank share the tie order). Mirrors
+    the ANN pattern at operators/similarity.py:_rank_topk."""
+    pruned = df.orderBy(*order).limit(k)
     w2 = Window.orderBy(*order)
     return pruned.withColumn(rank_name, F.row_number().over(w2)).filter(
         F.col(rank_name) <= k
@@ -5387,6 +5388,76 @@ def q_knn_label_vote_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked DRIVER companion for `knn_label_vote_ivf` (the
+    `similarity_pq_recall` pattern): the IVF pseudo-labeler's
+    prediction agreement with the exact 5-NN vote, as a deterministic
+    boolean against the 0.9 bound (measured 0.95 at the fixed
+    assign=2/nprobe=5 config — tests/test_approx_recall.py asserts the
+    same number). The oracle derives batch_rows in closed form from
+    the same md5-60-bit hash slice, and — because the IVF probe plan is
+    deterministic given the fixed k-means init — asserts agreement_ok
+    TRUE; a probe regression breaks the value hash, giving the
+    rows-only `knn_label_vote_ivf` entry a hard driver signal."""
+    exact = _knn_exact_predictions(spark, sf_dir)
+    approx = q_knn_label_vote_ivf(spark, sf_dir).select(
+        "vec_id", F.col("predicted_label").alias("_ivf")
+    )
+    joined = approx.join(exact, "vec_id")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("batch_rows"),
+        F.sum(F.when(F.col("_ivf") == F.col("_exact"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_agree"),
+    )
+    return agg.select(
+        "batch_rows",
+        (F.col("_agree") * 10 >= F.col("batch_rows") * 9).alias("agreement_ok"),
+    )
+
+
+def _knn_exact_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN majority-vote predictions restricted to the IVF
+    batch/corpus split of q_knn_label_vote_ivf: each 20%-slice batch
+    vector votes over its 5 nearest CORPUS (80%-slice) vectors — the
+    like-for-like exact twin of the IVF probe (the full q_knn_label_vote
+    lets batch vectors vote for each other, which the index never
+    sees)."""
+    from labelspark_spark.operators.dedup import _hash60
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.pmod(
+        _hash60(F.concat(F.lit("knn:"), F.col("vec_id").cast("string"))), F.lit(100)
+    )
+    batch = emb.filter(bucket < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(bucket >= 20)
+    nn = sim.brute_force_topk(corpus, batch, k=5)
+    votes = (
+        nn.join(
+            corpus.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.select("query_id", "label", "n_votes", F.row_number().over(wv).alias("_rv"))
+        .filter(F.col("_rv") == 1)
+        .select(F.col("query_id").alias("vec_id"), F.col("label").alias("_exact"))
+    )
+
+
+SQL_KNN_IVF_AGREEMENT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS batch_rows, TRUE AS agreement_ok
+FROM embeddings
+WHERE CAST(('0x' || substring(md5('knn:' || CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT
+           AS BIGINT) % 100 < 20
+"""
+
+
 def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup END PRODUCT: near-dup pairs -> connected components ->
     one canonical doc kept per cluster (longest text, doc_id tiebreak),
@@ -7068,6 +7139,83 @@ FROM w GROUP BY 1
 """
 
 
+def q_multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL telephony-codec sample decode (G.711 µ-law + A-law), oracle-
+    checked end to end — the first compressed-audio step past raw PCM,
+    extending the r5 PCM16 codec (multimodal_audio_features): per doc a
+    G.711 WAV is generated with closed-form code bytes
+    (u_i = (doc_id*13 + 17i) % 256, n = 48 + doc_id % 16; even docs
+    µ-law fmt-tag 7, odd docs A-law fmt-tag 6), then decoded BACK by
+    the stdlib segment-table expansion (operators/multimodal.py:
+    ulaw_to_linear / alaw_to_linear — bit-exact vs the CPython audioop
+    reference for all 256 codes) into the same exact-integer signal
+    features. The oracle replays the ITU-T expansion formulas in pure
+    SQL without parsing."""
+    from labelspark_spark.operators import multimodal as mm
+
+    def _enc(d: int) -> bytes:
+        n = 48 + d % 16
+        payload = bytes((d * 13 + i * 17) % 256 for i in range(n))
+        return mm.wav_encode_pcm(
+            n_samples=n,
+            sample_rate=8000,
+            channels=1,
+            bits=8,
+            fmt_tag=7 if d % 2 == 0 else 6,
+            samples=payload,
+        )
+
+    staged = _stage_media(_t(spark, sf_dir, "documents"), _enc)
+    return mm.decode_audio_features_g711(staged, content_col="content", id_col="doc_id")
+
+
+SQL_MULTIMODAL_AUDIO_G711 = """
+WITH s AS (
+  SELECT doc_id, unnest(range(0, 48 + doc_id % 16)) AS i FROM documents
+), code AS (
+  SELECT doc_id, i, (doc_id * 13 + i * 17) % 256 AS u,
+         doc_id % 2 = 0 AS is_ulaw
+  FROM s
+), expanded AS (
+  SELECT doc_id, i, is_ulaw,
+         CASE WHEN is_ulaw THEN
+           -- mu-law: complement, ((m<<3)+0x84)<<e - 0x84, sign bit -> negative
+           CASE WHEN (255 - u) // 128 = 1
+                THEN -((((255 - u) % 16) * 8 + 132) * (1 << (((255 - u) // 16) % 8)) - 132)
+                ELSE  ((((255 - u) % 16) * 8 + 132) * (1 << (((255 - u) // 16) % 8)) - 132)
+           END
+         ELSE
+           -- A-law: xor 0x55, segment expansion, sign bit -> POSITIVE
+           CASE WHEN xor(u, 85) // 128 = 1
+                THEN CASE WHEN (xor(u, 85) // 16) % 8 = 0
+                          THEN  (xor(u, 85) % 16) * 16 + 8
+                          ELSE  ((xor(u, 85) % 16) * 16 + 264) * (1 << ((xor(u, 85) // 16) % 8 - 1))
+                     END
+                ELSE CASE WHEN (xor(u, 85) // 16) % 8 = 0
+                          THEN -((xor(u, 85) % 16) * 16 + 8)
+                          ELSE -(((xor(u, 85) % 16) * 16 + 264) * (1 << ((xor(u, 85) // 16) % 8 - 1)))
+                     END
+           END
+         END AS x
+  FROM code
+), w AS (
+  SELECT doc_id, is_ulaw, i, x,
+         lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+  FROM expanded
+)
+SELECT doc_id,
+       CASE WHEN is_ulaw THEN 'ulaw' ELSE 'alaw' END AS codec,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(x * x) AS BIGINT) AS energy,
+       CAST(MAX(ABS(x)) AS INTEGER) AS peak,
+       CAST(SUM(CASE WHEN px IS NOT NULL AND (x < 0) <> (px < 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings,
+       CAST(FLOOR(sqrt(CAST(SUM(x * x) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+            AS BIGINT) AS rms_ppm
+FROM w GROUP BY doc_id, is_ulaw
+"""
+
+
 # --------------------------------------------------------------------------
 # round 5 batch 7: Markov transitions, entropy profiling, period-over-period
 # growth, hot-key skew report
@@ -7887,7 +8035,13 @@ def q_duration_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     successor and contributes no interval (open-ended states are
     excluded by declared semantics, not silently extended). The lead
     window partitions per user — no global funnel; share_ppm is exact
-    integer cross-multiplication against a broadcast singleton."""
+    integer cross-multiplication against a broadcast singleton.
+    Overflow bound (ANSI mode): the share numerator quantizes the
+    per-type sum to whole SECONDS first, so `tot_s * 1e6 < 2^63`
+    holds until a single event type accumulates ~292,000 years of
+    state time — unreachable at any corpus scale (an unquantized
+    ms-basis numerator overflows at ~9.2e12 ms ≈ 107 days x 1e6
+    users, which 100 TB of events can reach)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
@@ -7900,12 +8054,13 @@ def q_duration_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_next") - F.col("_ms")).alias("_tot_ms"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
-    g = agg.agg(F.sum("_tot_ms").alias("_g"))
+    agg = agg.withColumn("_tot_s", F.expr("_tot_ms div 1000L"))
+    g = agg.agg(F.sum("_tot_s").alias("_g"))
     return agg.crossJoin(F.broadcast(g)).select(
         "event_type",
         (F.col("_tot_ms").cast("double") / 1000.0).alias("duration_s"),
         "n_intervals",
-        F.expr("_tot_ms * 1000000L div _g").alias("share_ppm"),
+        F.expr("_tot_s * 1000000L div _g").alias("share_ppm"),
     )
 
 
@@ -7918,11 +8073,12 @@ WITH s AS (
   FROM events
 ), agg AS (
   SELECT event_type, SUM(next_ms - ms) AS tot_ms,
+         SUM(next_ms - ms) // 1000 AS tot_s,
          CAST(COUNT(*) AS BIGINT) AS n_intervals
   FROM s WHERE next_ms IS NOT NULL GROUP BY event_type
 )
 SELECT event_type, CAST(tot_ms AS DOUBLE) / 1000.0 AS duration_s, n_intervals,
-       (tot_ms * 1000000) // (SELECT SUM(tot_ms) FROM agg) AS share_ppm
+       (tot_s * 1000000) // (SELECT SUM(tot_s) FROM agg) AS share_ppm
 FROM agg
 """
 
@@ -8476,7 +8632,11 @@ def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tiny by construction (top-k), so the id lookup is a BROADCAST
     join against the posexploded (doc, pos, token) grain; the ordered
     id array reassembles with array_sort over (pos, id) structs —
-    collect_list alone is shuffle-order-nondeterministic."""
+    collect_list alone is shuffle-order-nondeterministic. The id
+    sequence is emitted as a space-joined STRING (`ids`), not
+    array<int>: the driver's order-insensitive value hash goes through
+    a pandas hashtable that cannot hash list cells (r5 driver-red), so
+    every oracle-facing query keeps top-level columns scalar."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
     counts = (
@@ -8499,9 +8659,12 @@ def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         mapped.groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-                lambda s: s["tid"],
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s["tid"].cast("string"),
+                ),
             ).alias("ids"),
             F.count(F.lit(1)).alias("n_tok16"),
             F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
@@ -8532,7 +8695,7 @@ WITH tok AS (
   FROM pe LEFT JOIN vocab v USING (token)
 )
 SELECT doc_id,
-       list(tid ORDER BY pos, tid) AS ids,
+       array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos, tid), ' ') AS ids,
        CAST(COUNT(*) AS BIGINT) AS n_tok16,
        CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM mapped GROUP BY doc_id
@@ -8632,9 +8795,14 @@ def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj.alias("proj"),
         sq_sum(F.col("_e")).alias("onorm2"),
     ).withColumn("pnorm2", sq_sum(F.col("proj")))
+    # `proj` leaves as a space-joined STRING: the driver's value hash
+    # cannot take list cells (see q_token_ids), so the projected vector
+    # serializes scalar on both engines.
     return out.filter(F.col("onorm2") > 1000000).select(
         "vec_id",
-        "proj",
+        F.concat_ws(
+            " ", F.transform("proj", lambda x: x.cast("string"))
+        ).alias("proj"),
         "pnorm2",
         F.expr("pnorm2 div ((16L * onorm2) div 1000000L)").alias("ratio_ppm"),
     )
@@ -8665,7 +8833,9 @@ WITH x AS (
          CAST(list_sum(list_transform(e, v -> v * v)) AS BIGINT) AS onorm2
   FROM p
 )
-SELECT vec_id, proj, pnorm2,
+SELECT vec_id,
+       array_to_string(list_transform(proj, v -> CAST(v AS VARCHAR)), ' ') AS proj,
+       pnorm2,
        pnorm2 // ((16 * onorm2) // 1000000) AS ratio_ppm
 FROM n WHERE onorm2 > 1000000
 """
@@ -10184,18 +10354,125 @@ GROUP BY c_nationkey
 # everything below the window stays covered by tests/test_oracle_parity.py
 # against the same DuckDB oracle.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- changed after the r4 driver snapshot: re-attest first ---
-    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    # ---- r6 DRIVER WINDOW (first 50 entries) -----------------------------
+    # Head: queries whose code CHANGED this round (token_ids /
+    # embedding_jl_projection array->string serialization; the
+    # duration_in_state overflow bound; every _global_topk consumer —
+    # rewritten to TakeOrderedAndProject) plus the new knn_ivf_agreement
+    # companion and the EXIF parser's inline-ASCII fix. Then the
+    # never-driver-checked backlog, per VERDICT r5 item 3: batch-11,
+    # the 16-query TPC-H depth block, and the round-5 third wave
+    # (streaming, DSv2, sinks, codecs). All below-window queries stay
+    # locally attested by tests/test_oracle_parity.py every pytest run.
+    "token_ids": (q_token_ids, SQL_TOKEN_IDS),
+    "embedding_jl_projection": (q_embedding_jl_projection, SQL_EMBEDDING_JL),
+    "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
+    "market_basket": (q_market_basket, SQL_MARKET_BASKET),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    "knn_ivf_agreement": (q_knn_ivf_agreement, SQL_KNN_IVF_AGREEMENT),
+    "multimodal_exif": (q_multimodal_exif, SQL_MULTIMODAL_EXIF),
+    "multimodal_audio_g711": (q_multimodal_audio_g711, SQL_MULTIMODAL_AUDIO_G711),
+    "events_stream_session": (q_events_stream_session, SQL_EVENTS_STREAM_SESSION),
+    "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
+    "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
+    "sliding_distinct_users": (q_sliding_distinct_users, SQL_SLIDING_DISTINCT_USERS),
+    "bloom_prune": (q_bloom_prune, SQL_BLOOM_PRUNE),
+    "tpch_q2_preferred_supplier": (q_tpch_q2_preferred_supplier, SQL_TPCH_Q2),
+    "tpch_q4_order_priority": (q_tpch_q4_order_priority, SQL_TPCH_Q4),
+    "tpch_q6_forecast_revenue": (q_tpch_q6_forecast_revenue, SQL_TPCH_Q6),
+    "tpch_q7_volume_shipping": (q_tpch_q7_volume_shipping, SQL_TPCH_Q7),
+    "tpch_q8_market_share": (q_tpch_q8_market_share, SQL_TPCH_Q8),
+    "tpch_q9_product_profit": (q_tpch_q9_product_profit, SQL_TPCH_Q9),
+    "tpch_q10_returned_items": (q_tpch_q10_returned_items, SQL_TPCH_Q10),
+    "tpch_q12_ship_delay": (q_tpch_q12_ship_delay, SQL_TPCH_Q12),
+    "tpch_q14_promo_effect": (q_tpch_q14_promo_effect, SQL_TPCH_Q14),
+    "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, SQL_TPCH_Q15),
+    "tpch_q16_supplier_counts": (q_tpch_q16_supplier_counts, SQL_TPCH_Q16),
+    "tpch_q18_large_orders": (q_tpch_q18_large_orders, SQL_TPCH_Q18),
+    "tpch_q19_disjunctive_revenue": (q_tpch_q19_disjunctive_revenue, SQL_TPCH_Q19),
+    "tpch_q20_dominant_supplier": (q_tpch_q20_dominant_supplier, SQL_TPCH_Q20),
+    "tpch_q21_last_shipper": (q_tpch_q21_last_shipper, SQL_TPCH_Q21),
+    "tpch_q22_dormant_customers": (q_tpch_q22_dormant_customers, SQL_TPCH_Q22),
+    "bpe_train_iters": (q_bpe_train_iters, SQL_BPE_TRAIN_ITERS),
+    "events_stream_outer_join": (
+        q_events_stream_outer_join,
+        SQL_EVENTS_STREAM_OUTER_JOIN,
+    ),
+    "events_stream_upsert": (q_events_stream_upsert, SQL_EVENTS_STREAM_UPSERT),
+    "events_stream_late_drop": (
+        q_events_stream_late_drop,
+        SQL_EVENTS_STREAM_LATE_DROP,
+    ),
+    "events_stream_update_mode": (
+        q_events_stream_update_mode,
+        SQL_EVENTS_STREAM_UPDATE,
+    ),
+    "events_stream_session_timeout": (
+        q_events_stream_session_timeout,
+        SQL_EVENTS_STREAM_SESSION_TIMEOUT,
+    ),
+    "events_stream_full_outer_join": (
+        q_events_stream_full_outer_join,
+        SQL_EVENTS_STREAM_FULL_OUTER_JOIN,
+    ),
+    "python_datasource_scan": (q_python_datasource_scan, SQL_PYTHON_DATASOURCE),
+    "python_datasource_stream": (q_python_datasource_stream, SQL_PYTHON_DATASOURCE),
+    "python_datasource_sink": (q_python_datasource_sink, SQL_PYTHON_DATASOURCE_SINK),
+    "bucketed_join_roundtrip": (q_bucketed_join_roundtrip, SQL_BUCKETED_JOIN),
+    "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+    "scd2_asof_lookup": (q_scd2_asof_lookup, SQL_SCD2_ASOF_LOOKUP),
+    "multimodal_tiff_meta": (q_multimodal_tiff_meta, SQL_MULTIMODAL_TIFF),
+    "multimodal_frame_plan": (q_multimodal_frame_plan, SQL_MULTIMODAL_FRAME_PLAN),
+    "quantile_bucket_assign": (q_quantile_bucket_assign, SQL_QUANTILE_BUCKET_ASSIGN),
+    "ab_test_ztest": (q_ab_test_ztest, SQL_AB_TEST_ZTEST),
+    "anomaly_mad": (q_anomaly_mad, SQL_ANOMALY_MAD),
+    # ---------------- the 50-entry driver window ends here ----------------
+    # NEXT ROTATION (r7): the remaining never-driver-checked 30 below
+    # (third-wave SQL-form/function/codec queries + the 7 unchecked
+    # second-wave), then the r02-stale 11 + r02-deferred 15.
+    "event_pattern_match": (q_event_pattern_match, SQL_EVENT_PATTERN_MATCH),
+    "variant_json_ops": (q_variant_json_ops, SQL_VARIANT_JSON_OPS),
+    "schema_evolution_merge": (q_schema_evolution_merge, SQL_SCHEMA_EVOLUTION),
+    "tpch_q11_value_concentration": (
+        q_tpch_q11_value_concentration,
+        SQL_TPCH_Q11,
+    ),
+    "window_range_interval": (q_window_range_interval, SQL_WINDOW_RANGE_INTERVAL),
+    "session_funnel": (q_session_funnel, SQL_SESSION_FUNNEL),
+    "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
+    "try_functions": (q_try_functions, SQL_TRY_FUNCTIONS),
+    "map_hof_funcs": (q_map_hof_funcs, SQL_MAP_HOF_FUNCS),
+    "window_value_funcs": (q_window_value_funcs, SQL_WINDOW_VALUE_FUNCS),
+    "csv_malformed_handling": (q_csv_malformed_handling, SQL_CSV_MALFORMED),
+    "sql_dml_roundtrip": (q_sql_dml_roundtrip, SQL_DML_ROUNDTRIP),
+    "grouping_flags": (q_grouping_flags, SQL_GROUPING_FLAGS),
+    "modern_agg_funcs": (q_modern_agg_funcs, SQL_MODERN_AGG_FUNCS),
+    "hash_funcs": (q_hash_funcs, SQL_HASH_FUNCS),
+    "array_zip_explode": (q_array_zip_explode, SQL_ARRAY_ZIP_EXPLODE),
+    "sql_subquery_forms": (q_sql_subquery_forms, SQL_SUBQUERY_FORMS),
+    "array_set_funcs": (q_array_set_funcs, SQL_ARRAY_SET_FUNCS),
+    "explode_outer_nulls": (q_explode_outer_nulls, SQL_EXPLODE_OUTER_NULLS),
+    "offset_window_bucket": (q_offset_window_bucket, SQL_OFFSET_WINDOW_BUCKET),
+    "decimal_agg": (q_decimal_agg, SQL_DECIMAL_AGG),
+    "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
+    "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
+    "tpch_q5_local_volume": (q_tpch_q5_local_volume, SQL_TPCH_Q5),
+    "tpch_q13_custdist": (q_tpch_q13_custdist, SQL_TPCH_Q13),
+    "tpch_q17_small_qty": (q_tpch_q17_small_qty, SQL_TPCH_Q17),
+    "epoch_shard": (q_epoch_shard, SQL_EPOCH_SHARD),
+    "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "bitmap_funnel": (q_bitmap_funnel, SQL_BITMAP_FUNNEL),
+    # (driver-green r3-r5 blocks + remaining registry, unchanged order)
+    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "knn_label_vote_ivf": (q_knn_label_vote_ivf, None),
     "multimodal_audio_native": (q_multimodal_audio_native, SQL_MULTIMODAL_AUDIO_NATIVE),
     "multimodal_gif_frames": (q_multimodal_gif_frames, SQL_MULTIMODAL_GIF_FRAMES),
     "multimodal_jpeg_pixels": (q_multimodal_jpeg_pixels, SQL_MULTIMODAL_JPEG_PIXELS),
-    # knn scoring moved to the Arrow path this round (bit-parity with the
-    # expression twin asserted in tests): re-attest through the driver
     "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
-    # --- new in round 5: event analytics ---
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "attribution_last_touch": (q_attribution_last_touch, SQL_ATTRIBUTION_LAST_TOUCH),
@@ -10226,134 +10503,18 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_multimodal_audio_features,
         SQL_MULTIMODAL_AUDIO_FEATURES,
     ),
-    "market_basket": (q_market_basket, SQL_MARKET_BASKET),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "entropy_profile": (q_entropy_profile, SQL_ENTROPY_PROFILE),
     "period_over_period": (q_period_over_period, SQL_PERIOD_OVER_PERIOD),
-    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
-    # --- new in round 5 (second wave): 10 of 17 fit the window ---
     "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
     "counter_rate": (q_counter_rate, SQL_COUNTER_RATE),
     "dedup_repeated_spans": (q_dedup_repeated_spans, SQL_DEDUP_REPEATED_SPANS),
     "chunk_dedup_global": (q_chunk_dedup_global, SQL_CHUNK_DEDUP_GLOBAL),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
-    "token_ids": (q_token_ids, SQL_TOKEN_IDS),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
-    # ---------------- the 50-entry driver window ends here ----------------
-    # (batch 11 — below the r5 window, leads the r6 rotation)
-    "events_stream_session": (q_events_stream_session, SQL_EVENTS_STREAM_SESSION),
-    "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
-    "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
-    "sliding_distinct_users": (q_sliding_distinct_users, SQL_SLIDING_DISTINCT_USERS),
-    "bloom_prune": (q_bloom_prune, SQL_BLOOM_PRUNE),
-    # Round-5 window accounting: changed-8 + first-wave-32 + 10 of the
-    # second-wave-17 = 50 (never-driver-checked new queries outrank
-    # re-attesting old greens). Below the line, ALL still covered by
-    # tests/test_oracle_parity.py every pytest run: the remaining 7
-    # second-wave queries (tpch_q5/q13/q17, epoch_shard, compaction_plan,
-    # zorder_layout, bitmap_funnel), then the r02-stale 11
-    # (posexplode_tokens..range_join_binned, text_tfidf) and the
-    # r02-deferred 15 (hll_distinct..join_anti, incl. q3 — still smoke-run
-    # every round as the entry() flagship).
-    # NEXT ROTATION (r6): lead with the never-driver-checked queries below
-    # this line — the round-5 third wave (events_stream_outer_join ..
-    # event_pattern_match: streaming outer join/upsert, hyperfunctions,
-    # DSIR, BPE training, JL projection, EXIF, DSv2 scan/stream/sink,
-    # bucketed join, ORC/JSONL roundtrips, MAD, pattern mining; ~30) +
-    # the 16-query TPC-H depth block + the 7 unchecked second-wave; that
-    # overflows the 50-window, so the r02-stale 11 + deferred 15 move to
-    # the r7 head. All below-window queries stay locally attested by
-    # tests/test_oracle_parity.py every pytest run.
-    "events_stream_outer_join": (
-        q_events_stream_outer_join,
-        SQL_EVENTS_STREAM_OUTER_JOIN,
-    ),
-    "events_stream_upsert": (q_events_stream_upsert, SQL_EVENTS_STREAM_UPSERT),
-    "bucketed_join_roundtrip": (q_bucketed_join_roundtrip, SQL_BUCKETED_JOIN),
-    "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
-    "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
-    "bpe_train_iters": (q_bpe_train_iters, SQL_BPE_TRAIN_ITERS),
-    "embedding_jl_projection": (q_embedding_jl_projection, SQL_EMBEDDING_JL),
-    "scd2_asof_lookup": (q_scd2_asof_lookup, SQL_SCD2_ASOF_LOOKUP),
-    "multimodal_exif": (q_multimodal_exif, SQL_MULTIMODAL_EXIF),
-    "quantile_bucket_assign": (q_quantile_bucket_assign, SQL_QUANTILE_BUCKET_ASSIGN),
-    "ab_test_ztest": (q_ab_test_ztest, SQL_AB_TEST_ZTEST),
-    "python_datasource_scan": (q_python_datasource_scan, SQL_PYTHON_DATASOURCE),
-    "python_datasource_stream": (q_python_datasource_stream, SQL_PYTHON_DATASOURCE),
-    "python_datasource_sink": (q_python_datasource_sink, SQL_PYTHON_DATASOURCE_SINK),
-    "anomaly_mad": (q_anomaly_mad, SQL_ANOMALY_MAD),
-    "event_pattern_match": (q_event_pattern_match, SQL_EVENT_PATTERN_MATCH),
-    "variant_json_ops": (q_variant_json_ops, SQL_VARIANT_JSON_OPS),
-    "schema_evolution_merge": (q_schema_evolution_merge, SQL_SCHEMA_EVOLUTION),
-    "events_stream_late_drop": (
-        q_events_stream_late_drop,
-        SQL_EVENTS_STREAM_LATE_DROP,
-    ),
-    "events_stream_update_mode": (
-        q_events_stream_update_mode,
-        SQL_EVENTS_STREAM_UPDATE,
-    ),
-    "tpch_q11_value_concentration": (
-        q_tpch_q11_value_concentration,
-        SQL_TPCH_Q11,
-    ),
-    "window_range_interval": (q_window_range_interval, SQL_WINDOW_RANGE_INTERVAL),
-    "session_funnel": (q_session_funnel, SQL_SESSION_FUNNEL),
-    "multimodal_tiff_meta": (q_multimodal_tiff_meta, SQL_MULTIMODAL_TIFF),
-    "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
-    "try_functions": (q_try_functions, SQL_TRY_FUNCTIONS),
-    "events_stream_session_timeout": (
-        q_events_stream_session_timeout,
-        SQL_EVENTS_STREAM_SESSION_TIMEOUT,
-    ),
-    "map_hof_funcs": (q_map_hof_funcs, SQL_MAP_HOF_FUNCS),
-    "window_value_funcs": (q_window_value_funcs, SQL_WINDOW_VALUE_FUNCS),
-    "csv_malformed_handling": (q_csv_malformed_handling, SQL_CSV_MALFORMED),
-    "sql_dml_roundtrip": (q_sql_dml_roundtrip, SQL_DML_ROUNDTRIP),
-    "multimodal_frame_plan": (q_multimodal_frame_plan, SQL_MULTIMODAL_FRAME_PLAN),
-    "grouping_flags": (q_grouping_flags, SQL_GROUPING_FLAGS),
-    "modern_agg_funcs": (q_modern_agg_funcs, SQL_MODERN_AGG_FUNCS),
-    "hash_funcs": (q_hash_funcs, SQL_HASH_FUNCS),
-    "array_zip_explode": (q_array_zip_explode, SQL_ARRAY_ZIP_EXPLODE),
-    "sql_subquery_forms": (q_sql_subquery_forms, SQL_SUBQUERY_FORMS),
-    "array_set_funcs": (q_array_set_funcs, SQL_ARRAY_SET_FUNCS),
-    "events_stream_full_outer_join": (
-        q_events_stream_full_outer_join,
-        SQL_EVENTS_STREAM_FULL_OUTER_JOIN,
-    ),
-    "explode_outer_nulls": (q_explode_outer_nulls, SQL_EXPLODE_OUTER_NULLS),
-    "offset_window_bucket": (q_offset_window_bucket, SQL_OFFSET_WINDOW_BUCKET),
-    "decimal_agg": (q_decimal_agg, SQL_DECIMAL_AGG),
-    "duration_in_state": (q_duration_in_state, SQL_DURATION_IN_STATE),
-    "downsample_ltob": (q_downsample_ltob, SQL_DOWNSAMPLE_LTOB),
-    "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
-    "tpch_q2_preferred_supplier": (q_tpch_q2_preferred_supplier, SQL_TPCH_Q2),
-    "tpch_q4_order_priority": (q_tpch_q4_order_priority, SQL_TPCH_Q4),
-    "tpch_q6_forecast_revenue": (q_tpch_q6_forecast_revenue, SQL_TPCH_Q6),
-    "tpch_q7_volume_shipping": (q_tpch_q7_volume_shipping, SQL_TPCH_Q7),
-    "tpch_q8_market_share": (q_tpch_q8_market_share, SQL_TPCH_Q8),
-    "tpch_q9_product_profit": (q_tpch_q9_product_profit, SQL_TPCH_Q9),
-    "tpch_q10_returned_items": (q_tpch_q10_returned_items, SQL_TPCH_Q10),
-    "tpch_q12_ship_delay": (q_tpch_q12_ship_delay, SQL_TPCH_Q12),
-    "tpch_q14_promo_effect": (q_tpch_q14_promo_effect, SQL_TPCH_Q14),
-    "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, SQL_TPCH_Q15),
-    "tpch_q16_supplier_counts": (q_tpch_q16_supplier_counts, SQL_TPCH_Q16),
-    "tpch_q18_large_orders": (q_tpch_q18_large_orders, SQL_TPCH_Q18),
-    "tpch_q19_disjunctive_revenue": (q_tpch_q19_disjunctive_revenue, SQL_TPCH_Q19),
-    "tpch_q20_dominant_supplier": (q_tpch_q20_dominant_supplier, SQL_TPCH_Q20),
-    "tpch_q21_last_shipper": (q_tpch_q21_last_shipper, SQL_TPCH_Q21),
-    "tpch_q22_dormant_customers": (q_tpch_q22_dormant_customers, SQL_TPCH_Q22),
-    "tpch_q5_local_volume": (q_tpch_q5_local_volume, SQL_TPCH_Q5),
-    "tpch_q13_custdist": (q_tpch_q13_custdist, SQL_TPCH_Q13),
-    "tpch_q17_small_qty": (q_tpch_q17_small_qty, SQL_TPCH_Q17),
-    "epoch_shard": (q_epoch_shard, SQL_EPOCH_SHARD),
-    "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
-    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
-    "bitmap_funnel": (q_bitmap_funnel, SQL_BITMAP_FUNNEL),
-    # --- last driver row r02 (stale 11) ---
     "posexplode_tokens": (q_posexplode_tokens, SQL_POSEXPLODE),
     "date_spine": (q_date_spine, SQL_DATE_SPINE),
     "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
@@ -10380,7 +10541,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
     "join_anti": (q_join_anti, SQL_JOIN_ANTI),
-    # (r4 head block — all green in CORRECTNESS_r04; rotated out)
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "domain_filter": (q_domain_filter, SQL_DOMAIN_FILTER),
@@ -10408,7 +10568,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_dedup_embedding_lsh_recall,
         SQL_DEDUP_EMBEDDING_LSH_RECALL,
     ),
-    # (r04-verified via the r4 window's tail)
     "uploads_build_annotations": (q_uploads_build_annotations, SQL_UPLOADS_ANNOTATIONS),
     "metadata_resolve": (q_metadata_resolve, SQL_METADATA_RESOLVE),
     "video_frames_silver": (q_video_frames_silver, SQL_VIDEO_FRAMES_SILVER),
@@ -10433,7 +10592,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "date_arith": (q_date_arith, SQL_DATE_ARITH),
     "quality_prep_pipeline": (q_quality_prep_pipeline, SQL_QUALITY_PREP),
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT),
-    # r03-verified block (green rows in CORRECTNESS_r03)
     "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
     "hll_error_bound": (q_hll_error_bound, SQL_HLL_ERROR_BOUND),
     "percentiles_approx_error": (

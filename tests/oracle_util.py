@@ -48,7 +48,12 @@ def _norm(v: Any) -> Any:
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(_norm(x) for x in v)
+        raise TypeError(
+            "list-typed top-level cell reached the oracle hash: the DRIVER's "
+            "pandas-hashtable hash cannot hash list cells (r5 token_ids red). "
+            "Serialize array columns to a scalar (e.g. concat_ws) in BOTH the "
+            f"Spark query and the DuckDB oracle. Offending value: {v!r:.80}"
+        )
     return v
 
 

@@ -56,8 +56,31 @@ def test_all_reference_names_importable():
         "dictionary_collector",
         "update_metadata",
         "Client",
+        # connector.py helper quintet (reference connector.py:20-74)
+        "get_col_names",
+        "get_unique_values",
+        "add_col",
+        "get_table_length",
+        "rename_col",
     ]:
         assert hasattr(ls, name), name
+
+
+def test_connector_helper_quintet(spark):
+    """Behavioral parity with reference connector.py:20-74: names,
+    stringified uniques, literal column, count, rename."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], ["id", "tag"]
+    )
+    assert ls.get_col_names(df) == ["id", "tag"]
+    assert sorted(ls.get_unique_values(df, "tag")) == ["a", "b"]
+    # reference stringifies values of ANY type
+    assert sorted(ls.get_unique_values(df, "id")) == ["1", "2", "3"]
+    out = ls.add_col(df, "status", "new")
+    assert out.columns == ["id", "tag", "status"]
+    assert out.filter(out.status == "new").count() == 3
+    assert ls.get_table_length(df) == 3
+    assert ls.rename_col(df, "tag", "label").columns == ["id", "label"]
 
 
 def test_is_json_and_dictionary_collector(spark):

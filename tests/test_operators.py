@@ -850,6 +850,58 @@ def test_wav_decode_samples_features_and_refusals():
     assert wav_decode_samples(None)["n_samples"] is None
 
 
+def test_g711_expansion_and_decode():
+    """G.711 µ-law/A-law expansion is bit-exact vs the CPython audioop
+    reference for all 256 codes (audioop exists on 3.11; skip the
+    cross-check if absent — the closed-form spot values still pin the
+    tables), and the WAV-level decoder routes fmt tags 6/7 and refuses
+    everything else."""
+    from labelspark_spark.operators.multimodal import (
+        alaw_to_linear,
+        ulaw_to_linear,
+        wav_decode_samples_g711,
+        wav_encode_pcm,
+    )
+
+    try:
+        import struct
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+        for b in range(256):
+            assert ulaw_to_linear(b) == struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))[0], b
+            assert alaw_to_linear(b) == struct.unpack("<h", audioop.alaw2lin(bytes([b]), 2))[0], b
+    except ImportError:
+        pass
+    # spec spot values: µ-law 0xFF is +0 (complement of silence), A-law
+    # 0x55 decodes to -8 (the smallest magnitude, sign-negative)
+    assert ulaw_to_linear(0xFF) == 0
+    assert ulaw_to_linear(0x7F) == 0
+    assert alaw_to_linear(0x55) == -8
+    assert alaw_to_linear(0xD5) == 8
+
+    payload = bytes((i * 17) % 256 for i in range(50))
+    for tag, codec in ((7, "ulaw"), (6, "alaw")):
+        blob = wav_encode_pcm(
+            n_samples=50, sample_rate=8000, channels=1, bits=8,
+            fmt_tag=tag, samples=payload,
+        )
+        out = wav_decode_samples_g711(blob)
+        assert out["codec"] == codec
+        assert out["n_samples"] == 50
+        expand = ulaw_to_linear if tag == 7 else alaw_to_linear
+        vals = [expand(b) for b in payload]
+        assert out["energy"] == sum(v * v for v in vals)
+        assert out["peak"] == max(abs(v) for v in vals)
+    # refusals: PCM tag, stereo, truncation, garbage
+    pcm = wav_encode_pcm(n_samples=10, bits=16)
+    assert wav_decode_samples_g711(pcm)["codec"] is None
+    assert wav_decode_samples_g711(None)["codec"] is None
+    assert wav_decode_samples_g711(b"RIFF")["codec"] is None
+
+
 def test_parse_exif_roundtrip_and_robustness():
     """exif_encode -> parse_exif round-trips both TIFF byte orders and
     the parser returns all-None on malformed input, never raises."""
@@ -875,3 +927,30 @@ def test_parse_exif_roundtrip_and_robustness():
     # APP1 present but not EXIF payload
     bad = b"\xff\xd8\xff\xe1\x00\x08XMP\x00\x00\x00\xff\xd9"
     assert parse_exif(bad) == none
+
+
+def test_parse_exif_short_ascii_inlines():
+    """TIFF 6.0: ASCII values whose byte count (incl. NUL) is <= 4 are
+    stored INLINE in the value field, not offset-addressed. Real-world
+    EXIF with a short Make (e.g. 'LGE\\0', count 4) was misread before
+    r6 — the inline bytes were dereferenced as an offset — and the
+    encoder mirrored the bug, so round-trips alone couldn't catch it.
+    Assert byte-level that the encoder inlines AND that the parser
+    reads the inline bytes, both byte orders and both length regimes."""
+    from labelspark_spark.operators.multimodal import exif_encode, parse_exif
+
+    for be in (False, True):
+        for make in ("A", "LG", "LGE", "CAM3", "NIKON CORPORATION"):
+            blob = exif_encode(3, make, "2024:01:05 07:00:00", big_endian=be)
+            m = parse_exif(blob)
+            assert m["make"] == make, (be, make, m)
+            assert m["orientation"] == 3
+            assert m["datetime"] == "2024:01:05 07:00:00"
+    # byte-level: a count-4 Make appears IN the value field (entry 0's
+    # value bytes at TIFF offset 8+2+8..+12), not after the entry table
+    blob = exif_encode(1, "LGE", "2024:01:05 07:00:00", big_endian=False)
+    tiff = blob[blob.index(b"Exif\0\0") + 6 :]
+    assert tiff[18:22] == b"LGE\0"  # inline, left-justified in value field
+    # and the out-of-line tail holds ONLY the 20-byte DateTime
+    data_start = 8 + 2 + 3 * 12 + 4
+    assert tiff[data_start : data_start + 20] == b"2024:01:05 07:00:00\0"

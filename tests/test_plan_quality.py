@@ -232,10 +232,11 @@ def test_no_unguarded_global_window_in_any_declared_query(spark):
     """100 TB guard: no registry query may funnel an unbounded input
     through a single-partition WindowExec (r4 verdict finding #2 —
     vocab_topk and bpe_merge_candidates did exactly that). An
-    unpartitioned Window is tolerated ONLY when a per-partition
-    WindowGroupLimit prune (the _global_topk / _rank_topk phase 1,
-    keyed on spark_partition_id) bounds its input to <=partitions*k
-    rows first."""
+    unpartitioned Window is tolerated ONLY when its input is bounded
+    first: either a TakeOrderedAndProject (the r6 _global_topk —
+    orderBy().limit(k) keeps <=k rows via a bounded heap per
+    partition), or a per-partition WindowGroupLimit prune keyed on
+    spark_partition_id (_rank_topk phase 1, <=partitions*k rows)."""
     from labelspark_spark.queries import REGISTRY
 
     offenders = {}
@@ -245,7 +246,9 @@ def test_no_unguarded_global_window_in_any_declared_query(spark):
         if not specs:
             continue
         plan = explain.formatted_plan(df)
-        guarded = "WindowGroupLimit" in plan and "_pid" in plan
+        guarded = "TakeOrderedAndProject" in plan or (
+            "WindowGroupLimit" in plan and "_pid" in plan
+        )
         if not guarded:
             offenders[name] = specs[0][:120]
     assert not offenders, f"unguarded single-partition windows: {offenders}"
