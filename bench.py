@@ -156,6 +156,12 @@ BENCH_QUERIES = [
     # probe — the heaviest ANN entry by design)
     "multimodal_audio_g711",
     "knn_ivf_agreement",
+    # round-6 Spark-4 SQL surfaces
+    "recursive_cte_reachability",
+    "lateral_topn",
+    "sql_scripting_workflow",
+    "approx_topk_tokens",
+    "python_udtf_sentences",
 ]
 
 

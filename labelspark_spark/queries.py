@@ -6202,6 +6202,81 @@ FROM events GROUP BY 1
 """
 
 
+def _has_protobuf() -> bool:
+    """find_spec('google.protobuf') RAISES ModuleNotFoundError when the
+    'google' namespace parent itself is absent — probe the parent
+    first."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def q_events_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hard-signal for Spark 4's `transformWithStateInPandas`
+    (state v2): the events table replays TWICE through the typed-state
+    operator (streaming/stateful.py:type_profile_tws — MapState
+    event_type->counts under the user key, RocksDB state store), so
+    the second micro-batch must fold into composite state carried from
+    the first; the doubled per-(user,type) totals hash-match the batch
+    oracle. Runs alongside q_events_stream_stateful (the v1 API) so
+    BOTH stateful surfaces carry a driver signal. The provider conf is
+    scoped to this query and restored after (it only binds at
+    checkpoint creation, but other queries' expectations stay
+    untouched).
+
+    ENVIRONMENT-GATED like real Delta (README): the state-v2
+    Python<->JVM protocol rides google.protobuf
+    (pyspark/sql/streaming/proto/StateMessage_pb2), which this sandbox
+    does not ship and cannot install — without it the TWS driver
+    worker dies in PRE_INIT with an opaque STREAM_FAILED, so the guard
+    below fails FAST and legibly instead. The registry registers this
+    query only when protobuf is importable; the v1
+    applyInPandasWithState replays (events_stream_stateful /
+    session_timeout) carry the custom-stateful driver signal
+    everywhere."""
+    if not _has_protobuf():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf (the state-v2 "
+            "wire protocol); absent in this environment — env-gated, see "
+            "README. Use user_session_stats (applyInPandasWithState) instead."
+        )
+    from labelspark_spark.streaming import events as se
+    from labelspark_spark.streaming import stateful as st
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = _stage_stream_dir(sf_dir, copies=2)
+        stream = _normalize_ts(se.read_events_stream(spark, d))
+        profile = st.type_profile_tws(stream)
+        _replay_to_memory(profile, "events_stream_tws_sink", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    sink = spark.table("events_stream_tws_sink")
+    return sink.groupBy("user_id", "event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_STREAM_TWS = """
+SELECT user_id, event_type,
+       CAST(2 * COUNT(*) AS BIGINT) AS n_events,
+       CAST(2 * SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # round 5 batch 3: stream-static enrichment, iceberg heavy hitters,
 # time-series gap-fill interpolation
@@ -10336,6 +10411,227 @@ GROUP BY c_nationkey
 
 
 # --------------------------------------------------------------------------
+# round 6: Spark-4 SQL surfaces — recursive CTE, LATERAL, SQL scripting,
+# approx_top_k, Python UDTF
+# --------------------------------------------------------------------------
+
+
+def q_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph reachability via Spark 4's WITH RECURSIVE (SPARK-24497):
+    BFS over the same deterministic link graph as q_pagerank_iter
+    (doc -> (doc*31+7j) % N, j=1..3) from the doc_id%97=0 root set,
+    depth-bounded at 3 — min reach depth and path multiplicity per
+    reached node. The recursion executes as Spark's UnionLoop (one
+    bounded join+union per iteration — the same iterative-join shape
+    connected_components hand-rolls, now declarative); path count is
+    engine-deterministic because UNION ALL recursion enumerates the
+    identical path multiset on both engines. Fan-out 3, depth <= 3,
+    so the working set is <= 27x roots — bounded regardless of corpus
+    size; an UNBOUNDED recursion over a 100 TB graph is exactly what
+    the depth guard exists to forbid."""
+    docs = f"parquet.`{sf_dir}/documents.parquet`"
+    return spark.sql(f"""
+      WITH RECURSIVE edges AS (
+        SELECT d.doc_id AS src,
+               CAST((d.doc_id * 31 + j * 7) % (SELECT COUNT(*) FROM {docs}) AS BIGINT) AS dst
+        FROM {docs} d, LATERAL explode(array(1, 2, 3)) AS t(j)
+      ),
+      reach(node, depth) AS (
+        SELECT doc_id, 0 FROM {docs} WHERE doc_id % 97 = 0
+        UNION ALL
+        SELECT e.dst, r.depth + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.depth < 3
+      )
+      SELECT node,
+             CAST(MIN(depth) AS INTEGER) AS min_depth,
+             CAST(COUNT(*) AS BIGINT) AS n_paths
+      FROM reach GROUP BY node
+    """)
+
+
+SQL_RECURSIVE_CTE = """
+WITH RECURSIVE edges AS (
+  SELECT d.doc_id AS src,
+         CAST((d.doc_id * 31 + j.j * 7) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+  FROM documents d CROSS JOIN (VALUES (1), (2), (3)) AS j(j)
+),
+reach(node, depth) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 3
+)
+SELECT node,
+       CAST(MIN(depth) AS INTEGER) AS min_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY node
+"""
+
+
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    declarative form of per-group top-n (top-2 orders per customer by
+    exact cents, orderkey tiebreak). Catalyst decorrelates the lateral
+    into a DomainJoin + ranked window over the customer domain, NOT a
+    per-customer re-scan — the same physical shape as the window
+    formulation (topk_per_group), attested here through the lateral
+    SQL surface; DuckDB runs the identical statement text. Both the
+    sort key and the tiebreak are total, so the kept rows are
+    engine-deterministic."""
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    return spark.sql(f"""
+      SELECT c.o_custkey, l.o_orderkey, l.cents
+      FROM (SELECT DISTINCT o_custkey FROM {orders}) c,
+      LATERAL (
+        SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM {orders} o
+        WHERE o.o_custkey = c.o_custkey
+        ORDER BY cents DESC, o_orderkey
+        LIMIT 2
+      ) l
+    """)
+
+
+SQL_LATERAL_TOPN = """
+SELECT c.o_custkey, l.o_orderkey, l.cents
+FROM (SELECT DISTINCT o_custkey FROM orders) c,
+LATERAL (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders o
+  WHERE o.o_custkey = c.o_custkey
+  ORDER BY cents DESC, o_orderkey
+  LIMIT 2
+) l
+"""
+
+
+def q_sql_scripting_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN/DECLARE/SET — SQL/PSM control
+    flow): a two-step parameterized workflow entirely inside one
+    script — compute the corpus-wide mean order value into a session
+    variable, then segment customers by how many of their orders beat
+    it. The scalar lands in a DECLAREd variable (one 1-row subquery —
+    the broadcast-scalar discipline, not a rescan per row); the final
+    SELECT is the script's result set. The oracle is the equivalent
+    single statement with the scalar inlined as a subquery — scripting
+    is control-flow sugar, the data plan is identical."""
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    return spark.sql(f"""
+      BEGIN
+        DECLARE thr BIGINT DEFAULT 0;
+        SET thr = (SELECT CAST(AVG(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                               AS BIGINT)
+                   FROM {orders});
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) > thr
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above_mean,
+               thr AS mean_cents
+        FROM {orders}
+        GROUP BY o_custkey;
+      END
+    """)
+
+
+SQL_SCRIPTING_WORKFLOW = """
+WITH thr AS (
+  SELECT CAST(AVG(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) > thr.v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above_mean,
+       MIN(thr.v) AS mean_cents
+FROM orders, thr
+GROUP BY o_custkey
+"""
+
+
+def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's approx_top_k sketch over the token stream, attested in
+    its EXACT regime: the synthetic vocabulary (~31 distinct) is far
+    below maxItemsTracked (10000), so the space-saving sketch tracks
+    every item and its counts are exact — hash-checkable against the
+    plain GROUP BY oracle. k=100 exceeds the distinct count, so no
+    nondeterministic tie CUT exists at the k boundary; the struct-array
+    result is exploded back to rows and re-ranked by the total order
+    (n desc, token) per the array-output doctrine (the driver hash
+    takes scalars only). At web scale the same expression keeps
+    constant memory per group where the exact GROUP BY needs a 1e8-row
+    shuffle — the sketch is the scale path, this query pins its
+    exact-regime contract."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " +")).alias("token")
+    ).filter(F.col("token") != "")
+    sk = toks.selectExpr("approx_top_k(token, 100) AS tk")
+    rows = sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("token"), F.col("e.count").cast("bigint").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    # the sketch result is <=100 rows (bounded aggregate output), so the
+    # trailing global rank window is bounded like _global_topk's phase 2
+    return rows.orderBy(F.col("n").desc(), F.col("token")).limit(100).withColumn(
+        "rank", F.row_number().over(w)
+    )
+
+
+SQL_APPROX_TOPK_TOKENS = """
+WITH counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split_regex(lower(text), ' +')) AS token FROM documents)
+  WHERE token <> '' GROUP BY token
+)
+SELECT token, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank
+FROM counts
+ORDER BY n DESC, token LIMIT 100
+"""
+
+
+def q_python_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF (user-defined TABLE function) surface: a
+    sentence splitter emitting (pos, sentence, n_chars) rows per doc,
+    LATERAL-joined in SQL — the table-function API the reference's
+    row-expanding UDFs (video-frame fan-out) would use on Spark 4.
+    Arrow-optimized (useArrow) per the no-row-at-a-time doctrine. The
+    split rule ('. ' separator, empty-input -> one empty row) has
+    identical semantics to the DuckDB oracle's string_split + index
+    walk. Plumbing-surface attestation like python_datasource_*: a
+    native split+posexplode expresses THIS rule, but the UDTF is the
+    general contract for row-generating Python logic that F.* cannot."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string, n_chars int", useArrow=True)
+    class SentSplit:
+        def eval(self, text: str):
+            for p, s in enumerate((text or "").split(". ")):
+                yield p, s, len(s)
+
+    name = "sent_split_r6"
+    spark.udtf.register(name, SentSplit)
+    docs = f"parquet.`{sf_dir}/documents.parquet`"
+    return spark.sql(f"""
+      SELECT d.doc_id, s.pos, s.sentence, s.n_chars
+      FROM {docs} d, LATERAL {name}(d.text) s
+    """)
+
+
+SQL_PYTHON_UDTF_SENTENCES = """
+WITH parts AS (
+  SELECT doc_id, string_split(text, '. ') AS ps FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS pos,
+       ps[i + 1] AS sentence,
+       CAST(length(ps[i + 1]) AS INTEGER) AS n_chars
+FROM parts, unnest(generate_series(0, len(ps) - 1)) AS t(i)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -10374,6 +10670,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "knn_ivf_agreement": (q_knn_ivf_agreement, SQL_KNN_IVF_AGREEMENT),
     "multimodal_exif": (q_multimodal_exif, SQL_MULTIMODAL_EXIF),
     "multimodal_audio_g711": (q_multimodal_audio_g711, SQL_MULTIMODAL_AUDIO_G711),
+    # Spark-4 SQL surfaces, new in r6
+    "recursive_cte_reachability": (
+        q_recursive_cte_reachability,
+        SQL_RECURSIVE_CTE,
+    ),
+    "lateral_topn": (q_lateral_topn, SQL_LATERAL_TOPN),
+    "sql_scripting_workflow": (q_sql_scripting_workflow, SQL_SCRIPTING_WORKFLOW),
+    "approx_topk_tokens": (q_approx_topk_tokens, SQL_APPROX_TOPK_TOKENS),
+    "python_udtf_sentences": (q_python_udtf_sentences, SQL_PYTHON_UDTF_SENTENCES),
     "events_stream_session": (q_events_stream_session, SQL_EVENTS_STREAM_SESSION),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
     "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
@@ -10424,15 +10729,18 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "scd2_asof_lookup": (q_scd2_asof_lookup, SQL_SCD2_ASOF_LOOKUP),
+    # ---------------- the 50-entry driver window ends here ----------------
+    # NEXT ROTATION (r7): the remaining never-driver-checked 35 below
+    # (third-wave SQL-form/function/codec queries + the 7 unchecked
+    # second-wave), then the r02-stale 11 + r02-deferred 15.
     "multimodal_tiff_meta": (q_multimodal_tiff_meta, SQL_MULTIMODAL_TIFF),
+    # events_stream_tws (transformWithStateInPandas) is registered
+    # conditionally after this dict: its state-v2 wire protocol needs
+    # google.protobuf, which this sandbox lacks (see the query docstring)
     "multimodal_frame_plan": (q_multimodal_frame_plan, SQL_MULTIMODAL_FRAME_PLAN),
     "quantile_bucket_assign": (q_quantile_bucket_assign, SQL_QUANTILE_BUCKET_ASSIGN),
     "ab_test_ztest": (q_ab_test_ztest, SQL_AB_TEST_ZTEST),
     "anomaly_mad": (q_anomaly_mad, SQL_ANOMALY_MAD),
-    # ---------------- the 50-entry driver window ends here ----------------
-    # NEXT ROTATION (r7): the remaining never-driver-checked 30 below
-    # (third-wave SQL-form/function/codec queries + the 7 unchecked
-    # second-wave), then the r02-stale 11 + r02-deferred 15.
     "event_pattern_match": (q_event_pattern_match, SQL_EVENT_PATTERN_MATCH),
     "variant_json_ops": (q_variant_json_ops, SQL_VARIANT_JSON_OPS),
     "schema_evolution_merge": (q_schema_evolution_merge, SQL_SCHEMA_EVOLUTION),
@@ -10643,6 +10951,18 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
 }
+
+
+# transformWithStateInPandas is real code but its state-v2 wire protocol
+# needs google.protobuf, absent in this sandbox (q_events_stream_tws
+# docstring) — register it only where it can actually execute, so the
+# declared surface never contains a guaranteed-red row.
+def _register_env_gated() -> None:
+    if _has_protobuf():
+        REGISTRY["events_stream_tws"] = (q_events_stream_tws, SQL_EVENTS_STREAM_TWS)
+
+
+_register_env_gated()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -198,6 +198,88 @@ def _make_session_fn(gap_ms: int):
     return _sessionize
 
 
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def type_profile_tws(events: DataFrame) -> DataFrame:
+    """Per-user per-event-type running profile through Spark 4's
+    `transformWithStateInPandas` — the modern typed-state API
+    (SPARK-46815 "state v2") succeeding applyInPandasWithState. Where
+    the old API holds ONE tuple per key, this keeps a composite
+    MapState (event_type -> counts) under the grouping key, letting a
+    single keyed operator maintain per-sub-key state without folding
+    the sub-key into the shuffle key. State is O(users x types); the
+    per-type sums are exact integer cents (double accumulation across
+    micro-batches is arrival-order-nondeterministic), divided once at
+    emit. Emits the UPDATED (user, type) rows each micro-batch; the
+    caller takes max(n_events) per pair for the final state.
+
+    Requires the RocksDB state store provider (the caller sets
+    `spark.sql.streaming.stateStore.providerClass`); timeMode='None'
+    keeps the replay bounded (no timers -> processAllAvailable
+    terminates — the same discipline as NoTimeout on the old API)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _TypeProfile(StatefulProcessor):
+        def init(self, handle):
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n bigint, cents bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            (user_id,) = key
+            agg: dict = {}
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+                g = pd.DataFrame(
+                    {"t": pdf["event_type"].to_numpy(), "c": cents}
+                ).groupby("t")["c"]
+                for t, (n, c) in zip(g.count().index, zip(g.count(), g.sum())):
+                    pn, pc = agg.get(t, (0, 0))
+                    agg[t] = (pn + int(n), pc + int(c))
+            out = []
+            for t, (n, c) in agg.items():
+                if self._counts.containsKey((t,)):
+                    pn, pc = self._counts.getValue((t,))
+                    n, c = n + pn, c + pc
+                self._counts.updateValue((t,), (n, c))
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "event_type": t,
+                        "n_events": n,
+                        "sum_value": c / 100.0,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+        def close(self):
+            pass
+
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_TypeProfile(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def sessionize_event_time(events: DataFrame, gap_ms: int = 6 * 3600 * 1000) -> DataFrame:
     """Gap-sessionization as a CUSTOM stateful operator with event-time
     timeout — what `F.session_window` does built-in, re-expressed

@@ -189,3 +189,35 @@ def test_stream_static_enrichment_join(spark, events_dir):
     )
     expect = {r.segment: r.n for r in batch.collect()}
     assert got == expect
+
+
+def test_transform_with_state_gate(spark):
+    """transformWithStateInPandas (state v2) is environment-gated on
+    google.protobuf (its Python<->JVM state protocol): without it the
+    TWS driver worker crashes opaquely in PRE_INIT, so the query must
+    fail FAST with a legible NotImplementedError and must NOT appear in
+    the declared registry (a guaranteed-red driver row). Where protobuf
+    exists, the replay must hash-match its batch oracle instead."""
+    import pytest
+
+    from labelspark_spark.queries import (
+        REGISTRY,
+        SQL_EVENTS_STREAM_TWS,
+        _has_protobuf,
+        q_events_stream_tws,
+    )
+
+    if not _has_protobuf():
+        assert "events_stream_tws" not in REGISTRY
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            q_events_stream_tws(spark, SF_SMOKE)
+    else:
+        assert "events_stream_tws" in REGISTRY
+        import duckdb
+
+        from .oracle_util import compare, register_views
+
+        con = duckdb.connect()
+        register_views(con, SF_SMOKE)
+        r = compare(q_events_stream_tws(spark, SF_SMOKE), con, SQL_EVENTS_STREAM_TWS)
+        assert r["values_match"], r
