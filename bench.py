@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "sql_scripting_workflow",
     "approx_topk_tokens",
     "python_udtf_sentences",
+    "xml_parse",
+    "csv_line_parse",
+    "listagg_groups",
 ]
 
 

@@ -329,9 +329,27 @@ def ivf_probe(
     shuffles, never re-assigns, and only the probed centroid lists'
     rows survive the join. The probe plan contains no cross join over
     the corpus (asserted in tests/test_plan_quality.py).
-    """
+
+    Pair scoring hoists the two NORM folds to per-row projections
+    (computed once per index row / per assigned query) and keeps only
+    the dot-product fold per pair — with nprobe/k cells probed the
+    pair count is a corpus fraction PER QUERY, so cutting the per-pair
+    folds from three to one is the probe's dominant lever (measured
+    5.8s -> 2.1s at sf0.1). The folds stay HIGHER-ORDER-FUNCTION form:
+    the flat 64-term expression tree falls out of whole-stage codegen
+    (method-size limit) and interprets SLOWER than the HOF fold here
+    (measured 15.6s — the opposite of the small-expression sites where
+    flat wins). Bit-equal results: cosine_from_parts documents the
+    identical IEEE op order."""
+    from labelspark_spark.functions.vectors import cosine_from_parts, l2_norm
+
     spark = queries.sparkSession
-    index = spark.table(table)
+    index = spark.table(table).select(
+        "centroid_id",
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding").cast("array<double>")).alias("_nb"),
+    )
     cent = F.broadcast(
         centroids.select(
             F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")
@@ -341,6 +359,7 @@ def ivf_probe(
         _assign_to_centroids(queries, cent, query_id_col, vec_col, nprobe, "query_id", dim)
         .withColumnRenamed("_v", "_qv")
         .withColumnRenamed("_cid", "centroid_id")
+        .withColumn("_nq", l2_norm(F.col("_qv").cast("array<double>")))
     )
     scored = (
         index.join(q, "centroid_id")
@@ -348,9 +367,13 @@ def ivf_probe(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                cosine(
-                    F.col("_qv").cast("array<double>"),
-                    F.col("embedding").cast("array<double>"),
+                cosine_from_parts(
+                    dot(
+                        F.col("_qv").cast("array<double>"),
+                        F.col("embedding").cast("array<double>"),
+                    ),
+                    F.col("_nq"),
+                    F.col("_nb"),
                 ),
                 6,
             ).alias("cos"),
@@ -403,6 +426,7 @@ def knn_label_vote_arrow(
     corpus_parquet: str,
     k: int = 5,
     dim: int = 64,
+    corpus_mask_fn=None,
 ) -> DataFrame:
     """Exact k-NN majority-label vote, Arrow/numpy scoring path.
 
@@ -420,6 +444,11 @@ def knn_label_vote_arrow(
     (queries.py:q_knn_label_vote_ivf); here the corpus side is read
     executor-side per task from parquet (no driver collect), exactly the
     build-side read a broadcast hash join would do.
+
+    ``corpus_mask_fn(ids: np.ndarray) -> bool ndarray`` optionally
+    restricts the NEIGHBOR side after the read (e.g. the 80% labeled
+    slice in the IVF-agreement companion) — queries vote only over the
+    masked corpus; the ids-disjoint case skips nothing else.
     """
     out_schema = (
         "vec_id long, label int, predicted_label int, n_votes long"
@@ -434,6 +463,9 @@ def knn_label_vote_arrow(
         # cast float32 -> float64 BEFORE any arithmetic, as the
         # expression form casts each element before the product
         B = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        if corpus_mask_fn is not None:
+            m = corpus_mask_fn(b_ids)
+            b_ids, b_labels, B = b_ids[m], b_labels[m], B[m]
         nb = np.zeros(len(b_ids))
         for d in range(dim):
             nb += B[:, d] * B[:, d]

@@ -5422,32 +5422,42 @@ def _knn_exact_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector votes over its 5 nearest CORPUS (80%-slice) vectors — the
     like-for-like exact twin of the IVF probe (the full q_knn_label_vote
     lets batch vectors vote for each other, which the index never
-    sees)."""
+    sees). Scores on the Arrow/numpy path (the r6 bench caught the
+    expression-tree BNLJ at 17s/pass at sf0.1 — interpreted 64-term
+    dots; the vectorized scorer is ~30x faster with the same ranking
+    discipline): queries are the Spark-filtered batch slice, the
+    corpus side is masked executor-side with the SAME md5-60-bit hash
+    the Spark filter and the DuckDB oracle use."""
     from labelspark_spark.operators.dedup import _hash60
 
     emb = _t(spark, sf_dir, "embeddings")
     bucket = F.pmod(
         _hash60(F.concat(F.lit("knn:"), F.col("vec_id").cast("string"))), F.lit(100)
     )
-    batch = emb.filter(bucket < 20).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    corpus = emb.filter(bucket >= 20)
-    nn = sim.brute_force_topk(corpus, batch, k=5)
-    votes = (
-        nn.join(
-            corpus.select(F.col("vec_id").alias("neighbor_id"), "label"),
-            "neighbor_id",
+    batch = emb.filter(bucket < 20)
+
+    def _corpus_mask(ids):
+        import hashlib
+
+        import numpy as np
+
+        return np.array(
+            [
+                int(hashlib.md5(f"knn:{int(i)}".encode()).hexdigest()[:15], 16) % 100
+                >= 20
+                for i in ids
+            ],
+            dtype=bool,
         )
-        .groupBy("query_id", "label")
-        .agg(F.count(F.lit(1)).alias("n_votes"))
+
+    preds = sim.knn_label_vote_arrow(
+        batch,
+        f"{sf_dir}/embeddings.parquet",
+        k=5,
+        dim=64,
+        corpus_mask_fn=_corpus_mask,
     )
-    wv = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
-    return (
-        votes.select("query_id", "label", "n_votes", F.row_number().over(wv).alias("_rv"))
-        .filter(F.col("_rv") == 1)
-        .select(F.col("query_id").alias("vec_id"), F.col("label").alias("_exact"))
-    )
+    return preds.select("vec_id", F.col("predicted_label").alias("_exact"))
 
 
 SQL_KNN_IVF_AGREEMENT = """
@@ -10591,6 +10601,129 @@ ORDER BY n DESC, token LIMIT 100
 """
 
 
+def q_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML support (SPARK-44265: from_xml): per doc a
+    deterministic XML record is staged (attribute + two elements from
+    doc_id/lang/n_chars closed forms), parsed back by from_xml —
+    attribute via the `_attr` convention, elements typed int/string —
+    entirely JVM-side (no Python, whole-stage codegen around the parse).
+    The closed-form oracle recomputes the fields without parsing, the
+    same fixture pattern as the binary codecs. XML is the third
+    semi-structured text format after JSON and VARIANT on the declared
+    surface."""
+    docs = _t(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit('<rec id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><lang>'),
+        F.col("lang"),
+        F.lit("</lang><sz>"),
+        (F.col("n_chars") * 2).cast("string"),
+        F.lit("</sz></rec>"),
+    )
+    staged = docs.select("doc_id", xml.alias("x"))
+    parsed = staged.select(
+        "doc_id",
+        F.from_xml("x", "_id BIGINT, lang STRING, sz BIGINT").alias("p"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p._id").alias("xml_id"),
+        F.col("p.lang").alias("lang"),
+        F.col("p.sz").alias("sz"),
+        (F.col("p._id") == F.col("doc_id")).alias("id_ok"),
+    )
+
+
+SQL_XML_PARSE = """
+SELECT doc_id,
+       CAST(doc_id AS BIGINT) AS xml_id,
+       lang,
+       CAST(n_chars * 2 AS BIGINT) AS sz,
+       TRUE AS id_ok
+FROM documents
+"""
+
+
+def q_csv_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_csv FUNCTION surface (per-field parse of an embedded CSV
+    string — the column-level twin of the PERMISSIVE file reader in
+    csv_malformed_handling): deterministic lines are staged per doc,
+    every third one carrying a QUOTED field with an embedded comma and
+    doubled-quote escape, then parsed back typed. Quote handling is the
+    part a naive split gets wrong — and Spark's CSV default escape is
+    BACKSLASH, not the RFC-4180 doubled quote: without escape='"' the
+    parser respects the quoted comma but hands back the raw field,
+    quotes and all. The closed-form oracle recomputes the unescaped
+    field directly."""
+    docs = _t(spark, sf_dir, "documents")
+    quoted = F.concat(
+        F.lit('"v,'), F.col("doc_id").cast("string"), F.lit('""q"')
+    )
+    plain = F.concat(F.lit("v"), F.col("doc_id").cast("string"))
+    line = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit(","),
+        F.when(F.col("doc_id") % 3 == 0, quoted).otherwise(plain),
+        F.lit(","),
+        (F.col("n_chars") % 100).cast("string"),
+    )
+    staged = docs.select("doc_id", line.alias("l"))
+    parsed = staged.select(
+        "doc_id",
+        F.from_csv(
+            "l", "id BIGINT, name STRING, score INT", {"quote": '"', "escape": '"'}
+        ).alias("p"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.id").alias("id"),
+        F.col("p.name").alias("name"),
+        F.col("p.score").alias("score"),
+    )
+
+
+SQL_CSV_LINE_PARSE = """
+SELECT doc_id,
+       CAST(doc_id AS BIGINT) AS id,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'v,' || CAST(doc_id AS VARCHAR) || '"q'
+            ELSE 'v' || CAST(doc_id AS VARCHAR) END AS name,
+       CAST(n_chars % 100 AS INTEGER) AS score
+FROM documents
+"""
+
+
+def q_listagg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's listagg (SQL:2016 WITHIN GROUP ordered string
+    aggregation — SPARK-42746): the distinct event types per user,
+    alphabetically ordered, folded to one delimited string. The
+    ordered variant is the only hash-safe form (bare listagg
+    concatenates in shuffle arrival order); DuckDB replays it as
+    string_agg(... ORDER BY ...) over the same distinct set. Native
+    counterpart of the array_sort+array_join fold (array_join_fold) —
+    one aggregate, no intermediate array column."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", "event_type").distinct()
+    d.createOrReplaceTempView("listagg_src_r6")
+    return spark.sql("""
+      SELECT user_id,
+             listagg(event_type, '|') WITHIN GROUP (ORDER BY event_type) AS types,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM listagg_src_r6
+      GROUP BY user_id
+    """)
+
+
+SQL_LISTAGG_GROUPS = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT user_id,
+       string_agg(event_type, '|' ORDER BY event_type) AS types,
+       CAST(COUNT(*) AS BIGINT) AS n_types
+FROM d GROUP BY user_id
+"""
+
+
 def q_python_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python UDTF (user-defined TABLE function) surface: a
     sentence splitter emitting (pos, sentence, n_chars) rows per doc,
@@ -10679,6 +10812,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sql_scripting_workflow": (q_sql_scripting_workflow, SQL_SCRIPTING_WORKFLOW),
     "approx_topk_tokens": (q_approx_topk_tokens, SQL_APPROX_TOPK_TOKENS),
     "python_udtf_sentences": (q_python_udtf_sentences, SQL_PYTHON_UDTF_SENTENCES),
+    "xml_parse": (q_xml_parse, SQL_XML_PARSE),
+    "csv_line_parse": (q_csv_line_parse, SQL_CSV_LINE_PARSE),
+    "listagg_groups": (q_listagg_groups, SQL_LISTAGG_GROUPS),
     "events_stream_session": (q_events_stream_session, SQL_EVENTS_STREAM_SESSION),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
     "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
@@ -10726,13 +10862,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "python_datasource_stream": (q_python_datasource_stream, SQL_PYTHON_DATASOURCE),
     "python_datasource_sink": (q_python_datasource_sink, SQL_PYTHON_DATASOURCE_SINK),
     "bucketed_join_roundtrip": (q_bucketed_join_roundtrip, SQL_BUCKETED_JOIN),
+    # ---------------- the 50-entry driver window ends here ----------------
+    # NEXT ROTATION (r7): the remaining never-driver-checked 38 below
+    # (sink roundtrips, third-wave SQL-form/function/codec queries + the
+    # 7 unchecked second-wave), then the r02-stale 11 + r02-deferred 15.
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "scd2_asof_lookup": (q_scd2_asof_lookup, SQL_SCD2_ASOF_LOOKUP),
-    # ---------------- the 50-entry driver window ends here ----------------
-    # NEXT ROTATION (r7): the remaining never-driver-checked 35 below
-    # (third-wave SQL-form/function/codec queries + the 7 unchecked
-    # second-wave), then the r02-stale 11 + r02-deferred 15.
     "multimodal_tiff_meta": (q_multimodal_tiff_meta, SQL_MULTIMODAL_TIFF),
     # events_stream_tws (transformWithStateInPandas) is registered
     # conditionally after this dict: its state-v2 wire protocol needs
