@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "xml_parse",
     "csv_line_parse",
     "listagg_groups",
+    "sql_pivot_unpivot",
+    "parameterized_sql",
 ]
 
 

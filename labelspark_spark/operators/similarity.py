@@ -294,7 +294,14 @@ def ivf_build(
     (which degenerates to a corpus scan per query batch). The probe
     side dedups (query, neighbor) pairs, so multiply-indexed rows
     never double-score.
+
+    The vector's L2 norm is computed ONCE here and stored as an index
+    column (`_norm`): at 100 TB the index is written once and probed
+    many times, so the norm fold belongs on the build side — each
+    probe then pays exactly one fold (the pair dot product) per
+    scored candidate.
     """
+    from labelspark_spark.functions.vectors import l2_norm
     from labelspark_spark.sources.writers import write_bucketed
 
     cent = F.broadcast(
@@ -305,7 +312,10 @@ def ivf_build(
     assignment = _assign_to_centroids(
         corpus, cent, id_col, vec_col, assign, "vec_id", dim
     ).select(
-        F.col("vec_id"), F.col("_v").alias("embedding"), F.col("_cid").alias("centroid_id")
+        F.col("vec_id"),
+        F.col("_v").alias("embedding"),
+        F.col("_cid").alias("centroid_id"),
+        l2_norm(F.col("_v").cast("array<double>")).alias("_norm"),
     )
     write_bucketed(assignment, table, bucket_cols=["centroid_id"], num_buckets=num_buckets)
 
@@ -344,12 +354,20 @@ def ivf_probe(
     from labelspark_spark.functions.vectors import cosine_from_parts, l2_norm
 
     spark = queries.sparkSession
-    index = spark.table(table).select(
-        "centroid_id",
-        "vec_id",
-        "embedding",
-        l2_norm(F.col("embedding").cast("array<double>")).alias("_nb"),
-    )
+    raw = spark.table(table)
+    # prefer the build-time stored norm; recompute only for indexes
+    # written before the `_norm` column existed
+    if "_norm" in raw.columns:
+        index = raw.select(
+            "centroid_id", "vec_id", "embedding", F.col("_norm").alias("_nb")
+        )
+    else:
+        index = raw.select(
+            "centroid_id",
+            "vec_id",
+            "embedding",
+            l2_norm(F.col("embedding").cast("array<double>")).alias("_nb"),
+        )
     cent = F.broadcast(
         centroids.select(
             F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")

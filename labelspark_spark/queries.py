@@ -10724,6 +10724,92 @@ FROM d GROUP BY user_id
 """
 
 
+def q_sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT + UNPIVOT clause round-trip (the statement-level
+    surface over the DataFrame pivot/melt already attested in
+    pivot_event_counts / unpivot_metrics): per-user event counts
+    pivot WIDE over the five event types (COUNT over an absent
+    (user, type) pair yields NULL in the pivot cell, coalesced to 0
+    explicitly), then UNPIVOT back to long — with every cell non-null
+    after the coalesce, UNPIVOT's default EXCLUDE NULLS drops nothing
+    and the round-trip is exactly the conditional-aggregate oracle.
+    One user-keyed shuffle; the pivot IN-list is static (never
+    inferred at plan time — the two-pass inference is the scale trap
+    the DataFrame API documents)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("pivot_src_r6")
+    return spark.sql("""
+      WITH wide AS (
+        SELECT user_id,
+               CAST(coalesce(click, 0) AS BIGINT) AS click,
+               CAST(coalesce(view, 0) AS BIGINT) AS view,
+               CAST(coalesce(purchase, 0) AS BIGINT) AS purchase,
+               CAST(coalesce(signup, 0) AS BIGINT) AS signup,
+               CAST(coalesce(error, 0) AS BIGINT) AS error
+        FROM (SELECT user_id, event_type FROM pivot_src_r6)
+        PIVOT (COUNT(*) FOR event_type
+               IN ('click' AS click, 'view' AS view, 'purchase' AS purchase,
+                   'signup' AS signup, 'error' AS error))
+      )
+      SELECT user_id, metric, val
+      FROM wide UNPIVOT (val FOR metric IN (click, view, purchase, signup, error))
+    """)
+
+
+SQL_PIVOT_UNPIVOT = """
+WITH wide AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+  FROM events GROUP BY user_id
+)
+SELECT user_id, m.metric,
+       CAST(CASE m.metric WHEN 'click' THEN click WHEN 'view' THEN view
+                          WHEN 'purchase' THEN purchase WHEN 'signup' THEN signup
+                          ELSE error END AS BIGINT) AS val
+FROM wide, (VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error')) AS m(metric)
+"""
+
+
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (SPARK-41271 parameterized `spark.sql`):
+    the same revenue-by-type question with the event type and the
+    exact-cents floor supplied as TYPED host parameters (`:et`,
+    `:min_cents`), never string-interpolated — the injection-safe API
+    a query service builds on. Parameter markers bind as literals at
+    parse time, so Catalyst constant-folds and pushes them down
+    exactly like inline literals (same PushedFilters); the oracle IS
+    the inlined-literal statement."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("param_src_r6")
+    return spark.sql(
+        """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM param_src_r6
+        WHERE event_type = :et
+          AND CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= :min_cents
+        GROUP BY user_id
+        """,
+        args={"et": "purchase", "min_cents": 1000},
+    )
+
+
+SQL_PARAMETERIZED = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE event_type = 'purchase'
+  AND CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 1000
+GROUP BY user_id
+"""
+
+
 def q_python_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python UDTF (user-defined TABLE function) surface: a
     sentence splitter emitting (pos, sentence, n_chars) rows per doc,
@@ -10815,6 +10901,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "xml_parse": (q_xml_parse, SQL_XML_PARSE),
     "csv_line_parse": (q_csv_line_parse, SQL_CSV_LINE_PARSE),
     "listagg_groups": (q_listagg_groups, SQL_LISTAGG_GROUPS),
+    "sql_pivot_unpivot": (q_sql_pivot_unpivot, SQL_PIVOT_UNPIVOT),
+    "parameterized_sql": (q_parameterized_sql, SQL_PARAMETERIZED),
     "events_stream_session": (q_events_stream_session, SQL_EVENTS_STREAM_SESSION),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
     "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
@@ -10860,12 +10948,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "python_datasource_scan": (q_python_datasource_scan, SQL_PYTHON_DATASOURCE),
     "python_datasource_stream": (q_python_datasource_stream, SQL_PYTHON_DATASOURCE),
+    # ---------------- the 50-entry driver window ends here ----------------
+    # NEXT ROTATION (r7): the remaining never-driver-checked 41 below
+    # (the DSv2 sink, bucketed/sink roundtrips, third-wave SQL-form/
+    # function/codec queries + the 7 unchecked second-wave), then the
+    # r02-stale 11 + r02-deferred 15.
     "python_datasource_sink": (q_python_datasource_sink, SQL_PYTHON_DATASOURCE_SINK),
     "bucketed_join_roundtrip": (q_bucketed_join_roundtrip, SQL_BUCKETED_JOIN),
-    # ---------------- the 50-entry driver window ends here ----------------
-    # NEXT ROTATION (r7): the remaining never-driver-checked 38 below
-    # (sink roundtrips, third-wave SQL-form/function/codec queries + the
-    # 7 unchecked second-wave), then the r02-stale 11 + r02-deferred 15.
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "scd2_asof_lookup": (q_scd2_asof_lookup, SQL_SCD2_ASOF_LOOKUP),
