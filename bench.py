@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     "listagg_groups",
     "sql_pivot_unpivot",
     "parameterized_sql",
+    # round-6 pipeline ops
+    "content_defined_chunks",
+    "corpus_drift_kl",
 ]
 
 

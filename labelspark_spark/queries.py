@@ -10724,6 +10724,143 @@ FROM d GROUP BY user_id
 """
 
 
+def q_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family): boundaries
+    where a w=8-char Karp-Rabin rolling hash hits a mask condition
+    (h % 64 == 0), so chunk cuts survive insertions/deletions — the
+    dedup-friendly alternative to fixed-size chunking (chunk_pack) and
+    the missing ROLLING-hash member of the fingerprinting family
+    (text.fingerprint is whole-doc md5). The windowed hash is expressed
+    POSITIONALLY (each position's hash is an independent 8-term
+    polynomial sum — no sequential fold, so DuckDB's no-typed-fold
+    limit never bites and the whole thing is row-local, zero shuffle).
+    Base 31 keeps 127*31^7 + ... < 2^63 (max term ~3.5e12, 8-term sum
+    ~2.8e13). Emits per-doc chunking stats; boundary positions
+    serialize scalar per the array-output doctrine."""
+    docs = _t(spark, sf_dir, "documents")
+    B, M, W, MASK = 31, 1000003, 8, 64
+    pows = [B ** (W - 1 - k) for k in range(W)]
+    terms = " + ".join(
+        f"ascii(substring(text, i - {W - 1 - k}, 1)) * {p}L"
+        for k, p in enumerate(pows)
+    )
+    cuts = F.expr(
+        f"filter(transform(sequence({W}, length(text)), "
+        f"i -> IF((({terms}) % {M}) % {MASK} = 0, i, -1)), x -> x != -1)"
+    )
+    staged = docs.filter(F.length("text") >= W).select(
+        "doc_id", F.length("text").alias("n_len"), cuts.alias("_cuts")
+    )
+    return staged.select(
+        "doc_id",
+        "n_len",
+        F.size("_cuts").alias("n_cuts"),
+        (F.size("_cuts") + 1).alias("n_chunks"),
+        # try_element_at: ANSI mode makes element_at THROW on an empty
+        # array instead of returning null
+        F.coalesce(F.try_element_at("_cuts", F.lit(1)), F.lit(-1))
+        .cast("bigint")
+        .alias("first_cut"),
+        F.coalesce(F.try_element_at("_cuts", F.lit(-1)), F.lit(-1))
+        .cast("bigint")
+        .alias("last_cut"),
+        F.expr("CAST(n_len * 1000000L div (size(_cuts) + 1) AS BIGINT)").alias(
+            "avg_chunk_ppm"
+        ),
+    )
+
+
+SQL_CONTENT_DEFINED_CHUNKS = """
+WITH staged AS (
+  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_len,
+         list_filter(list_transform(generate_series(8, length(text)),
+           i -> CASE WHEN ((ord(text[i - 7])::BIGINT * 27512614111
+                          + ord(text[i - 6])::BIGINT * 887503681
+                          + ord(text[i - 5])::BIGINT * 28629151
+                          + ord(text[i - 4])::BIGINT * 923521
+                          + ord(text[i - 3])::BIGINT * 29791
+                          + ord(text[i - 2])::BIGINT * 961
+                          + ord(text[i - 1])::BIGINT * 31
+                          + ord(text[i])::BIGINT) % 1000003) % 64 = 0
+                     THEN i ELSE -1 END), x -> x <> -1) AS cuts
+  FROM documents WHERE length(text) >= 8
+)
+SELECT doc_id, n_len,
+       CAST(len(cuts) AS INTEGER) AS n_cuts,
+       CAST(len(cuts) + 1 AS INTEGER) AS n_chunks,
+       CAST(COALESCE(cuts[1], -1) AS BIGINT) AS first_cut,
+       CAST(COALESCE(cuts[-1], -1) AS BIGINT) AS last_cut,
+       CAST(n_len * 1000000 // (len(cuts) + 1) AS BIGINT) AS avg_chunk_ppm
+FROM staged
+"""
+
+
+def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between corpus slices (the
+    train-vs-val / yesterday-vs-today check an ingest pipeline runs
+    before mixing): per-language token unigram distributions vs the
+    whole-corpus reference, as an add-one-smoothed KL divergence in
+    exact integer ppb. Each KL term quantizes BEFORE the sum (a double
+    fold is partial-agg-order-nondeterministic; summed bigints are
+    exact); p and q are single bigint-over-bigint IEEE divisions and
+    the log sees p/q — the identical op chain on both engines, with no
+    bigint cross-products anywhere (an integer-cross-multiplied ratio
+    overflows once a slice passes ~3e9 tokens). Two token aggregates +
+    a broadcast join on the tiny vocab — no corpus self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " +")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_lang = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n_lt"))
+    ref = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    lang_tot = per_lang.groupBy("lang").agg(F.sum("n_lt").alias("tot_l"))
+    ref_tot = ref.agg(F.sum("n_t").alias("tot"))
+    vsize = ref.agg(F.count(F.lit(1)).alias("v"))
+    # add-one smoothing over the shared vocabulary: p = (n_lt+1)/(tot_l+V),
+    # q = (n_t+1)/(tot+V); KL term = p * ln(p/q), quantized to ppb
+    joined = (
+        lang_tot.crossJoin(F.broadcast(ref_tot))
+        .crossJoin(F.broadcast(vsize))
+        .join(per_lang, "lang")
+        .join(F.broadcast(ref), "token")
+    )
+    p = (F.col("n_lt") + 1) / (F.col("tot_l") + F.col("v"))
+    q = (F.col("n_t") + 1) / (F.col("tot") + F.col("v"))
+    term = F.floor(p * F.log(p / q) * 1e9 + F.lit(0.5)).cast("bigint")
+    return (
+        joined.select("lang", term.alias("_t"))
+        .groupBy("lang")
+        .agg(F.sum("_t").alias("kl_ppb"), F.count(F.lit(1)).alias("n_terms"))
+    )
+
+
+SQL_CORPUS_DRIFT_KL = """
+WITH toks AS (
+  SELECT lang, token FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), ' +')) AS token
+    FROM documents) WHERE token <> ''
+), per_lang AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n_lt FROM toks GROUP BY 1, 2
+), ref AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_t FROM toks GROUP BY 1
+), lang_tot AS (
+  SELECT lang, SUM(n_lt) AS tot_l FROM per_lang GROUP BY 1
+), ref_tot AS (SELECT SUM(n_t) AS tot FROM ref),
+vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM ref)
+SELECT p.lang,
+       CAST(SUM(CAST(FLOOR(
+         ((p.n_lt + 1) / (lt.tot_l + vs.v))
+         * ln(((p.n_lt + 1) / (lt.tot_l + vs.v)) / ((r.n_t + 1) / (rt.tot + vs.v)))
+         * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS kl_ppb,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM per_lang p
+JOIN lang_tot lt USING (lang), ref_tot rt, vsize vs
+JOIN ref r ON r.token = p.token
+GROUP BY p.lang
+"""
+
+
 def q_sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL PIVOT + UNPIVOT clause round-trip (the statement-level
     surface over the DataFrame pivot/melt already attested in
@@ -10903,6 +11040,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "listagg_groups": (q_listagg_groups, SQL_LISTAGG_GROUPS),
     "sql_pivot_unpivot": (q_sql_pivot_unpivot, SQL_PIVOT_UNPIVOT),
     "parameterized_sql": (q_parameterized_sql, SQL_PARAMETERIZED),
+    "content_defined_chunks": (q_content_defined_chunks, SQL_CONTENT_DEFINED_CHUNKS),
+    "corpus_drift_kl": (q_corpus_drift_kl, SQL_CORPUS_DRIFT_KL),
     "events_stream_session": (q_events_stream_session, SQL_EVENTS_STREAM_SESSION),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
     "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
@@ -10946,13 +11085,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_events_stream_full_outer_join,
         SQL_EVENTS_STREAM_FULL_OUTER_JOIN,
     ),
+    # ---------------- the 50-entry driver window ends here ----------------
+    # NEXT ROTATION (r7): the remaining never-driver-checked 43 below
+    # (the DSv2 trio — kept together for r7 — bucketed/sink roundtrips,
+    # third-wave SQL-form/function/codec queries + the 7 unchecked
+    # second-wave), then the r02-stale 11 + r02-deferred 15.
     "python_datasource_scan": (q_python_datasource_scan, SQL_PYTHON_DATASOURCE),
     "python_datasource_stream": (q_python_datasource_stream, SQL_PYTHON_DATASOURCE),
-    # ---------------- the 50-entry driver window ends here ----------------
-    # NEXT ROTATION (r7): the remaining never-driver-checked 41 below
-    # (the DSv2 sink, bucketed/sink roundtrips, third-wave SQL-form/
-    # function/codec queries + the 7 unchecked second-wave), then the
-    # r02-stale 11 + r02-deferred 15.
     "python_datasource_sink": (q_python_datasource_sink, SQL_PYTHON_DATASOURCE_SINK),
     "bucketed_join_roundtrip": (q_bucketed_join_roundtrip, SQL_BUCKETED_JOIN),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
