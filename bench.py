@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     # round-6 pipeline ops
     "content_defined_chunks",
     "corpus_drift_kl",
+    "weighted_sample_topk",
+    "null_safe_join",
+    "array_exists_forall",
 ]
 
 

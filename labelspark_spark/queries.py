@@ -10861,6 +10861,109 @@ GROUP BY p.lang
 """
 
 
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement at scale (Efraimidis-
+    Spirakis A-ES, the one-pass top-k formulation): each doc draws a
+    deterministic md5-derived uniform u in (0,1] and ranks on
+    ln(u)/w (w = n_chars) — the top 50 keys ARE a weighted sample, no
+    rejection loop, no sequential state, one TakeOrderedAndProject.
+    This is how a 100 TB corpus draws a mixing-weighted subsample in
+    one pass. The ranking key quantizes to integer 1e-12 units before
+    the rank (floor of identical IEEE ln/div both engines — the same
+    log-parity contract corpus_drift_kl hash-proves); doc_id breaks
+    ties totally."""
+    docs = _t(spark, sf_dir, "documents")
+    from labelspark_spark.operators.dedup import _hash60
+
+    u = (
+        _hash60(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))) + 1
+    ) / F.lit(float(2**60))
+    key_q = F.floor(F.log(u) / F.col("n_chars") * 1e12).cast("bigint")
+    staged = docs.select("doc_id", F.col("n_chars").alias("w"), key_q.alias("key_q"))
+    return _global_topk(
+        staged, 50, [F.col("key_q").desc(), F.col("doc_id")], "rank"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH staged AS (
+  SELECT doc_id, n_chars AS w,
+         CAST(FLOOR(ln((CAST(('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) + 1)
+                        / CAST(1152921504606846976 AS DOUBLE))
+                    / n_chars * 1000000000000) AS BIGINT) AS key_q
+  FROM documents
+)
+SELECT doc_id, w, key_q, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY key_q DESC, doc_id) AS rank FROM staged
+) WHERE rank <= 50
+"""
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM) as a JOIN
+    condition — the semantic the plain equi-join silently drops (NULL
+    keys never match themselves): event types with 'error' nulled out
+    join a type-dimension with the same nulling, so the NULL group
+    must survive as a real matched group. Spark still plans a
+    HashJoin (null-safe equality is hashable); the oracle uses the
+    identical IS NOT DISTINCT FROM predicate."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select(F.nullif("event_type", F.lit("error")).alias("k"))
+    dim = (
+        ev.select("event_type").distinct()
+        .select(F.nullif("event_type", F.lit("error")).alias("k2"))
+        .distinct()
+        .withColumn("dim_tag", F.coalesce(F.col("k2"), F.lit("(null)")))
+    )
+    joined = left.join(dim, F.col("k").eqNullSafe(F.col("k2")))
+    return joined.groupBy("dim_tag").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH l AS (SELECT nullif(event_type, 'error') AS k FROM events),
+d AS (
+  SELECT DISTINCT nullif(event_type, 'error') AS k2,
+         COALESCE(nullif(event_type, 'error'), '(null)') AS dim_tag
+  FROM events
+)
+SELECT d.dim_tag, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k2
+GROUP BY d.dim_tag
+"""
+
+
+def q_array_exists_forall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifier HOFs `exists` / `forall` over the token array (the
+    last uncovered lambda forms after transform/filter/aggregate/
+    zip_with): per-doc boolean evidence flags — any numeric token, any
+    long token, all-alpha stream — plus the filtered count the flags
+    summarize. Row-local, zero shuffle; the oracle expresses the
+    quantifiers as filtered-length closed forms (DuckDB's
+    list_bool_or is aggregate-side, not lambda-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
+    return docs.select(
+        "doc_id",
+        F.exists(toks, lambda x: x.rlike("^[0-9]+$")).alias("has_numeric"),
+        F.exists(toks, lambda x: F.length(x) > 8).alias("has_long"),
+        F.forall(toks, lambda x: x.rlike("^[a-z]+$")).alias("all_alpha"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 8)).alias("n_long"),
+    )
+
+
+SQL_ARRAY_EXISTS_FORALL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKS_SQL.format(c='lower(text)')} AS toks FROM documents
+)
+SELECT doc_id,
+       len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) > 0 AS has_numeric,
+       len(list_filter(toks, x -> length(x) > 8)) > 0 AS has_long,
+       len(list_filter(toks, x -> NOT regexp_matches(x, '^[a-z]+$'))) = 0 AS all_alpha,
+       CAST(len(list_filter(toks, x -> length(x) > 8)) AS INTEGER) AS n_long
+FROM t
+"""
+
+
 def q_sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL PIVOT + UNPIVOT clause round-trip (the statement-level
     surface over the DataFrame pivot/melt already attested in
@@ -11042,6 +11145,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "parameterized_sql": (q_parameterized_sql, SQL_PARAMETERIZED),
     "content_defined_chunks": (q_content_defined_chunks, SQL_CONTENT_DEFINED_CHUNKS),
     "corpus_drift_kl": (q_corpus_drift_kl, SQL_CORPUS_DRIFT_KL),
+    "weighted_sample_topk": (q_weighted_sample_topk, SQL_WEIGHTED_SAMPLE),
+    "null_safe_join": (q_null_safe_join, SQL_NULL_SAFE_JOIN),
+    "array_exists_forall": (q_array_exists_forall, SQL_ARRAY_EXISTS_FORALL),
     "events_stream_session": (q_events_stream_session, SQL_EVENTS_STREAM_SESSION),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
     "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
@@ -11073,6 +11179,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_events_stream_late_drop,
         SQL_EVENTS_STREAM_LATE_DROP,
     ),
+    # ---------------- the 50-entry driver window ends here ----------------
+    # NEXT ROTATION (r7): the remaining never-driver-checked 46 below
+    # (three deferred streaming replays, the DSv2 trio — kept together
+    # for r7 — bucketed/sink roundtrips, third-wave SQL-form/function/
+    # codec queries + the 7 unchecked second-wave), then the r02-stale
+    # 11 + r02-deferred 15.
     "events_stream_update_mode": (
         q_events_stream_update_mode,
         SQL_EVENTS_STREAM_UPDATE,
@@ -11085,11 +11197,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_events_stream_full_outer_join,
         SQL_EVENTS_STREAM_FULL_OUTER_JOIN,
     ),
-    # ---------------- the 50-entry driver window ends here ----------------
-    # NEXT ROTATION (r7): the remaining never-driver-checked 43 below
-    # (the DSv2 trio — kept together for r7 — bucketed/sink roundtrips,
-    # third-wave SQL-form/function/codec queries + the 7 unchecked
-    # second-wave), then the r02-stale 11 + r02-deferred 15.
     "python_datasource_scan": (q_python_datasource_scan, SQL_PYTHON_DATASOURCE),
     "python_datasource_stream": (q_python_datasource_stream, SQL_PYTHON_DATASOURCE),
     "python_datasource_sink": (q_python_datasource_sink, SQL_PYTHON_DATASOURCE_SINK),
