@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "weighted_sample_topk",
     "null_safe_join",
     "array_exists_forall",
+    "pandas_udaf_gini",
+    "observe_metrics",
 ]
 
 

@@ -10861,6 +10861,107 @@ GROUP BY p.lang
 """
 
 
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe` / Observation API (the in-flight metrics surface a
+    production pipeline hangs data-quality counters on — collected by
+    the EXECUTOR during the pass, no second scan): a filtered
+    projection is observed with row count, exact-cent revenue, and a
+    null counter while being written through a count() action; the
+    observed metrics come back as a 1-row DataFrame, hash-checked
+    against the oracle recomputing them declaratively. The observe
+    metrics must be aggregate expressions; the action happens INSIDE
+    the query (bounded: one scalar row crosses the driver, same
+    contract as the learned-object collects)."""
+    from pyspark.sql import Observation
+
+    orders = _t(spark, sf_dir, "orders")
+    obs = Observation("order_metrics")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    observed = orders.select(
+        "o_orderkey", cents.alias("_c"), "o_orderpriority"
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_c").alias("total_cents"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias(
+            "n_null_prio"
+        ),
+    )
+    observed.count()  # the action that materializes the metrics
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["total_cents"]), int(m["n_null_prio"]))],
+        "n_rows bigint, total_cents bigint, n_null_prio bigint",
+    )
+
+
+SQL_OBSERVE_METRICS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_prio
+FROM orders
+"""
+
+
+def q_pandas_udaf_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (the missing member of the Python
+    surface triple — scalar pandas_udf and UDTF are already attested):
+    per-priority Gini coefficient of order revenue, the classic
+    inequality statistic whose sorted-rank formula needs whole-group
+    context (not expressible as partial aggregates — exactly the shape
+    the Arrow UDAF API exists for). Arithmetic is EXACT: cents sort
+    (value order only — ties contribute x*sum(i) regardless of
+    intra-tie order), unbounded Python ints for the rank-weighted sum
+    (2*S1 - (n+1)*S0 overflows int64 at scale; the oracle mirrors with
+    HUGEINT), one floor-div to ppm. Group count is 5, group size
+    unbounded — at 100 TB you'd pre-aggregate per (priority, cents)
+    first; the UDAF itself is the API attestation."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def gini_ppm(cents: pd.Series) -> int:
+        xs = sorted(int(c) for c in cents)
+        n = len(xs)
+        s0 = sum(xs)
+        if n == 0 or s0 == 0:
+            return 0
+        s1 = sum((i + 1) * x for i, x in enumerate(xs))
+        return (2 * s1 - (n + 1) * s0) * 1_000_000 // (n * s0)
+
+    # a GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a second UDAF
+    @F.pandas_udf("long")
+    def n_rows(cents: pd.Series) -> int:
+        return len(cents)
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        orders.select("o_orderpriority", cents.alias("_c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            gini_ppm("_c").alias("gini_ppm"),
+            n_rows("_c").alias("n_orders"),
+        )
+    )
+
+
+SQL_PANDAS_UDAF_GINI = """
+WITH c AS (
+  SELECT o_orderpriority, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                                     o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST((2 * SUM(rn::HUGEINT * cents::HUGEINT) - (COUNT(*) + 1)::HUGEINT * SUM(cents::HUGEINT))
+            * 1000000 // (COUNT(*)::HUGEINT * SUM(cents::HUGEINT)) AS BIGINT) AS gini_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM c GROUP BY o_orderpriority
+"""
+
+
 def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement at scale (Efraimidis-
     Spirakis A-ES, the one-pass top-k formulation): each doc draws a
@@ -11148,6 +11249,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "weighted_sample_topk": (q_weighted_sample_topk, SQL_WEIGHTED_SAMPLE),
     "null_safe_join": (q_null_safe_join, SQL_NULL_SAFE_JOIN),
     "array_exists_forall": (q_array_exists_forall, SQL_ARRAY_EXISTS_FORALL),
+    "pandas_udaf_gini": (q_pandas_udaf_gini, SQL_PANDAS_UDAF_GINI),
+    "observe_metrics": (q_observe_metrics, SQL_OBSERVE_METRICS),
     "events_stream_session": (q_events_stream_session, SQL_EVENTS_STREAM_SESSION),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
     "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
@@ -11174,17 +11277,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_events_stream_outer_join,
         SQL_EVENTS_STREAM_OUTER_JOIN,
     ),
+    # ---------------- the 50-entry driver window ends here ----------------
+    # NEXT ROTATION (r7): the remaining never-driver-checked 48 below
+    # (five deferred streaming replays, the DSv2 trio — kept together
+    # for r7 — bucketed/sink roundtrips, third-wave SQL-form/function/
+    # codec queries + the 7 unchecked second-wave), then the r02-stale
+    # 11 + r02-deferred 15.
     "events_stream_upsert": (q_events_stream_upsert, SQL_EVENTS_STREAM_UPSERT),
     "events_stream_late_drop": (
         q_events_stream_late_drop,
         SQL_EVENTS_STREAM_LATE_DROP,
     ),
-    # ---------------- the 50-entry driver window ends here ----------------
-    # NEXT ROTATION (r7): the remaining never-driver-checked 46 below
-    # (three deferred streaming replays, the DSv2 trio — kept together
-    # for r7 — bucketed/sink roundtrips, third-wave SQL-form/function/
-    # codec queries + the 7 unchecked second-wave), then the r02-stale
-    # 11 + r02-deferred 15.
     "events_stream_update_mode": (
         q_events_stream_update_mode,
         SQL_EVENTS_STREAM_UPDATE,
