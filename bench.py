@@ -175,6 +175,9 @@ BENCH_QUERIES = [
     "array_exists_forall",
     "pandas_udaf_gini",
     "observe_metrics",
+    "cogroup_asof_pandas",
+    "grouped_map_normalize",
+    "map_in_arrow",
 ]
 
 

@@ -10861,6 +10861,154 @@ GROUP BY p.lang
 """
 
 
+def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInPandas (the two-sided grouped-map API — the
+    last uncovered pandas entry point): per-user pandas `merge_asof`
+    joining each event to the latest at-or-before order — the
+    reference implementation of our native union+window as-of join,
+    hash-checked against the SAME ASOF LEFT JOIN oracle as
+    `asof_join`. Both sides shuffle once on user_id (exactly what the
+    native formulation pays); per-group state is bounded by a user's
+    history. The point is the CONTRACT: when as-of semantics grow
+    beyond what the window rewrite expresses (per-group tolerances,
+    custom staleness), this is the escape hatch, and it provably
+    agrees with the declarative plan on the shared core."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey")
+    )
+
+    def _asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts", kind="mergesort")
+        left["_ts"] = pd.to_datetime(left["ts"]).astype("datetime64[us]")
+        if len(right) == 0:
+            out = left[["event_id", "user_id"]].copy()
+            out["last_orderkey"] = pd.array([None] * len(out), dtype="Int64")
+            return out
+        right = right.sort_values("o_orderdate", kind="mergesort")
+        right["_ts"] = pd.to_datetime(right["o_orderdate"]).astype("datetime64[us]")
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "_ts"]],
+            right[["_ts", "o_orderkey"]],
+            on="_ts",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": m["user_id"],
+                "last_orderkey": m["o_orderkey"].astype("Int64"),
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(latest.groupBy("user_id"))
+        .applyInPandas(_asof, "event_id bigint, user_id bigint, last_orderkey bigint")
+    )
+
+
+def q_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (single-sided — the API the brief
+    names for custom operators; cogroup and the UDAF cover the other
+    pandas entry points): per-user min-max normalization of event
+    value to exact integer ppm — whole-group context (the group's min
+    and max) applied back to every row, the feature-scaling step of a
+    per-entity training pipeline. Integer arithmetic end to end in
+    the UDF (numpy int64 cents), so the Arrow round-trip is
+    bit-exact; degenerate one-price users emit 0. Oracle replays it
+    with per-user window MIN/MAX."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+        lo, hi = cents.min(), cents.max()
+        ppm = (
+            np.zeros(len(cents), dtype="int64")
+            if hi == lo
+            else (cents - lo) * 1_000_000 // (hi - lo)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "cents": cents,
+                "norm_ppm": ppm,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        _norm, "event_id bigint, user_id bigint, cents bigint, norm_ppm bigint"
+    )
+
+
+SQL_GROUPED_MAP_NORMALIZE = """
+WITH c AS (
+  SELECT event_id, user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT *, MIN(cents) OVER (PARTITION BY user_id) AS lo,
+         MAX(cents) OVER (PARTITION BY user_id) AS hi
+  FROM c
+)
+SELECT event_id, user_id, cents,
+       CASE WHEN hi = lo THEN 0
+            ELSE (cents - lo) * 1000000 // (hi - lo) END AS norm_ppm
+FROM m
+"""
+
+
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (the RecordBatch-level API under mapInPandas — no
+    pandas materialization, columns stay Arrow buffers): per-doc byte
+    vs character length through pyarrow.compute kernels, the zero-copy
+    path a high-throughput codec stage wants (the multimodal codecs
+    use mapInPandas; this attests the lower-level entry point). Pure
+    kernel calls — binary_length / utf8_length / count_substring —
+    nothing row-at-a-time anywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _measure(batches):
+        for batch in batches:
+            t = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.binary_length(pc.cast(t, pa.binary())), pa.int64()),
+                    pc.cast(pc.utf8_length(t), pa.int64()),
+                    pc.cast(pc.count_substring(t, " "), pa.int64()),
+                ],
+                ["doc_id", "n_bytes", "n_chars_arrow", "n_spaces"],
+            )
+
+    return docs.mapInArrow(
+        _measure, "doc_id bigint, n_bytes bigint, n_chars_arrow bigint, n_spaces bigint"
+    )
+
+
+SQL_MAP_IN_ARROW = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars_arrow,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+FROM documents
+"""
+
+
 def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`df.observe` / Observation API (the in-flight metrics surface a
     production pipeline hangs data-quality counters on — collected by
@@ -11251,6 +11399,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "array_exists_forall": (q_array_exists_forall, SQL_ARRAY_EXISTS_FORALL),
     "pandas_udaf_gini": (q_pandas_udaf_gini, SQL_PANDAS_UDAF_GINI),
     "observe_metrics": (q_observe_metrics, SQL_OBSERVE_METRICS),
+    "cogroup_asof_pandas": (q_cogroup_asof_pandas, SQL_ASOF_JOIN),
+    "grouped_map_normalize": (q_grouped_map_normalize, SQL_GROUPED_MAP_NORMALIZE),
+    "map_in_arrow": (q_map_in_arrow, SQL_MAP_IN_ARROW),
     "events_stream_session": (q_events_stream_session, SQL_EVENTS_STREAM_SESSION),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
     "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
@@ -11272,17 +11423,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q20_dominant_supplier": (q_tpch_q20_dominant_supplier, SQL_TPCH_Q20),
     "tpch_q21_last_shipper": (q_tpch_q21_last_shipper, SQL_TPCH_Q21),
     "tpch_q22_dormant_customers": (q_tpch_q22_dormant_customers, SQL_TPCH_Q22),
+    # ---------------- the 50-entry driver window ends here ----------------
+    # NEXT ROTATION (r7): the remaining never-driver-checked 50 below
+    # (bpe_train_iters, all seven deferred streaming replays, the DSv2
+    # trio — kept together for r7 — bucketed/sink roundtrips, third-wave
+    # SQL-form/function/codec queries + the 7 unchecked second-wave),
+    # then the r02-stale 11 + r02-deferred 15.
     "bpe_train_iters": (q_bpe_train_iters, SQL_BPE_TRAIN_ITERS),
     "events_stream_outer_join": (
         q_events_stream_outer_join,
         SQL_EVENTS_STREAM_OUTER_JOIN,
     ),
-    # ---------------- the 50-entry driver window ends here ----------------
-    # NEXT ROTATION (r7): the remaining never-driver-checked 48 below
-    # (five deferred streaming replays, the DSv2 trio — kept together
-    # for r7 — bucketed/sink roundtrips, third-wave SQL-form/function/
-    # codec queries + the 7 unchecked second-wave), then the r02-stale
-    # 11 + r02-deferred 15.
     "events_stream_upsert": (q_events_stream_upsert, SQL_EVENTS_STREAM_UPSERT),
     "events_stream_late_drop": (
         q_events_stream_late_drop,
