@@ -10872,10 +10872,20 @@ def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     history. The point is the CONTRACT: when as-of semantics grow
     beyond what the window rewrite expresses (per-group tolerances,
     custom staleness), this is the escape hatch, and it provably
-    agrees with the declarative plan on the shared core."""
+    agrees with the declarative plan on the shared core.
+
+    Both timestamps ship as int64 MICROS (cast in Spark, before the
+    shuffle): the cogroup calls Python once per user, so any per-call
+    pandas datetime conversion multiplies by n_users — int64 keys cut
+    the sf0.1 wall-clock ~4x and are exactly the comparison the ASOF
+    predicate makes."""
     import pandas as pd
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("_tsu"),
+    )
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
         F.col("o_orderkey").desc()
@@ -10883,29 +10893,34 @@ def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = (
         orders.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("_tsu"),
+            "o_orderkey",
+        )
     )
 
     def _asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        left = left.sort_values("ts", kind="mergesort")
-        left["_ts"] = pd.to_datetime(left["ts"]).astype("datetime64[us]")
+        # numpy searchsorted IS backward merge_asof (index of the last
+        # right key <= each left key) without pandas' per-call frame
+        # machinery — the cogroup invokes this once per user, so
+        # per-call overhead multiplies by n_users
+        import numpy as np
+
         if len(right) == 0:
             out = left[["event_id", "user_id"]].copy()
             out["last_orderkey"] = pd.array([None] * len(out), dtype="Int64")
             return out
-        right = right.sort_values("o_orderdate", kind="mergesort")
-        right["_ts"] = pd.to_datetime(right["o_orderdate"]).astype("datetime64[us]")
-        m = pd.merge_asof(
-            left[["event_id", "user_id", "_ts"]],
-            right[["_ts", "o_orderkey"]],
-            on="_ts",
-            direction="backward",
-        )
+        rts = np.sort(right["_tsu"].to_numpy())
+        rok = right["o_orderkey"].to_numpy()[np.argsort(right["_tsu"].to_numpy(), kind="stable")]
+        idx = np.searchsorted(rts, left["_tsu"].to_numpy(), side="right") - 1
+        lk = pd.array(rok[idx.clip(0)], dtype="Int64")
+        lk[idx < 0] = pd.NA
         return pd.DataFrame(
             {
-                "event_id": m["event_id"],
-                "user_id": m["user_id"],
-                "last_orderkey": m["o_orderkey"].astype("Int64"),
+                "event_id": left["event_id"],
+                "user_id": left["user_id"],
+                "last_orderkey": lk,
             }
         )
 
