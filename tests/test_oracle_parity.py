@@ -34,3 +34,14 @@ def test_rows_only_queries_run(spark, name, fn):
     df = fn(spark, SF_SMOKE)
     assert df.count() > 0, f"{name}: approximate query returned no rows"
     assert len(df.schema.fields) > 0
+
+
+def test_driver_window_has_no_rows_only_slots():
+    """The driver hash-checks only the FIRST 50 registry entries per
+    round; a rows-only (no-oracle) query in a window slot burns a
+    hard-signal slot on a weak check. Every window entry must carry
+    an oracle; rows-only queries (declared-approximate ANN/sketches)
+    live below the line with their recall-companion attestations."""
+    window = list(REGISTRY.items())[:50]
+    rows_only = [name for name, (_, sql) in window if sql is None]
+    assert not rows_only, f"rows-only queries occupy window slots: {rows_only}"
