@@ -11435,16 +11435,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q16_supplier_counts": (q_tpch_q16_supplier_counts, SQL_TPCH_Q16),
     "tpch_q18_large_orders": (q_tpch_q18_large_orders, SQL_TPCH_Q18),
     "tpch_q19_disjunctive_revenue": (q_tpch_q19_disjunctive_revenue, SQL_TPCH_Q19),
-    "tpch_q20_dominant_supplier": (q_tpch_q20_dominant_supplier, SQL_TPCH_Q20),
+    "bpe_train_iters": (q_bpe_train_iters, SQL_BPE_TRAIN_ITERS),
     "tpch_q21_last_shipper": (q_tpch_q21_last_shipper, SQL_TPCH_Q21),
-    "tpch_q22_dormant_customers": (q_tpch_q22_dormant_customers, SQL_TPCH_Q22),
     # ---------------- the 50-entry driver window ends here ----------------
+    "tpch_q22_dormant_customers": (q_tpch_q22_dormant_customers, SQL_TPCH_Q22),
     # NEXT ROTATION (r7): the remaining never-driver-checked 50 below
-    # (bpe_train_iters, all seven deferred streaming replays, the DSv2
+    # (tpch_q20/q22, all seven deferred streaming replays, the DSv2
     # trio — kept together for r7 — bucketed/sink roundtrips, third-wave
     # SQL-form/function/codec queries + the 7 unchecked second-wave),
     # then the r02-stale 11 + r02-deferred 15.
-    "bpe_train_iters": (q_bpe_train_iters, SQL_BPE_TRAIN_ITERS),
+    "tpch_q20_dominant_supplier": (q_tpch_q20_dominant_supplier, SQL_TPCH_Q20),
     "events_stream_outer_join": (
         q_events_stream_outer_join,
         SQL_EVENTS_STREAM_OUTER_JOIN,

@@ -80,3 +80,60 @@ def test_schema_paths_total_over_nested_schema(spark):
         "top.arr.m",
         "top.arr.n",
     }
+
+
+def _cdc_cuts(s: str, B: int = 31, M: int = 1000003, W: int = 8, MASK: int = 64):
+    """Pure-Python twin of q_content_defined_chunks' positional rolling
+    hash (identical constants) for property checking."""
+    out = []
+    for i in range(W, len(s) + 1):  # 1-based end position i
+        h = 0
+        for k in range(W):
+            h += ord(s[i - W + k]) * (B ** (W - 1 - k))
+        if (h % M) % MASK == 0:
+            out.append(i)
+    return out
+
+
+@given(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=120),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60),
+)
+@settings(max_examples=60, deadline=None)
+def test_cdc_cut_stability_under_prefix_edits(suffix, prefix):
+    """THE content-defined-chunking property (why CDC beats fixed-size
+    for dedup): a cut depends only on the W=8 chars ending at it, so
+    prepending arbitrary content shifts every cut that lies fully
+    inside the old text by exactly len(prefix) — the chunks of shared
+    content realign no matter what was inserted upstream. (Fixed-size
+    chunking shifts every boundary and re-chunks everything.)"""
+    cuts_plain = _cdc_cuts(suffix)
+    cuts_joined = _cdc_cuts(prefix + suffix)
+    p = len(prefix)
+    # cuts whose 8-char window lies fully inside `suffix`
+    expected = {c + p for c in cuts_plain if c >= 8}
+    inside = {c for c in cuts_joined if c - p >= 8}
+    assert inside == expected
+
+
+def test_cdc_python_twin_matches_spark(spark):
+    """The pure-Python twin used by the property test computes the
+    same cuts as the Spark expression in q_content_defined_chunks."""
+    from labelspark_spark.queries import q_content_defined_chunks
+
+    from .conftest import SF_SMOKE
+
+    out = {
+        r.doc_id: (r.n_cuts, r.first_cut, r.last_cut)
+        for r in q_content_defined_chunks(spark, SF_SMOKE).collect()
+    }
+    import duckdb  # noqa: F401  (texts come straight from parquet)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        if len(text) < 8:
+            continue
+        cuts = _cdc_cuts(text)
+        exp = (len(cuts), cuts[0] if cuts else -1, cuts[-1] if cuts else -1)
+        assert out[doc_id] == exp, (doc_id, out[doc_id], exp)
