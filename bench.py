@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     # API-contract attestation.
     "grouped_map_normalize",
     "map_in_arrow",
+    "events_stream_restart",
 ]
 
 
