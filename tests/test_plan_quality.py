@@ -456,3 +456,52 @@ def test_tpch_q21_windows_share_one_order_shuffle(spark):
         "hashpartitioning(l_orderkey" in ln and "l_suppkey" in ln
         for ln in plan.splitlines()
     ), plan[:800]
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The OTHER skew lever (SURVEY: salting for skew, AQE for runtime
+    re-plan): salted_join/salted_agg attest the manual rewrite; this
+    attests Spark's adaptive skew-join handling the same hot key with
+    NO code change — the final adaptive plan must carry the
+    SortMergeJoin(skew=true) marker (the hot partition split into
+    advisory-sized sub-partitions at runtime), and the answer must
+    equal the skew-oblivious computation. Thresholds are shrunk so the
+    64KB-scale test partition qualifies as 'skewed'; on a real cluster
+    the defaults (256MB) do the same to a 100 TB hot key."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    # 90% of fact rows share key 7 — the classic hot-key join
+    fact = spark.range(0, 500_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        j = fact.join(dim.hint("merge"), "k").select(
+            F.sum(F.col("v") + F.col("w")).alias("s")
+        )
+        got = j.collect()[0].s
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin(skew=true)" in plan, plan[:600]
+    expect = (
+        fact.join(F.broadcast(dim), "k")
+        .select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert got == expect
