@@ -10868,15 +10868,18 @@ def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact); p and q are single bigint-over-bigint IEEE divisions and
     the log sees p/q — the identical op chain on both engines, with no
     bigint cross-products anywhere (an integer-cross-multiplied ratio
-    overflows once a slice passes ~3e9 tokens). Two token aggregates +
-    a broadcast join on the tiny vocab — no corpus self-join."""
+    overflows once a slice passes ~3e9 tokens). The corpus explodes
+    ONCE: the reference distribution rolls up from the (lang, token)
+    counts — a second explode would re-pay the 100 TB tokenization for
+    an aggregate the first pass already determines. Then a broadcast
+    join on the tiny vocab — no corpus self-join."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "lang",
         F.explode(F.split(F.lower(F.col("text")), " +")).alias("token"),
     ).filter(F.col("token") != "")
     per_lang = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n_lt"))
-    ref = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    ref = per_lang.groupBy("token").agg(F.sum("n_lt").alias("n_t"))
     lang_tot = per_lang.groupBy("lang").agg(F.sum("n_lt").alias("tot_l"))
     ref_tot = ref.agg(F.sum("n_t").alias("tot"))
     vsize = ref.agg(F.count(F.lit(1)).alias("v"))
