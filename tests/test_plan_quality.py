@@ -505,3 +505,63 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         .s
     )
     assert got == expect
+
+
+def test_r6_row_local_queries_are_shuffle_free(spark):
+    """Round-6 row-local operators must stay exchange-free like
+    chunk_pack: content-defined chunking (positional rolling hash),
+    the mapInArrow measurement pass, and the XML/CSV parse fixtures
+    are all per-row work — any Exchange is a regression."""
+    from labelspark_spark.queries import (
+        q_content_defined_chunks,
+        q_csv_line_parse,
+        q_map_in_arrow,
+        q_xml_parse,
+    )
+
+    for fn in (q_content_defined_chunks, q_xml_parse, q_csv_line_parse, q_map_in_arrow):
+        plan = explain.formatted_plan(fn(spark, SF_SMOKE))
+        assert "Exchange" not in plan, f"{fn.__name__} shuffles:\n{plan[:500]}"
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """`<=>` as a join condition must stay HASHABLE (Spark rewrites it
+    to coalesce+isnull keys) — a fallback to BroadcastNestedLoopJoin
+    would make the NULL-group join quadratic at scale."""
+    from labelspark_spark.queries import q_null_safe_join
+
+    plan = explain.formatted_plan(q_null_safe_join(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:500]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateral_topn_decorrelates(spark):
+    """The correlated LATERAL ORDER BY/LIMIT subquery must decorrelate
+    into a ranked window over the customer domain — never a per-row
+    re-scan (BroadcastNestedLoopJoin / CartesianProduct)."""
+    from labelspark_spark.queries import q_lateral_topn
+
+    plan = explain.formatted_plan(q_lateral_topn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan, plan[:500]
+
+
+def test_parameterized_sql_pushes_bound_literals(spark):
+    """Named parameters must bind as literals at parse time and push
+    down to the scan exactly like inline literals — the equality
+    predicate on event_type has to reach PushedFilters."""
+    from labelspark_spark.queries import q_parameterized_sql
+
+    plan = explain.formatted_plan(q_parameterized_sql(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("event_type" in ln and "purchase" in ln for ln in pf), pf
+
+
+def test_weighted_sample_uses_bounded_topk(spark):
+    """The A-ES weighted sample must rank through TakeOrderedAndProject
+    (bounded heap), not a global sort or an unguarded global window."""
+    from labelspark_spark.queries import q_weighted_sample_topk
+
+    plan = explain.formatted_plan(q_weighted_sample_topk(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan[:500]
