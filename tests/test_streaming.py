@@ -221,3 +221,41 @@ def test_transform_with_state_gate(spark):
         register_views(con, SF_SMOKE)
         r = compare(q_events_stream_tws(spark, SF_SMOKE), con, SQL_EVENTS_STREAM_TWS)
         assert r["values_match"], r
+
+
+def test_trigger_available_now_bounded_multi_batch(spark, tmp_path):
+    """Trigger.AvailableNow (the production backfill trigger): processes
+    everything available at start across MULTIPLE rate-limited
+    micro-batches (maxFilesPerTrigger=1 is honored, unlike the legacy
+    Trigger.Once), then stops ON ITS OWN — no processAllAvailable babysitting.
+    Three staged file copies must yield >= 3 batches and exactly tripled
+    per-user counts."""
+    import shutil
+
+    from labelspark_spark.queries import _normalize_ts
+    from labelspark_spark.sources import read_table
+
+    d = tmp_path / "avnow_src"
+    d.mkdir()
+    for i in range(3):
+        shutil.copy(f"{SF_SMOKE}/events.parquet", str(d / f"part-{i}.parquet"))
+    stream = _normalize_ts(se.read_events_stream(spark, str(d)))
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("avnow_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-terminate"
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 3, f"expected >=3 rate-limited batches, got {n_batches}"
+    got = {r.user_id: r.n for r in spark.sql("SELECT * FROM avnow_out").collect()}
+    batch = (
+        read_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg((3 * F.count(F.lit(1))).alias("n"))
+    )
+    expect = {r.user_id: r.n for r in batch.collect()}
+    assert got == expect
