@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "grouped_map_normalize",
     "map_in_arrow",
     "events_stream_restart",
+    "hll_sketch_rollup",
 ]
 
 

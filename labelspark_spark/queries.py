@@ -11090,6 +11090,50 @@ FROM documents
 """
 
 
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL surface (SPARK-16484: hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate) — the MERGEABLE distinct-count
+    pattern `approx_count_distinct` can't do: per-day sketches roll up
+    to a global estimate by sketch UNION, never re-touching the raw
+    data (at 100 TB you persist per-partition sketch tables once and
+    answer any date-range distinct query from kilobytes). Attested in
+    the sketch's EXACT regime, like approx_topk_tokens: lgK=16 keeps
+    the sketch in coupon (exact) mode to ~16k distinct per slice — the
+    default lgK=12 promoted to dense estimation at sf0.1's 1500 users
+    and broke the hash (measured), so the bound is chosen, not assumed;
+    the synthetic corpus stays exact through sf1.0. Past the exact
+    regime the same query is the +-1.6% estimator and the recall-bound
+    check would take over, as with the other sketches. Emits per-type estimates UNION one '(all)' row
+    whose estimate comes from merging the per-DAY sketches — the
+    reaggregation path itself is what's being proven."""
+    ev = f"parquet.`{sf_dir}/events.parquet`"
+    return spark.sql(f"""
+      WITH per_type AS (
+        SELECT event_type, hll_sketch_agg(user_id, 16) AS sk
+        FROM {ev} GROUP BY event_type
+      ),
+      per_day AS (
+        SELECT date_trunc('day', ts) AS day, hll_sketch_agg(user_id, 16) AS sk
+        FROM {ev} GROUP BY 1
+      )
+      SELECT event_type, CAST(hll_sketch_estimate(sk) AS BIGINT) AS n_users
+      FROM per_type
+      UNION ALL
+      SELECT '(all)' AS event_type,
+             CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT) AS n_users
+      FROM per_day
+    """)
+
+
+SQL_HLL_SKETCH_ROLLUP = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '(all)' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+"""
+
+
 def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`df.observe` / Observation API (the in-flight metrics surface a
     production pipeline hangs data-quality counters on — collected by
@@ -11484,6 +11528,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "grouped_map_normalize": (q_grouped_map_normalize, SQL_GROUPED_MAP_NORMALIZE),
     "map_in_arrow": (q_map_in_arrow, SQL_MAP_IN_ARROW),
     "events_stream_restart": (q_events_stream_restart, SQL_EVENTS_STREAM_RESTART),
+    "hll_sketch_rollup": (q_hll_sketch_rollup, SQL_HLL_SKETCH_ROLLUP),
     "events_stream_session": (q_events_stream_session, SQL_EVENTS_STREAM_SESSION),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
     "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
@@ -11501,9 +11546,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, SQL_TPCH_Q15),
     "tpch_q16_supplier_counts": (q_tpch_q16_supplier_counts, SQL_TPCH_Q16),
     "tpch_q18_large_orders": (q_tpch_q18_large_orders, SQL_TPCH_Q18),
-    "tpch_q19_disjunctive_revenue": (q_tpch_q19_disjunctive_revenue, SQL_TPCH_Q19),
     "bpe_train_iters": (q_bpe_train_iters, SQL_BPE_TRAIN_ITERS),
     # ---------------- the 50-entry driver window ends here ----------------
+    "tpch_q19_disjunctive_revenue": (q_tpch_q19_disjunctive_revenue, SQL_TPCH_Q19),
     # (tpch_q21 defers to r7: its _global_topk change is shared with
     # q10/q18, both in-window, so the changed code path is attested)
     "tpch_q21_last_shipper": (q_tpch_q21_last_shipper, SQL_TPCH_Q21),
