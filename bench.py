@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "map_in_arrow",
     "events_stream_restart",
     "hll_sketch_rollup",
+    "multimodal_resize",
 ]
 
 

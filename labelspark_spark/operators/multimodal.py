@@ -1903,9 +1903,81 @@ def sample_frames(
 
 def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize request plan: records target dims + scale factors JVM-side;
-    the pixel work itself is the (stubbed) codec step."""
+    the real pixel resample for decodable formats is
+    :func:`resize_nearest` / :func:`decode_resize_features`."""
     return df.withColumn("target_w", F.lit(target_w)).withColumn(
         "target_h", F.lit(target_h)
     ).withColumn(
         "scale_x", F.col("target_w") / F.col("meta.width")
     ).withColumn("scale_y", F.col("target_h") / F.col("meta.height"))
+
+
+def resize_nearest(
+    pixels: bytes, w: int, h: int, channels: int, tw: int, th: int
+) -> bytes:
+    """REAL nearest-neighbor resample over a decoded row-major pixel
+    buffer (source index = dst * src_size // dst_size — the standard
+    floor mapping): closes the resize half of the decode/resize stub
+    for every format the pure-stdlib codecs decode (PNG/GIF). Exact
+    integer index math, so results are bit-deterministic."""
+    out = bytearray(tw * th * channels)
+    o = 0
+    for r in range(th):
+        sr = r * h // th
+        for c in range(tw):
+            sc = c * w // tw
+            s = (sr * w + sc) * channels
+            out[o : o + channels] = pixels[s : s + channels]
+            o += channels
+    return bytes(out)
+
+
+def decode_resize_features(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched decode -> nearest-neighbor resize -> exact-integer
+    features (sum, first/last pixel) — the full decode+resize stage of
+    an image-curation pipeline, real end to end for PNG."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("out_w", IntegerType(), True),
+            StructField("out_h", IntegerType(), True),
+            StructField("pix_sum", LongType(), True),
+            StructField("p_first", IntegerType(), True),
+            StructField("p_last", IntegerType(), True),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for c in chunk[content_col]:
+                    dec = png_decode(c)
+                    if dec is None:
+                        rows.append((None, None, None, None, None))
+                        continue
+                    w, h, ch, pix = dec
+                    rp = resize_nearest(pix, w, h, ch, target_w, target_h)
+                    rows.append(
+                        (target_w, target_h, sum(rp), rp[0], rp[-1])
+                    )
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        "out_w": pd.array([r[0] for r in rows], dtype="Int32"),
+                        "out_h": pd.array([r[1] for r in rows], dtype="Int32"),
+                        "pix_sum": pd.array([r[2] for r in rows], dtype="Int64"),
+                        "p_first": pd.array([r[3] for r in rows], dtype="Int32"),
+                        "p_last": pd.array([r[4] for r in rows], dtype="Int32"),
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_run, out_schema)

@@ -954,3 +954,25 @@ def test_parse_exif_short_ascii_inlines():
     # and the out-of-line tail holds ONLY the 20-byte DateTime
     data_start = 8 + 2 + 3 * 12 + 4
     assert tiff[data_start : data_start + 20] == b"2024:01:05 07:00:00\0"
+
+
+def test_resize_nearest_exact_mapping():
+    """Nearest-neighbor resample: source index = dst * src // dst_size
+    (floor mapping), per channel, bit-deterministic. Checked on a gray
+    8x8 -> 4x4 (even stride) and an RGB 3x3 -> 2x2 (uneven stride)."""
+    from labelspark_spark.operators.multimodal import resize_nearest
+
+    gray = bytes(2 * r + 3 * c for r in range(8) for c in range(8))
+    out = resize_nearest(gray, 8, 8, 1, 4, 4)
+    assert list(out) == [4 * r + 6 * c for r in range(4) for c in range(4)]
+
+    rgb = bytes(
+        v for r in range(3) for c in range(3) for v in (10 * r, 10 * c, r + c)
+    )
+    out2 = resize_nearest(rgb, 3, 3, 3, 2, 2)
+    # dst index d maps to src d*3//2: 0->0, 1->1
+    expect = []
+    for r in (0, 1):
+        for c in (0, 1):
+            expect += [10 * r, 10 * c, r + c]
+    assert list(out2) == expect
