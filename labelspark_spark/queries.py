@@ -11504,6 +11504,302 @@ FROM parts, unnest(generate_series(0, len(ps) - 1)) AS t(i)
 
 
 # --------------------------------------------------------------------------
+# round 6 batch 4: BM25 retrieval + hybrid rank fusion (the query side of a
+# training-data / RAG pipeline) and the IMA-ADPCM stateful audio codec
+# --------------------------------------------------------------------------
+
+# Fixed keyword query for the retrieval pair (mid-frequency corpus terms:
+# df ~385-407 of 500 docs at sf0.001). Literal so the query is
+# deterministic and the oracle can inline the same IN-list.
+_BM25_TERMS = ("stream", "window", "merge", "vector")
+_BM25_TERMS_SQL = "('" + "', '".join(_BM25_TERMS) + "')"
+
+
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) document scores for the fixed term
+    query — the shared lexical core of bm25_retrieval and
+    rank_fusion_rrf. Shapes, in order: one token explode feeding BOTH
+    the doc-length agg and the term-filtered tf agg (the filter is an
+    IN-literal, applied before the heavy groupBy); df/N/avgdl are
+    broadcast single-digit-row aggregates kept IN the plan (no driver
+    count()); per-(doc,term) scores quantize to integer micro-points
+    (floor(x*1e6+0.5)) so the cross-term SUM is exact integer
+    arithmetic — immune to double summation order, the same ppm
+    discipline as q8/q11. At 100 TB: tf/dl are one-pass partial aggs,
+    the only joins are broadcasts, and nothing global materializes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(T.whitespace_tokens(T.normalize_text(F.col("text")))).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("_avgdl")
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf").cast("double") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl").cast("double") / F.col("_avgdl")
+    )
+    term_uppm = F.floor(
+        idf * (F.col("tf").cast("double") * F.lit(2.2)) / norm * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(dfq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .select("doc_id", term_uppm.alias("term_uppm"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.sum("term_uppm").alias("bm25_uppm"),
+    )
+
+
+# Shared oracle core: CTEs ending in docscore(doc_id, n_terms, bm25_uppm).
+_SQL_BM25_CORE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c=NORM_SQL.format(c='text'))}) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+  WHERE tok IN {_BM25_TERMS_SQL} GROUP BY 1, 2
+), dfq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(
+           ln((n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / ad.avgdl))
+           * 1000000.0 + 0.5) AS BIGINT) AS term_uppm
+  FROM tf
+  JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad
+), docscore AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+         CAST(SUM(term_uppm) AS BIGINT) AS bm25_uppm
+  FROM scored GROUP BY 1
+)
+"""
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: Okapi-scored top-10 documents for a fixed
+    4-term query — the lexical-search primitive of corpus curation and
+    RAG indexing (tfidf's ranked sibling, with document-length
+    normalization and the saturating tf term). Core in
+    :func:`_bm25_doc_scores`; the final top-k is TakeOrderedAndProject
+    via _global_topk (bounded heap, no global sort). Reference parity:
+    the connector's keyword filtering stops at exact predicate pushdown
+    (reference connector.py:20-74 helper surface); ranked retrieval is
+    north-star engine scope."""
+    return _global_topk(
+        _bm25_doc_scores(spark, sf_dir),
+        10,
+        (F.col("bm25_uppm").desc(), F.col("doc_id")),
+        "rank",
+    ).select("doc_id", "n_terms", "bm25_uppm", F.col("rank").cast("int").alias("rank"))
+
+
+SQL_BM25_RETRIEVAL = _SQL_BM25_CORE + """
+SELECT doc_id, n_terms, bm25_uppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25_uppm DESC, doc_id) AS INTEGER) AS rank
+FROM docscore QUALIFY rank <= 10
+"""
+
+
+def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (RRF, Cormack et al.
+    SIGIR'09): the BM25 lexical arm (top-20) fused with an exact-cosine
+    vector arm (top-20 neighbors of the vec_id-0 embedding, reusing
+    similarity.brute_force_topk's broadcast-query scan) by
+    score = sum 1/(60+rank). Contributions quantize to integer
+    micro-points so the fusion sum is exact; docs in one arm only keep
+    a NULL rank from the other (full outer join of two <=20-row arms —
+    trivially small). This is the standard hybrid-search merge a
+    training-data retrieval stack runs at corpus scale: each arm is
+    independently scale-safe (BM25: broadcast aggs + TakeOrdered;
+    cosine: broadcast query, corpus never shuffles), and the fusion
+    itself touches only 2k rows regardless of corpus size."""
+    lex = _global_topk(
+        _bm25_doc_scores(spark, sf_dir),
+        20,
+        (F.col("bm25_uppm").desc(), F.col("doc_id")),
+        "lex_rank",
+    ).select("doc_id", F.col("lex_rank").cast("int").alias("lex_rank"))
+    emb = _t(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = (
+        sim.brute_force_topk(emb, q0, k=20)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("int").alias("vec_rank"),
+        )
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.floor(F.lit(1000000.0) / (F.lit(60) + r) + F.lit(0.5)).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (contrib(F.col("lex_rank")) + contrib(F.col("vec_rank"))).alias("rrf_uppm"),
+        )
+    )
+    return _global_topk(
+        fused, 10, (F.col("rrf_uppm").desc(), F.col("doc_id")), "rank"
+    ).select(
+        "doc_id", "lex_rank", "vec_rank", "rrf_uppm", F.col("rank").cast("int").alias("rank")
+    )
+
+
+SQL_RANK_FUSION_RRF = _SQL_BM25_CORE + """
+, lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25_uppm DESC, doc_id) AS INTEGER) AS r
+  FROM docscore QUALIFY r <= 20
+), qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS r
+  FROM (
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(qv.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings e CROSS JOIN qv
+  ) QUALIFY r <= 20
+), fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         CAST(lex.r AS INTEGER) AS lex_rank, CAST(vec.r AS INTEGER) AS vec_rank,
+         COALESCE(CAST(FLOOR(1000000.0 / (60 + lex.r) + 0.5) AS BIGINT), 0)
+         + COALESCE(CAST(FLOOR(1000000.0 / (60 + vec.r) + 0.5) AS BIGINT), 0) AS rrf_uppm
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_uppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_uppm DESC, doc_id) AS INTEGER) AS rank
+FROM fused QUALIFY rank <= 10
+"""
+
+
+def q_multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful-codec audio decode (IMA/DVI ADPCM, WAV fmt tag
+    0x11), oracle-checked end to end — the step past G.711's memoryless
+    byte expansion: every output sample depends on the full nibble
+    prefix through the (predictor, step-index) state machine. Per doc a
+    spec-valid ADPCM WAV is generated with closed-form state and
+    nibbles (block 1: pred=((d*97)%1024)-512, idx=d%89, n=40+d%16
+    nibbles n_i=(d*7+5i)%16; every 4th doc appends a partial block 2:
+    pred=((d*53)%1024)-512, idx=(d*3)%89, n=24+d%8, n_i=(d*11+3i)%16 —
+    exercising the block_align walk and fact-chunk truncation), then
+    decoded BACK by the pure-stdlib block walker
+    (operators/multimodal.py:wav_decode_samples_adpcm; expansion loop
+    bit-exact vs the CPython audioop reference) into the exact-integer
+    signal features. The oracle replays the codec's state recursion as
+    a recursive CTE — SQL-expressible because the state is (int16,
+    0..88) and the arithmetic is integer shifts and clamps."""
+    from labelspark_spark.operators import multimodal as mm
+
+    def _enc(d: int) -> bytes:
+        n1 = 40 + d % 16
+        blocks = [
+            (((d * 97) % 1024) - 512, d % 89, [(d * 7 + i * 5) % 16 for i in range(n1)])
+        ]
+        if d % 4 == 0:
+            n2 = 24 + d % 8
+            blocks.append(
+                (
+                    ((d * 53) % 1024) - 512,
+                    (d * 3) % 89,
+                    [(d * 11 + i * 3) % 16 for i in range(n2)],
+                )
+            )
+        return mm.wav_encode_adpcm(blocks, samples_per_block=n1 + 1)
+
+    staged = _stage_media(_t(spark, sf_dir, "documents"), _enc)
+    return mm.decode_audio_features_adpcm(staged, content_col="content", id_col="doc_id")
+
+
+_ADPCM_STEP_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,"
+    "50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,"
+    "337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,"
+    "1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,"
+    "7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,"
+    "24623,27086,29794,32767]"
+)
+_ADPCM_IDX_SQL = "[-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8]"
+
+SQL_MULTIMODAL_AUDIO_ADPCM = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, 0 AS blk,
+         ((doc_id * 97) % 1024) - 512 AS pred, doc_id % 89 AS idx,
+         40 + doc_id % 16 AS n_nib
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1 AS blk,
+         ((doc_id * 53) % 1024) - 512 AS pred, (doc_id * 3) % 89 AS idx,
+         24 + doc_id % 8 AS n_nib
+  FROM documents WHERE doc_id % 4 = 0
+), st AS (
+  SELECT doc_id, blk, 0 AS i, pred, idx, pred AS x, n_nib FROM base
+  UNION ALL
+  SELECT doc_id, blk, i + 1,
+         GREATEST(-32768, LEAST(32767,
+           pred + CASE WHEN nb >= 8 THEN -d ELSE d END)) AS pred,
+         GREATEST(0, LEAST(88, idx + {_ADPCM_IDX_SQL}[nb + 1])) AS idx,
+         GREATEST(-32768, LEAST(32767,
+           pred + CASE WHEN nb >= 8 THEN -d ELSE d END)) AS x,
+         n_nib
+  FROM (
+    SELECT *,
+           s // 8 + CASE WHEN nb % 8 >= 4 THEN s ELSE 0 END
+                  + CASE WHEN nb % 4 >= 2 THEN s // 2 ELSE 0 END
+                  + CASE WHEN nb % 2 = 1 THEN s // 4 ELSE 0 END AS d
+    FROM (
+      SELECT *, {_ADPCM_STEP_SQL}[idx + 1] AS s,
+             CASE WHEN blk = 0 THEN (doc_id * 7 + i * 5) % 16
+                  ELSE (doc_id * 11 + i * 3) % 16 END AS nb
+      FROM st WHERE i < n_nib
+    )
+  )
+), w AS (
+  SELECT doc_id, blk, i, x,
+         lag(x) OVER (PARTITION BY doc_id ORDER BY blk, i) AS px
+  FROM st
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(x * x) AS BIGINT) AS energy,
+       CAST(MAX(ABS(x)) AS INTEGER) AS peak,
+       CAST(SUM(CASE WHEN px IS NOT NULL AND (x < 0) <> (px < 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings,
+       CAST(FLOOR(sqrt(CAST(SUM(x * x) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+            AS BIGINT) AS rms_ppm
+FROM w GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -11849,6 +12145,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    # ---- r6 post-window additions (appended AFTER the window froze so the
+    # attested first-50 composition is untouched; r7 rotation candidates,
+    # locally attested by test_oracle_parity like everything below the line)
+    "bm25_retrieval": (q_bm25_retrieval, SQL_BM25_RETRIEVAL),
+    "rank_fusion_rrf": (q_rank_fusion_rrf, SQL_RANK_FUSION_RRF),
+    "multimodal_audio_adpcm": (q_multimodal_audio_adpcm, SQL_MULTIMODAL_AUDIO_ADPCM),
 }
 
 

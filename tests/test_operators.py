@@ -976,3 +976,70 @@ def test_resize_nearest_exact_mapping():
         for c in (0, 1):
             expect += [10 * r, 10 * c, r + c]
     assert list(out2) == expect
+
+
+def test_ima_adpcm_expansion_and_decode():
+    """IMA/DVI ADPCM expansion is bit-exact vs the CPython audioop
+    reference (adpcm2lin implements the same IMA loop; audioop packs
+    HIGH nibble first while IMA WAV packs LOW first, so the cross-check
+    repacks) across varied initial states, and the WAV-level block
+    walker handles multi-block files, fact-chunk truncation, and
+    refuses non-ADPCM input."""
+    import math
+    import struct
+
+    from labelspark_spark.operators.multimodal import (
+        ima_adpcm_expand,
+        wav_decode_samples_adpcm,
+        wav_encode_adpcm,
+        wav_encode_pcm,
+    )
+
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+        for d in range(40):
+            n = 40 + d % 16
+            nibs = [(d * 7 + i * 5) % 16 for i in range(n)]
+            pred0 = ((d * 97) % 1024) - 512
+            idx0 = d % 89
+            mine = ima_adpcm_expand(pred0, idx0, nibs)[1:]  # drop header sample
+            padded = nibs + ([0] if n % 2 else [])
+            frag = bytes(
+                ((padded[i] << 4) | padded[i + 1]) for i in range(0, len(padded), 2)
+            )
+            lin, _ = audioop.adpcm2lin(frag, 2, (pred0, idx0))
+            vals = list(struct.unpack(f"<{len(lin) // 2}h", lin))[:n]
+            assert vals == mine, d
+    except ImportError:
+        pass
+
+    # multi-block roundtrip: full block + trailing partial block
+    blocks = [
+        (-300, 12, [(7 * i) % 16 for i in range(40)]),
+        (200, 33, [(5 * i + 3) % 16 for i in range(17)]),
+    ]
+    blob = wav_encode_adpcm(blocks, samples_per_block=41)
+    out = wav_decode_samples_adpcm(blob)
+    vals = []
+    for p0, i0, nbs in blocks:
+        vals.extend(ima_adpcm_expand(p0, i0, nbs))
+    energy = sum(v * v for v in vals)
+    assert out["n_samples"] == len(vals) == 59
+    assert out["energy"] == energy
+    assert out["peak"] == max(abs(v) for v in vals)
+    assert out["zero_crossings"] == sum(
+        1 for a, b in zip(vals, vals[1:]) if (a < 0) != (b < 0)
+    )
+    assert out["rms_ppm"] == math.floor(math.sqrt(energy / len(vals)) * 1e6 + 0.5)
+    # the odd nibble count exercises the pad nibble: fact bounds it out
+    assert out["n_samples"] == 41 + 18
+
+    # refusals: PCM tag, garbage, empty
+    pcm = wav_encode_pcm(n_samples=10, bits=16)
+    assert wav_decode_samples_adpcm(pcm)["n_samples"] is None
+    assert wav_decode_samples_adpcm(None)["n_samples"] is None
+    assert wav_decode_samples_adpcm(b"RIFFxxxxWAVE")["n_samples"] is None
