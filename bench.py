@@ -187,6 +187,17 @@ BENCH_QUERIES = [
     "events_stream_restart",
     "hll_sketch_rollup",
     "multimodal_resize",
+    # round-6 final wave. keyword_signature_sim is oracle-checked but NOT
+    # benched: top-5-tfidf signatures are data-degenerate on this ~35-term
+    # synthetic vocabulary (11.0M candidate pairs = 88% of ALL doc pairs at
+    # sf0.1 — measured), so the pair aggregation is inherently near-all-pairs
+    # on this data; on a Zipf vocabulary the same posting-join plan is
+    # sub-quadratic (dedup_char_ngram's justification).
+    "bm25_retrieval",
+    "rank_fusion_rrf",
+    "multimodal_audio_adpcm",
+    "group_trend_ols",
+    "unigram_segment",
 ]
 
 

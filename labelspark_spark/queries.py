@@ -11799,6 +11799,321 @@ FROM w GROUP BY 1
 """
 
 
+def q_keyword_signature_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector document similarity via keyword signatures: each
+    doc is reduced to its top-5 tf-idf terms (the classic candidate-
+    generation signature), pairs sharing a signature term are generated
+    by a posting-list join blocked on the term (never an all-docs
+    self-join), and the sparse dot product sums per-term weight
+    products quantized to integer micro-points (exact cross-term sum).
+    Top-20 pairs by dot product. The sparse complement of the dense
+    embedding-cosine family — on a real Zipf vocabulary the signature
+    terms are discriminative (small df), so posting lists stay short;
+    this synthetic ~35-term corpus is the documented worst case (same
+    caveat class as dedup_char_ngram), with the signature size k=5
+    capping per-doc fan-out either way."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(T.whitespace_tokens(T.normalize_text(F.col("text")))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    w = (
+        tf.join(F.broadcast(dfq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf").cast("double")
+                * F.log((F.col("_n_docs") + 1.0) / (F.col("df").cast("double") + 1.0))
+            ).alias("w"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("tok"))
+    # materialize the signature table ONCE before the self-join: Spark
+    # does not CSE across DataFrame branches, so without this both join
+    # arms re-run the full explode+tf+idf+window lineage (measured 2x
+    # the build cost at sf0.1). The signature table is 5 rows/doc —
+    # tiny relative to the corpus — which is exactly the artifact a
+    # 100 TB run would persist between the build and pair stages.
+    sig = (
+        w.withColumn("_r", F.row_number().over(win))
+        .filter(F.col("_r") <= 5)
+        .localCheckpoint(eager=False)
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("_wa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("_wb"))
+    # measured at sf0.1 (35-term corpus): pair volume is 11.0M = 88% of
+    # ALL doc pairs — the signature premise (discriminative terms, short
+    # posting lists) is data-degenerate here, and the cost is the 8.1M-
+    # group pair aggregation, NOT reducer skew (a 16-bucket salted join
+    # benched SLOWER, 12.9s vs 9.5s agg-only: replicating the b-side 16x
+    # outweighs spreading 35 keys that already spread over 32 reducers).
+    # Plain equi-join + composite agg is the right plan; on a Zipf
+    # vocabulary posting lists are short and this same plan is sub-
+    # quadratic. Bench-excluded with dedup_char_ngram's justification.
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("shared_terms"),
+            F.sum(
+                F.floor(F.col("_wa") * F.col("_wb") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("dot_uppm"),
+        )
+    )
+    return _global_topk(
+        pairs,
+        20,
+        (F.col("dot_uppm").desc(), F.col("doc_a"), F.col("doc_b")),
+        "rank",
+    ).select(
+        "doc_a", "doc_b", "shared_terms", "dot_uppm", F.col("rank").cast("int").alias("rank")
+    )
+
+
+SQL_KEYWORD_SIGNATURE_SIM = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c=NORM_SQL.format(c='text'))}) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfq AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+w AS (
+  SELECT doc_id, tok,
+         CAST(tf.tf AS DOUBLE) * ln((n.n_docs + 1.0) / (CAST(dfq.df AS DOUBLE) + 1.0)) AS w
+  FROM tf JOIN dfq USING (tok) CROSS JOIN n
+), sig AS (
+  SELECT doc_id, tok, w FROM (
+    SELECT doc_id, tok, w,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, tok) AS r
+    FROM w
+  ) WHERE r <= 5
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS INTEGER) AS shared_terms,
+         CAST(SUM(CAST(FLOOR(a.w * b.w * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dot_uppm
+  FROM sig a JOIN sig b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared_terms, dot_uppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY dot_uppm DESC, doc_a, doc_b) AS INTEGER) AS rank
+FROM pairs QUALIFY rank <= 20
+"""
+
+
+def q_group_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend-trend slope (TimescaleDB stats_agg shape) in
+    EXACT integer arithmetic: daily cent totals, day index anchored to
+    each user's first active day (keyed window min — the partition-by-
+    user exchange is then reused by the final per-user aggregate, one
+    shuffle total), and the closed-form OLS slope
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over exact bigint sums — the
+    doctrine-compliant alternative to regr_slope, whose internal double
+    accumulation is partition-order-nondeterministic. The one double op
+    is the final ppm quantization; single-day users surface as an
+    explicit NULL slope via NULLIF. Overflow bound: |n*Sxy - Sx*Sy|
+    must stay under 9.2e12 after the 1e6 multiply — with day indexes
+    bounded by per-user history span (~60 here) and daily sums in
+    cents, the numerator is ~1e10-1e11; a 100 TB deployment keeps the
+    bound because it grows users, not one user's personal span."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"), cents.alias("_c"))
+        .groupBy("user_id", "day")
+        .agg(F.sum("_c").alias("y"))
+    )
+    w = Window.partitionBy("user_id")
+    anchored = daily.select(
+        "user_id",
+        F.datediff(F.col("day"), F.min("day").over(w)).cast("bigint").alias("x"),
+        "y",
+    )
+    agg = anchored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+    )
+    num = (F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) * F.lit(
+        1000000
+    ).cast("bigint")
+    den = F.nullif(
+        F.col("n_days") * F.col("_sxx") - F.col("_sx") * F.col("_sx"), F.lit(0).cast("bigint")
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.floor(num.cast("double") / den + F.lit(0.5)).cast("bigint").alias("slope_uppm"),
+    )
+
+
+SQL_GROUP_TREND_OLS = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), anchored AS (
+  SELECT user_id,
+         CAST(date_diff('day', MIN(day) OVER (PARTITION BY user_id), day) AS BIGINT) AS x,
+         y
+  FROM daily
+), agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM anchored GROUP BY 1
+)
+SELECT user_id, n_days,
+       CAST(FLOOR(CAST((n_days * sxy - sx * sy) * 1000000 AS DOUBLE)
+                  / NULLIF(n_days * sxx - sx * sx, 0) + 0.5) AS BIGINT) AS slope_uppm
+FROM agg
+"""
+
+
+# Unigram-LM piece vocabulary for the Viterbi segmenter: every single
+# char (so any token is segmentable) + multi-char pieces. Integer
+# micro-nat scores, deterministic literals baked into BOTH plans; the
+# per-index offset breaks pervasive score ties between same-length
+# pieces. Longer pieces score better than their single-char spellout
+# (len-2: -1.7M vs -4M; len-3: -2.1M vs -6M), so the DP genuinely
+# chooses segmentations, not just chars.
+_UNIGRAM_PIECES: dict[str, int] = {}
+for _i, _c in enumerate("abcdefghijklmnopqrstuvwxyz"):
+    _UNIGRAM_PIECES[_c] = -2_000_000 + (_i * 1009) % 37_000
+for _i, _p in enumerate(
+    [
+        "ta", "er", "or", "ar", "st", "ch", "qu", "in", "an", "ro", "me", "ba",
+        "sc", "lu", "ow", "al", "ue", "rt", "le", "gr", "sm", "jo", "ha", "ke",
+        "da", "du", "co", "va", "ve", "wi",
+        "str", "tab", "ort", "ine", "row", "umn", "ery", "eam", "dow", "olu",
+    ]
+):
+    base = {3: -2_100_000, 4: -2_400_000}.get(len(_p), -1_700_000)
+    _UNIGRAM_PIECES[_p] = base + ((100 + _i) * 1009) % 37_000
+
+
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM Viterbi segmentation, fully
+    JVM-side and EXACT: each distinct token is segmented into the
+    max-likelihood piece sequence over a fixed integer-scored
+    vocabulary (micro-nat log-probs), via dynamic programming expressed
+    as an `F.aggregate` fold over char positions — the accumulator
+    carries the last max-piece-length=4 best states, each packed as
+    score*1000 - n_pieces in ONE bigint so the tie-break (higher
+    score, then fewer pieces) is a single integer max. Zero Python,
+    zero floats: every candidate is map-lookup + integer add, so both
+    engines agree bit-for-bit. The DP runs once per DISTINCT token
+    (corpus-size-independent — at 100 TB the token vocabulary is
+    millions while the corpus is trillions of tokens) and broadcast-
+    joins back onto per-doc token counts. The oracle replays the same
+    DP as a recursive CTE carrying the 4-state window as columns —
+    the Viterbi twin of the ADPCM state-machine oracle. Output: per-doc
+    token/piece counts and total segmentation log-score."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(T.whitespace_tokens(T.normalize_text(F.col("text")))).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    dtok = per_doc.select("tok").distinct()
+
+    m = F.create_map(
+        *[F.lit(x) for kv in _UNIGRAM_PIECES.items() for x in kv]
+    )
+
+    def step(acc, i):
+        cands = []
+        for L in (1, 2, 3, 4):
+            piece = F.col("tok").substr(i - F.lit(L - 1), F.lit(L))
+            # try_element_at: ANSI element_at throws on a missing map
+            # key. A null prev-state (try_element_at(acc, L) for i<L)
+            # nulls the candidate, which also guards the out-of-range
+            # substr starts — same null discipline as the oracle.
+            cands.append(
+                F.try_element_at(acc, F.lit(L))
+                + (F.try_element_at(m, piece) * F.lit(1000) - F.lit(1))
+            )
+        best = F.greatest(*cands)  # greatest skips nulls on both engines
+        return F.concat(F.array(best), F.slice(acc, 1, 3))
+
+    init = F.array(
+        F.lit(0).cast("long"),
+        F.lit(None).cast("long"),
+        F.lit(None).cast("long"),
+        F.lit(None).cast("long"),
+    )
+    packed = F.element_at(
+        F.aggregate(F.sequence(F.lit(1), F.length("tok")), init, step), 1
+    )
+    seg = dtok.select(
+        "tok",
+        (-F.floor((-packed) / F.lit(1000)).cast("bigint")).alias("score_unats"),
+        F.pmod(-packed, F.lit(1000)).cast("int").alias("n_pieces"),
+    )
+    return (
+        per_doc.join(F.broadcast(seg), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("n_pieces")).alias("n_pieces"),
+            F.sum(F.col("cnt") * F.col("score_unats")).alias("score_unats"),
+        )
+        .select("doc_id", "n_tokens", "n_pieces", "score_unats")
+    )
+
+
+_UNIGRAM_PIECES_SQL = ", ".join(
+    f"('{p}', {s})" for p, s in _UNIGRAM_PIECES.items()
+)
+
+SQL_UNIGRAM_SEGMENT = f"""
+WITH RECURSIVE pieces(piece, s) AS (VALUES {_UNIGRAM_PIECES_SQL}),
+toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c=NORM_SQL.format(c='text'))}) AS tok
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2
+), dtok AS (
+  SELECT DISTINCT tok FROM per_doc
+), st AS (
+  SELECT tok, 0 AS i,
+         CAST(0 AS BIGINT) AS p1, CAST(NULL AS BIGINT) AS p2,
+         CAST(NULL AS BIGINT) AS p3, CAST(NULL AS BIGINT) AS p4
+  FROM dtok
+  UNION ALL
+  SELECT tok, i + 1,
+         GREATEST(
+           COALESCE(p1 + (SELECT s * 1000 - 1 FROM pieces WHERE piece = substr(tok, i + 1, 1)), -900000000000000000),
+           COALESCE(p2 + (SELECT s * 1000 - 1 FROM pieces WHERE piece = substr(tok, i, 2)), -900000000000000000),
+           COALESCE(p3 + (SELECT s * 1000 - 1 FROM pieces WHERE piece = substr(tok, i - 1, 3)), -900000000000000000),
+           COALESCE(p4 + (SELECT s * 1000 - 1 FROM pieces WHERE piece = substr(tok, i - 2, 4)), -900000000000000000)
+         ) AS p1, p1 AS p2, p2 AS p3, p3 AS p4
+  FROM st WHERE i < length(tok)
+), seg AS (
+  SELECT tok,
+         CAST(-((-p1) // 1000) AS BIGINT) AS score_unats,
+         CAST((-p1) % 1000 AS INTEGER) AS n_pieces
+  FROM st WHERE i = length(tok)
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(cnt * n_pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(cnt * score_unats) AS BIGINT) AS score_unats
+FROM per_doc JOIN seg USING (tok)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12151,6 +12466,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bm25_retrieval": (q_bm25_retrieval, SQL_BM25_RETRIEVAL),
     "rank_fusion_rrf": (q_rank_fusion_rrf, SQL_RANK_FUSION_RRF),
     "multimodal_audio_adpcm": (q_multimodal_audio_adpcm, SQL_MULTIMODAL_AUDIO_ADPCM),
+    "keyword_signature_sim": (q_keyword_signature_sim, SQL_KEYWORD_SIGNATURE_SIM),
+    "group_trend_ols": (q_group_trend_ols, SQL_GROUP_TREND_OLS),
+    "unigram_segment": (q_unigram_segment, SQL_UNIGRAM_SEGMENT),
 }
 
 
