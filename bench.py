@@ -198,6 +198,9 @@ BENCH_QUERIES = [
     "multimodal_audio_adpcm",
     "group_trend_ols",
     "unigram_segment",
+    # rebuilds the bucketed postings index every call (like
+    # bucketed_join_roundtrip, the write dominates the 2.1s)
+    "bm25_index_probe",
 ]
 
 

@@ -12114,6 +12114,75 @@ GROUP BY 1
 """
 
 
+def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted-index build/probe split for BM25 (the text
+    twin of similarity_ivf_probe): postings (tok, doc_id, tf, dl) are
+    written ONCE as a managed table BUCKETED BY term, plus a 1-row
+    corpus-stats table (N, avgdl); the probe then reads only the
+    buckets holding the 4 query terms (bucket pruning — the formatted
+    plan shows SelectedBucketsCount < num_buckets, plan-asserted in
+    test_plan_quality) and recomputes df from the pruned postings
+    themselves, so nothing touches the full index. At 100 TB the
+    inverted index dwarfs memory and THIS is the property that
+    matters: per-query I/O proportional to the query's posting lists,
+    not the corpus. Output is identical to bm25_retrieval, so the
+    probe is hash-checked against the same from-scratch SQL oracle —
+    index persistence provably loses nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(T.whitespace_tokens(T.normalize_text(F.col("text")))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = tf.join(dl, "doc_id").select("tok", "doc_id", "tf", "dl")
+    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
+        dl.agg((F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    )
+
+    import shutil
+    from urllib.parse import urlparse
+
+    from labelspark_spark.sources.writers import write_bucketed
+
+    p_table, s_table = "bm25_postings_declared", "bm25_stats_declared"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    for t in (p_table, s_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(f"{wh.path}/{t}", ignore_errors=True)
+    write_bucketed(postings, p_table, bucket_cols=["tok"], num_buckets=8)
+    stats.write.saveAsTable(s_table)
+
+    # ---- probe: only the query terms' buckets are read from here on
+    pruned = spark.table(p_table).filter(F.col("tok").isin(*_BM25_TERMS))
+    dfq = pruned.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    st = spark.table(s_table)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf").cast("double") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    term_uppm = F.floor(
+        idf * (F.col("tf").cast("double") * F.lit(2.2)) / norm * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        pruned.join(F.broadcast(dfq), "tok")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", term_uppm.alias("term_uppm"))
+    )
+    doc_scores = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.sum("term_uppm").alias("bm25_uppm"),
+    )
+    return _global_topk(
+        doc_scores, 10, (F.col("bm25_uppm").desc(), F.col("doc_id")), "rank"
+    ).select("doc_id", "n_terms", "bm25_uppm", F.col("rank").cast("int").alias("rank"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12469,6 +12538,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "keyword_signature_sim": (q_keyword_signature_sim, SQL_KEYWORD_SIGNATURE_SIM),
     "group_trend_ols": (q_group_trend_ols, SQL_GROUP_TREND_OLS),
     "unigram_segment": (q_unigram_segment, SQL_UNIGRAM_SEGMENT),
+    "bm25_index_probe": (q_bm25_index_probe, SQL_BM25_RETRIEVAL),
 }
 
 

@@ -565,3 +565,23 @@ def test_weighted_sample_uses_bounded_topk(spark):
 
     plan = explain.formatted_plan(q_weighted_sample_topk(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan[:500]
+
+
+def test_bm25_index_probe_prunes_buckets(spark):
+    """q_bm25_index_probe: the probe must read ONLY the buckets holding
+    the 4 query terms from the term-bucketed postings table — at 100 TB
+    the inverted index dwarfs memory, and per-query I/O proportional to
+    the query's posting lists (not the corpus) is the entire point of
+    the build/probe split. Both postings scans (df recount + scorer)
+    must report SelectedBucketsCount strictly below the bucket count,
+    and df/stats must reach the scorer as broadcasts."""
+    from labelspark_spark.queries import q_bm25_index_probe
+
+    df = q_bm25_index_probe(spark, SF_SMOKE)
+    plan = explain.formatted_plan(df)
+    import re
+
+    picks = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert picks, plan[:1200]
+    assert all(int(sel) < int(tot) for sel, tot in picks), picks
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:600]
