@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     # rebuilds the bucketed postings index every call (like
     # bucketed_join_roundtrip, the write dominates the 2.1s)
     "bm25_index_probe",
+    "timeseries_rollup_cascade",
+    "text_readability",
 ]
 
 

@@ -12183,6 +12183,102 @@ def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_terms", "bm25_uppm", F.col("rank").cast("int").alias("rank"))
 
 
+def q_timeseries_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate CASCADE: raw events roll up
+    minute -> hour -> day, each level aggregating the PREVIOUS level's
+    output (sums of sums, counts of counts) — the multi-resolution
+    rollup a 100 TB metrics store maintains so dashboards never touch
+    raw data: the minute layer is the only one that reads the fact
+    table; hour reads minute (~1/60th the rows), day reads hour. Exact
+    integer cents throughout, so re-aggregation is provably lossless:
+    the oracle aggregates the RAW table directly at day grain, and the
+    hash match is the re-aggregation law (associativity of count/sum
+    over bucket refinement) holding bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    minute = (
+        ev.select("event_type", F.date_trunc("minute", "ts").alias("b"), cents.alias("_c"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_c").alias("c"))
+    )
+    hour = (
+        minute.groupBy("event_type", F.date_trunc("hour", "b").alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+    )
+    return (
+        hour.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "b"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum("n").alias("n_events"), F.sum("c").alias("cents"))
+        .select("event_type", "day", "n_events", "cents")
+    )
+
+
+# the oracle aggregates RAW at day grain — agreement proves the cascade
+SQL_TIMESERIES_ROLLUP_CASCADE = """
+SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability scoring per document — the classic
+    prose-quality heuristic of corpus curation (alongside the Gopher
+    rules): whitespace word count, '. '-split sentence count (floored
+    at 1), vowel-group syllable approximation (regexp_count of
+    [aeiouy]+ runs, the standard cheap estimator), and the Flesch
+    reading-ease formula 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words), ppm-quantized with the identical double
+    shape on both engines (multiply-before-divide discipline). Pure
+    row-local string ops — zero shuffle, the filter-stage shape."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(F.filter(F.split(F.trim("text"), "\\s+"), lambda t: t != "")).cast(
+        "bigint"
+    )
+    sentences = F.greatest(F.size(F.split("text", "\\. ")), F.lit(1)).cast("bigint")
+    syllables = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("bigint")
+    out = docs.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences"))
+        - F.lit(84.6)
+        * (F.col("syllables").cast("double") / F.nullif(F.col("words"), F.lit(0).cast("bigint")))
+    )
+    return out.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.floor(score * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("flesch_uppm"),
+    )
+
+
+SQL_TEXT_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+              AS BIGINT) AS words,
+         CAST(GREATEST(len(string_split(text, '. ')), 1) AS BIGINT) AS sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+  FROM documents
+)
+SELECT doc_id, words, sentences, syllables,
+       CAST(FLOOR((206.835
+                   - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                   - 84.6 * (CAST(syllables AS DOUBLE) / NULLIF(words, 0)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS flesch_uppm
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12539,6 +12635,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "group_trend_ols": (q_group_trend_ols, SQL_GROUP_TREND_OLS),
     "unigram_segment": (q_unigram_segment, SQL_UNIGRAM_SEGMENT),
     "bm25_index_probe": (q_bm25_index_probe, SQL_BM25_RETRIEVAL),
+    "timeseries_rollup_cascade": (
+        q_timeseries_rollup_cascade,
+        SQL_TIMESERIES_ROLLUP_CASCADE,
+    ),
+    "text_readability": (q_text_readability, SQL_TEXT_READABILITY),
 }
 
 
