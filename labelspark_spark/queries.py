@@ -3853,6 +3853,65 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hard-signal for the BOUNDED-state dedup
+    (`dropDuplicatesWithinWatermark`) — the only dedup a forever-running
+    100 TB stream can afford, since plain dropDuplicates state grows
+    with every key ever seen. The replay exercises the eviction path,
+    not just the API: batch 1 delivers the full events table, batch 2 a
+    single sentinel row 400 days in the future (advancing the watermark
+    far past every batch-1 event, so ALL dedup state is evicted), and
+    batch 3 re-delivers the full table below the watermark. Measured
+    semantics encoded by the oracle: the re-delivered rows are dropped
+    as late input (watermarked stateful operators filter input below
+    the watermark), so the appended sink minus the sentinel equals ONE
+    distinct pass — identical to the unbounded dedup's answer, reached
+    with evictable state. Deterministic given file order
+    (maxFilesPerTrigger=1, mtimes pinned like events_stream_late_drop)."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from labelspark_spark.streaming import events as se
+
+    d = tempfile.mkdtemp(prefix="events_stream_ddww_")
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    pq.write_table(t, f"{d}/part-0.parquet")
+    sentinel_id = 99_999_999
+    one = t.slice(0, 1)
+    fut = pc.add(
+        one["ts"], pa.scalar(34_560_000_000_000_000, type=pa.duration("ns"))
+    ).cast(t["ts"].type)  # +400 days, cast back to the file's physical type
+    one = one.set_column(t.schema.get_field_index("ts"), "ts", fut)
+    one = one.set_column(
+        t.schema.get_field_index("event_id"),
+        "event_id",
+        pa.array([sentinel_id], type=t["event_id"].type),
+    )
+    pq.write_table(one, f"{d}/part-1.parquet")
+    pq.write_table(t, f"{d}/part-2.parquet")
+    base = _time.time() - 600
+    for i in range(3):
+        os.utime(f"{d}/part-{i}.parquet", (base + 60 * i, base + 60 * i))
+
+    stream = _normalize_ts(se.read_events_stream(spark, d))
+    deduped = se.streaming_dedup_within_watermark(stream, keys=["event_id"])
+    _replay_to_memory(deduped, "events_stream_ddww_sink", "append")
+    return (
+        spark.table("events_stream_ddww_sink")
+        .filter(F.col("event_id") != sentinel_id)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_EVENTS_STREAM_DEDUP_WATERMARK = SQL_EVENTS_STREAM_DEDUP
+
+
 # --------------------------------------------------------------------------
 # round 3: real pixel decode + embedding normalization
 # --------------------------------------------------------------------------
@@ -12640,6 +12699,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_TIMESERIES_ROLLUP_CASCADE,
     ),
     "text_readability": (q_text_readability, SQL_TEXT_READABILITY),
+    "events_stream_dedup_watermark": (
+        q_events_stream_dedup_watermark,
+        SQL_EVENTS_STREAM_DEDUP_WATERMARK,
+    ),
 }
 
 

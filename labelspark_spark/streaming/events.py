@@ -119,6 +119,28 @@ def streaming_dedup(
     return src.dropDuplicates(keys)
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """BOUNDED-state streaming dedup (`dropDuplicatesWithinWatermark`,
+    Spark 3.5+): dedup state for a key is EVICTED once the watermark
+    passes its event time, so state size is proportional to the
+    watermark horizon — the only dedup a 100 TB stream can run forever
+    (plain `dropDuplicates` keeps every key seen, growing without
+    bound). The trade: a duplicate arriving after its key's state was
+    evicted is no longer recognized; re-delivered rows below the
+    watermark are dropped as late input (measured — see
+    q_events_stream_dedup_watermark)."""
+    keys = keys or ["event_id"]
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    if not events.isStreaming:
+        return src.dropDuplicates(keys)
+    return src.dropDuplicatesWithinWatermark(keys)
+
+
 def write_stream_to_memory(df: DataFrame, name: str, mode: str = "append"):
     """Test sink: in-memory table, returns the StreamingQuery."""
     return df.writeStream.format("memory").queryName(name).outputMode(mode).start()
