@@ -137,3 +137,41 @@ def test_cdc_python_twin_matches_spark(spark):
         cuts = _cdc_cuts(text)
         exp = (len(cuts), cuts[0] if cuts else -1, cuts[-1] if cuts else -1)
         assert out[doc_id] == exp, (doc_id, out[doc_id], exp)
+
+
+@given(
+    pred0=st.integers(-32768, 32767),
+    idx0=st.integers(0, 88),
+    nibbles=st.lists(st.integers(0, 15), min_size=1, max_size=200),
+)
+@settings(max_examples=120, deadline=None)
+def test_ima_adpcm_differential_vs_audioop(pred0, idx0, nibbles):
+    """Differential property test: ima_adpcm_expand agrees bit-for-bit
+    with CPython's audioop adpcm2lin (the DVI/IMA reference
+    implementation) for ARBITRARY initial state and nibble streams —
+    not just the closed-form fixtures the oracle replays. audioop packs
+    HIGH nibble first; IMA WAV (and our decoder) packs LOW first, so
+    the check feeds audioop a repacked fragment."""
+    import struct
+
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        import pytest
+
+        pytest.skip("audioop removed (3.13+); fixture oracle still pins the loop")
+
+    from labelspark_spark.operators.multimodal import ima_adpcm_expand
+
+    mine = ima_adpcm_expand(pred0, idx0, nibbles)[1:]
+    padded = nibbles + ([0] if len(nibbles) % 2 else [])
+    frag = bytes(
+        ((padded[i] << 4) | padded[i + 1]) for i in range(0, len(padded), 2)
+    )
+    lin, _ = audioop.adpcm2lin(frag, 2, (pred0, idx0))
+    vals = list(struct.unpack(f"<{len(lin) // 2}h", lin))[: len(nibbles)]
+    assert vals == mine
