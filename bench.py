@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "bm25_index_probe",
     "timeseries_rollup_cascade",
     "text_readability",
+    "wordpiece_segment",
 ]
 
 

@@ -12098,9 +12098,11 @@ def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             # key. A null prev-state (try_element_at(acc, L) for i<L)
             # nulls the candidate, which also guards the out-of-range
             # substr starts — same null discipline as the oracle.
+            # the lookup must promote to long BEFORE *1000: piece scores
+            # reach -2.4e6, and an int32 product -2.4e9 overflows
             cands.append(
                 F.try_element_at(acc, F.lit(L))
-                + (F.try_element_at(m, piece) * F.lit(1000) - F.lit(1))
+                + (F.try_element_at(m, piece).cast("long") * F.lit(1000) - F.lit(1))
             )
         best = F.greatest(*cands)  # greatest skips nulls on both engines
         return F.concat(F.array(best), F.slice(acc, 1, 3))
@@ -12163,6 +12165,114 @@ toks AS (
          CAST(-((-p1) // 1000) AS BIGINT) AS score_unats,
          CAST((-p1) % 1000 AS INTEGER) AS n_pieces
   FROM st WHERE i = length(tok)
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(cnt * n_pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(cnt * score_unats) AS BIGINT) AS score_unats
+FROM per_doc JOIN seg USING (tok)
+GROUP BY 1
+"""
+
+
+def q_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style GREEDY longest-match segmentation over the same
+    piece vocabulary as unigram_segment — completing the tokenizer
+    trio (BPE merge/train/apply, unigram-LM Viterbi, WordPiece greedy)
+    and making greedy's suboptimality observable: on this vocabulary 4
+    of 31 tokens segment differently (e.g. 'column' — greedy 4 pieces
+    vs the DP's optimal 3). Same engineering shape as the Viterbi
+    query: a pure-JVM `F.aggregate` fold per DISTINCT token, but the
+    carried state is (next-match position, packed score) because greedy
+    advances by the matched piece's length — fold steps before the
+    cursor are identity. Longest-match-first falls out of one COALESCE
+    over the 4→1 lookups; at the string tail substr truncates, so the
+    L=4 probe IS the longest-remaining-piece probe (cursor overshoot
+    past the end is benign: no steps remain). The oracle replays the
+    same chain as a linear recursive CTE. Integer micro-nat scores
+    packed as score*1000 - n_pieces — exact on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(T.whitespace_tokens(T.normalize_text(F.col("text")))).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    dtok = per_doc.select("tok").distinct()
+
+    m = F.create_map(*[F.lit(x) for kv in _UNIGRAM_PIECES.items() for x in kv])
+
+    def step(acc, i):
+        pos = acc.getField("pos")
+        packed = acc.getField("packed")
+        looks = {
+            L: F.try_element_at(m, F.col("tok").substr(pos, F.lit(L)))
+            for L in (4, 3, 2, 1)
+        }
+        advance = (
+            F.when(looks[4].isNotNull(), F.lit(4))
+            .when(looks[3].isNotNull(), F.lit(3))
+            .when(looks[2].isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+        )
+        # promote to long BEFORE *1000 (int32 product would overflow)
+        matched = F.coalesce(looks[4], looks[3], looks[2], looks[1]).cast("long")
+        stepped = F.struct(
+            (pos + advance).cast("int").alias("pos"),
+            (packed + matched * F.lit(1000) - F.lit(1)).alias("packed"),
+        )
+        return F.when(i < pos, acc).otherwise(stepped)
+
+    init = F.struct(
+        F.lit(1).cast("int").alias("pos"), F.lit(0).cast("long").alias("packed")
+    )
+    folded = F.aggregate(F.sequence(F.lit(1), F.length("tok")), init, step)
+    packed = folded.getField("packed")
+    seg = dtok.select(
+        "tok",
+        (-F.floor((-packed) / F.lit(1000)).cast("bigint")).alias("score_unats"),
+        F.pmod(-packed, F.lit(1000)).cast("int").alias("n_pieces"),
+    )
+    return (
+        per_doc.join(F.broadcast(seg), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("n_pieces")).alias("n_pieces"),
+            F.sum(F.col("cnt") * F.col("score_unats")).alias("score_unats"),
+        )
+        .select("doc_id", "n_tokens", "n_pieces", "score_unats")
+    )
+
+
+SQL_WORDPIECE_SEGMENT = f"""
+WITH RECURSIVE pieces(piece, s) AS (VALUES {_UNIGRAM_PIECES_SQL}),
+toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c=NORM_SQL.format(c='text'))}) AS tok
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2
+), dtok AS (
+  SELECT DISTINCT tok FROM per_doc
+), st AS (
+  SELECT tok, 1 AS pos, CAST(0 AS BIGINT) AS packed FROM dtok
+  UNION ALL
+  SELECT tok,
+         pos + CASE WHEN s4 IS NOT NULL THEN 4 WHEN s3 IS NOT NULL THEN 3
+                    WHEN s2 IS NOT NULL THEN 2 ELSE 1 END,
+         packed + COALESCE(s4, s3, s2, s1) * 1000 - 1
+  FROM (
+    SELECT tok, pos, packed,
+           (SELECT s FROM pieces WHERE piece = substr(tok, pos, 4)) AS s4,
+           (SELECT s FROM pieces WHERE piece = substr(tok, pos, 3)) AS s3,
+           (SELECT s FROM pieces WHERE piece = substr(tok, pos, 2)) AS s2,
+           (SELECT s FROM pieces WHERE piece = substr(tok, pos, 1)) AS s1
+    FROM st WHERE pos <= length(tok)
+  )
+), seg AS (
+  SELECT tok,
+         CAST(-((-packed) // 1000) AS BIGINT) AS score_unats,
+         CAST((-packed) % 1000 AS INTEGER) AS n_pieces
+  FROM st WHERE pos > length(tok)
 )
 SELECT doc_id,
        CAST(SUM(cnt) AS BIGINT) AS n_tokens,
@@ -12703,6 +12813,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_events_stream_dedup_watermark,
         SQL_EVENTS_STREAM_DEDUP_WATERMARK,
     ),
+    "wordpiece_segment": (q_wordpiece_segment, SQL_WORDPIECE_SEGMENT),
 }
 
 
