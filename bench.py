@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "timeseries_rollup_cascade",
     "text_readability",
     "wordpiece_segment",
+    "phrase_search",
 ]
 
 

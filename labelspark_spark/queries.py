@@ -12283,6 +12283,56 @@ GROUP BY 1
 """
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over POSITIONAL postings — the last classic
+    IR primitive beside BM25/tfidf: postings are (doc_id, tok, pos)
+    from one posexplode, each phrase term's posting list is filtered
+    FIRST (term predicates push to the scan; at index scale these are
+    the bucket-pruned lists bm25_index_probe persists), and adjacency
+    is an equi-join on (doc_id, pos+1) — narrow co-keyed rows, never
+    the document text. Top-10 docs by occurrence count of the phrase
+    'stream column'. A row-local zip-over-adjacent-tokens computes the
+    same counts with zero shuffle when documents arrive as arrays; the
+    postings-join form is the one that works against a PERSISTED index
+    without touching the corpus."""
+    t1, t2 = "stream", "column"
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(T.whitespace_tokens(T.normalize_text(F.col("text")))).alias(
+            "pos", "tok"
+        ),
+    )
+    a = toks.filter(F.col("tok") == t1).select("doc_id", F.col("pos").alias("_p1"))
+    b = toks.filter(F.col("tok") == t2).select("doc_id", F.col("pos").alias("_p2"))
+    hits = a.join(
+        b, (a["doc_id"] == b["doc_id"]) & (b["_p2"] == a["_p1"] + 1)
+    ).select(a["doc_id"])
+    counts = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return _global_topk(
+        counts, 10, (F.col("n_hits").desc(), F.col("doc_id")), "rank"
+    ).select("doc_id", "n_hits", F.col("rank").cast("int").alias("rank"))
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest({TOKS_SQL.format(c=NORM_SQL.format(c='text'))}) AS tok,
+         generate_subscripts({TOKS_SQL.format(c=NORM_SQL.format(c='text'))}, 1) AS pos
+  FROM documents
+), a AS (SELECT doc_id, pos FROM toks WHERE tok = 'stream'),
+b AS (SELECT doc_id, pos FROM toks WHERE tok = 'column'),
+counts AS (
+  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1
+)
+SELECT doc_id, n_hits,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id) AS INTEGER) AS rank
+FROM counts QUALIFY rank <= 10
+"""
+
+
 def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted inverted-index build/probe split for BM25 (the text
     twin of similarity_ivf_probe): postings (tok, doc_id, tf, dl) are
@@ -12814,6 +12864,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_EVENTS_STREAM_DEDUP_WATERMARK,
     ),
     "wordpiece_segment": (q_wordpiece_segment, SQL_WORDPIECE_SEGMENT),
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
 }
 
 
