@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "text_readability",
     "wordpiece_segment",
     "phrase_search",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -1263,6 +1263,72 @@ def decode_image_meta(
     return df.select(id_col, content_col).mapInPandas(_decode, schema=out_schema)
 
 
+def phash_bands_from_gray(pixels: bytes) -> tuple[int, int, int, int] | None:
+    """Average-hash perceptual fingerprint of a small grayscale image
+    (the aHash member of the pHash family): bit k is 1 iff pixel k is
+    strictly above the image mean (compared as 64*p > sum — exact
+    integer arithmetic, no division), returned as FOUR 16-bit band
+    values rather than one packed int64. The band split serves the
+    scale plan directly: near-dup candidates are pairs sharing ANY
+    intact band, and by pigeonhole that banding is LOSSLESS for
+    hamming distance <= 3 (4 bands, <=3 differing bits leave one band
+    untouched) — so the banded join provably equals all-pairs at the
+    declared threshold. Requires exactly 64 pixels (an 8x8 thumbnail,
+    e.g. from resize_nearest)."""
+    if pixels is None or len(pixels) != 64:
+        return None
+    s = sum(pixels)
+    bits = [1 if 64 * p > s else 0 for p in pixels]
+    return tuple(
+        sum(bits[16 * b + i] << i for i in range(16)) for b in range(4)
+    )
+
+
+def decode_phash_bands(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched REAL-decode perceptual hashing: PNG pixel decode
+    (:func:`png_decode`) -> 8x8 aHash band values per blob. Images that
+    are not 8x8 grayscale PNGs yield null bands."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("b0", IntegerType(), True),
+            StructField("b1", IntegerType(), True),
+            StructField("b2", IntegerType(), True),
+            StructField("b3", IntegerType(), True),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for content in chunk[content_col]:
+                    decoded = png_decode(content)
+                    bands = None
+                    if decoded is not None:
+                        w, h, ch, px = decoded
+                        if (w, h, ch) == (8, 8, 1):
+                            bands = phash_bands_from_gray(px)
+                    out.append(bands or (None, None, None, None))
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        "b0": pd.array([o[0] for o in out], dtype="Int32"),
+                        "b1": pd.array([o[1] for o in out], dtype="Int32"),
+                        "b2": pd.array([o[2] for o in out], dtype="Int32"),
+                        "b3": pd.array([o[3] for o in out], dtype="Int32"),
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
+
+
 def png_encode_gray(pixels: bytes, width: int, height: int) -> bytes:
     """Minimal 8-bit grayscale PNG encoder — pure stdlib (struct + zlib).
 

@@ -12333,6 +12333,113 @@ FROM counts QUALIFY rank <= 10
 """
 
 
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-decode IMAGE near-duplicate detection — the capstone tying
+    the multimodal codecs to the dedup family: spec-valid 8x8 grayscale
+    PNGs are generated in closed form with CONTROLLED near-dups (docs
+    share a base pattern per group of 4 — offset (g*37)%151, row/col
+    strides 7+g%13 / 11+g%17 so distinct groups rarely collide — and
+    doc j of a group brightens its first j pixels by 100), decoded by
+    the stdlib inflate+unfilter codec, fingerprinted with an 8x8
+    average-hash as FOUR 16-bit bands (multimodal.phash_bands_from_gray
+    — bit k: 64*p_k > pixel sum, exact integers), then paired by a
+    BANDED self-join: candidates share at least one intact band, which
+    by pigeonhole is LOSSLESS for hamming <= 3 — the oracle computes
+    ALL-pairs hamming from the closed-form pixels, so the hash match
+    proves decoder + fingerprint + the band join's completeness
+    guarantee at once. At 100 TB this is the image twin of MinHash-LSH:
+    the only join is band-blocked, never all-pairs."""
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _enc(d: int) -> bytes:
+        g, j = d // 4, d % 4
+        m = (g * 37) % 151
+        rs, cs = 7 + g % 13, 11 + g % 17
+        px = bytes(
+            ((m + r * rs + c * cs) % 151) + (100 if (r * 8 + c) < j else 0)
+            for r in range(8)
+            for c in range(8)
+        )
+        return mm.png_encode_gray(px, 8, 8)
+
+    staged = _stage_media(docs, _enc)
+    # one decode pass, materialized before the self-join (4 ints/doc)
+    h = mm.decode_phash_bands(staged, content_col="content", id_col="doc_id").localCheckpoint(
+        eager=False
+    )
+    bands = h.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "v"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("b0").alias("_a0"),
+        F.col("b1").alias("_a1"),
+        F.col("b2").alias("_a2"),
+        F.col("b3").alias("_a3"),
+        "band",
+        "v",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("b0").alias("_b0"),
+        F.col("b1").alias("_b1"),
+        F.col("b2").alias("_b2"),
+        F.col("b3").alias("_b3"),
+        "band",
+        "v",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"_a{i}").bitwiseXOR(F.col(f"_b{i}"))) for i in range(4)
+    )
+    return (
+        a.join(b, ["band", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+SQL_MULTIMODAL_PHASH_DEDUP = """
+WITH px AS (
+  SELECT doc_id, r, c,
+         (((doc_id // 4) * 37) % 151 + r * (7 + (doc_id // 4) % 13)
+          + c * (11 + (doc_id // 4) % 17)) % 151
+         + CASE WHEN r * 8 + c < doc_id % 4 THEN 100 ELSE 0 END AS p
+  FROM documents, unnest(range(0, 8)) AS t1(r), unnest(range(0, 8)) AS t2(c)
+), s AS (
+  SELECT doc_id, SUM(p) AS total FROM px GROUP BY 1
+), bits AS (
+  SELECT px.doc_id, (r * 8 + c) // 16 AS band, (r * 8 + c) % 16 AS off,
+         CASE WHEN 64 * p > total THEN 1 ELSE 0 END AS bit
+  FROM px JOIN s USING (doc_id)
+), bv AS (
+  SELECT doc_id, band, CAST(SUM(bit * (1 << off)) AS BIGINT) AS v
+  FROM bits GROUP BY 1, 2
+), h AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band = 0 THEN v END) AS b0,
+         MAX(CASE WHEN band = 1 THEN v END) AS b1,
+         MAX(CASE WHEN band = 2 THEN v END) AS b2,
+         MAX(CASE WHEN band = 3 THEN v END) AS b3
+  FROM bv GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+"""
+
+
 def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted inverted-index build/probe split for BM25 (the text
     twin of similarity_ivf_probe): postings (tok, doc_id, tf, dl) are
@@ -12865,6 +12972,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "wordpiece_segment": (q_wordpiece_segment, SQL_WORDPIECE_SEGMENT),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "multimodal_phash_dedup": (q_multimodal_phash_dedup, SQL_MULTIMODAL_PHASH_DEDUP),
 }
 
 
