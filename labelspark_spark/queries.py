@@ -12695,16 +12695,23 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # q10/q18, both in-window, so the changed code path is attested)
     "tpch_q21_last_shipper": (q_tpch_q21_last_shipper, SQL_TPCH_Q21),
     "tpch_q22_dormant_customers": (q_tpch_q22_dormant_customers, SQL_TPCH_Q22),
-    # NEXT ROTATION (r7): the remaining never-driver-checked ~53 below
-    # (the deferred TPC-H stragglers q16/q19/q20/q21/q22, all seven
-    # deferred streaming replays, the DSv2 trio — kept together for
-    # r7 — bucketed/sink roundtrips, third-wave SQL-form/function/codec
-    # queries + the 7 unchecked second-wave), then the r02-stale 11 +
-    # r02-deferred 15. Window accounting for r6: 33 new queries + 9
-    # changed re-attests (token_ids/JL/duration + the _global_topk
-    # consumers incl. tpch_q10/q18 and bpe_train_iters) + batch-11 five
-    # + TPC-H depth q2..q15 — new/changed code outranks re-attesting
-    # greens and never-checked unchanged queries, as in r5.
+    # NEXT ROTATION (r7): the remaining never-driver-checked ~66 below —
+    # lead with the 13 r6 POST-WINDOW additions (appended after the r6
+    # window froze: bm25_retrieval/index_probe, rank_fusion_rrf,
+    # phrase_search, keyword_signature_sim, unigram/wordpiece_segment,
+    # multimodal_audio_adpcm, multimodal_phash_dedup, group_trend_ols,
+    # timeseries_rollup_cascade, text_readability,
+    # events_stream_dedup_watermark — all new code, so they outrank
+    # never-checked unchanged queries), then the deferred TPC-H
+    # stragglers q16/q19/q20/q21/q22, all seven deferred streaming
+    # replays, the DSv2 trio — kept together — bucketed/sink
+    # roundtrips, third-wave SQL-form/function/codec queries + the 7
+    # unchecked second-wave, then the r02-stale 11 + r02-deferred 15.
+    # Window accounting for r6: 33 new queries + 9 changed re-attests
+    # (token_ids/JL/duration + the _global_topk consumers incl.
+    # tpch_q10/q18 and bpe_train_iters) + batch-11 five + TPC-H depth
+    # q2..q15 — new/changed code outranks re-attesting greens and
+    # never-checked unchanged queries, as in r5.
     "tpch_q20_dominant_supplier": (q_tpch_q20_dominant_supplier, SQL_TPCH_Q20),
     "events_stream_outer_join": (
         q_events_stream_outer_join,

@@ -585,3 +585,46 @@ def test_bm25_index_probe_prunes_buckets(spark):
     assert picks, plan[:1200]
     assert all(int(sel) < int(tot) for sel, tot in picks), picks
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:600]
+
+
+def test_analyze_table_feeds_cbo_statistics(spark):
+    """Cost-based-optimizer surface: ANALYZE TABLE COMPUTE STATISTICS
+    feeds exact rowCount/sizeInBytes into the catalog, and the
+    optimized plan USES them — at 100 TB, stats are what let Catalyst
+    pick broadcast sides and join orders without hints. Asserts (1)
+    the catalog stats carry the exact row count after ANALYZE, (2) the
+    cost-mode plan of a scan carries that rowCount, and (3) a join
+    against the analyzed small table picks a broadcast join from SIZE
+    STATS ALONE (no broadcast() hint in the query)."""
+    import re
+
+    from labelspark_spark.sources.readers import read_table as _t
+
+    table = "cbo_stats_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    small = _t(spark, SF_SMOKE, "nation")
+    small.write.saveAsTable(table)
+    n = small.count()
+
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    desc = spark.sql(f"DESC EXTENDED {table}").collect()
+    stats_row = [r.data_type for r in desc if r.col_name == "Statistics"]
+    assert stats_row and f"{n} rows" in stats_row[0], stats_row
+
+    # rowCount only propagates into plan statistics under CBO
+    # (spark.sql.cbo.enabled is dynamic, default false)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        probe = spark.table(table)
+        cost = probe._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("cost")
+        )
+        assert re.search(rf"rowCount={n}\b", cost), cost[:800]
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+
+    # no hint anywhere: the broadcast decision must come from the stats
+    big = _t(spark, SF_SMOKE, "customer")
+    joined = big.join(probe, big["c_nationkey"] == probe["n_nationkey"])
+    plan = explain.formatted_plan(joined)
+    assert "BroadcastHashJoin" in plan, plan[:1200]
