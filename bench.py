@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "wordpiece_segment",
     "phrase_search",
     "multimodal_phash_dedup",
+    "k_anonymity_audit",
 ]
 
 

@@ -12440,6 +12440,49 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
 """
 
 
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate of a
+    release pipeline (PII scrubbing removes direct identifiers; this
+    measures whether the (lang, source) QUASI-identifier combination
+    still isolates individuals): per equivalence class the size, the
+    below-k flag (k=5), and the class size AFTER the standard remedy —
+    generalizing the source of every below-k class to '*' within its
+    lang — plus whether residual risk remains (the generalized pool
+    itself still below k). Two keyed aggregations and one lang-keyed
+    window; at 100 TB the class census is a partial-agg groupBy and
+    nothing materializes beyond the class list."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("grp_size"))
+    below = F.col("grp_size") < 5
+    w = Window.partitionBy("lang")
+    pooled = F.sum(F.when(below, F.col("grp_size")).otherwise(F.lit(0))).over(w)
+    out = g.select(
+        "lang",
+        "source",
+        "grp_size",
+        below.alias("below_k"),
+        F.when(below, pooled).otherwise(F.col("grp_size")).alias("post_gen_size"),
+    )
+    return out.withColumn("residual_risk", F.col("post_gen_size") < 5)
+
+
+SQL_K_ANONYMITY_AUDIT = """
+WITH g AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS grp_size
+  FROM documents GROUP BY 1, 2
+), f AS (
+  SELECT lang, source, grp_size, grp_size < 5 AS below_k,
+         SUM(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+           OVER (PARTITION BY lang) AS pooled
+  FROM g
+)
+SELECT lang, source, grp_size, below_k,
+       CAST(CASE WHEN below_k THEN pooled ELSE grp_size END AS BIGINT) AS post_gen_size,
+       CASE WHEN below_k THEN pooled ELSE grp_size END < 5 AS residual_risk
+FROM f
+"""
+
+
 def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted inverted-index build/probe split for BM25 (the text
     twin of similarity_ivf_probe): postings (tok, doc_id, tf, dl) are
@@ -12980,6 +13023,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "wordpiece_segment": (q_wordpiece_segment, SQL_WORDPIECE_SEGMENT),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "multimodal_phash_dedup": (q_multimodal_phash_dedup, SQL_MULTIMODAL_PHASH_DEDUP),
+    "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY_AUDIT),
 }
 
 

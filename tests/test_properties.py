@@ -175,3 +175,29 @@ def test_ima_adpcm_differential_vs_audioop(pred0, idx0, nibbles):
     lin, _ = audioop.adpcm2lin(frag, 2, (pred0, idx0))
     vals = list(struct.unpack(f"<{len(lin) // 2}h", lin))[: len(nibbles)]
     assert vals == mine
+
+
+@given(blob=st.one_of(st.none(), st.binary(max_size=400)))
+@settings(max_examples=150, deadline=None)
+def test_codec_robustness_arbitrary_bytes(blob):
+    """At corpus scale the decoders face arbitrary bytes; every codec
+    must refuse garbage with an all-None result, never an exception.
+    Fuzzes the WAV family (PCM16, G.711, IMA-ADPCM), the image
+    decoders, and the container walkers on arbitrary (and truncated
+    RIFF-prefixed) input."""
+    from labelspark_spark.operators import multimodal as mm
+
+    decoders = [
+        mm.parse_wav_header,
+        mm.wav_decode_samples,
+        mm.wav_decode_samples_g711,
+        mm.wav_decode_samples_adpcm,
+        mm.png_decode,
+        mm.parse_mp4_header,
+        mm.parse_exif,
+        mm.parse_tiff_header,
+        mm.parse_image_header,
+    ]
+    for variant in (blob, (b"RIFF" + blob + b"WAVE" if blob else blob)):
+        for dec in decoders:
+            dec(variant)  # must not raise, whatever the shape
