@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "phrase_search",
     "multimodal_phash_dedup",
     "k_anonymity_audit",
+    "proximity_search",
 ]
 
 

@@ -12440,6 +12440,56 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
 """
 
 
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (slop) search — the relaxation between exact phrase
+    and bag-of-words: co-occurrences of 'stream' and 'column' within a
+    3-token window in EITHER order, counted per document, top-10 docs.
+    Same positional-postings shape as phrase_search but the adjacency
+    equality becomes a bounded band predicate (abs(p2-p1) <= 3, p1 <>
+    p2 vacuous across distinct terms) — Spark executes it as the
+    doc_id equi-join with the band as a residual filter, so the
+    postings never explode beyond the per-doc term-pair product.
+    Completes the IR ladder: term (BM25) -> proximity -> phrase."""
+    t1, t2 = "stream", "column"
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(T.whitespace_tokens(T.normalize_text(F.col("text")))).alias(
+            "pos", "tok"
+        ),
+    )
+    a = toks.filter(F.col("tok") == t1).select("doc_id", F.col("pos").alias("_p1"))
+    b = toks.filter(F.col("tok") == t2).select("doc_id", F.col("pos").alias("_p2"))
+    hits = a.join(
+        b,
+        (a["doc_id"] == b["doc_id"])
+        & (F.abs(b["_p2"] - a["_p1"]) <= F.lit(3)),
+    ).select(a["doc_id"])
+    counts = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return _global_topk(
+        counts, 10, (F.col("n_hits").desc(), F.col("doc_id")), "rank"
+    ).select("doc_id", "n_hits", F.col("rank").cast("int").alias("rank"))
+
+
+SQL_PROXIMITY_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest({TOKS_SQL.format(c=NORM_SQL.format(c='text'))}) AS tok,
+         generate_subscripts({TOKS_SQL.format(c=NORM_SQL.format(c='text'))}, 1) AS pos
+  FROM documents
+), a AS (SELECT doc_id, pos FROM toks WHERE tok = 'stream'),
+b AS (SELECT doc_id, pos FROM toks WHERE tok = 'column'),
+counts AS (
+  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM a JOIN b ON a.doc_id = b.doc_id AND ABS(b.pos - a.pos) <= 3
+  GROUP BY 1
+)
+SELECT doc_id, n_hits,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id) AS INTEGER) AS rank
+FROM counts QUALIFY rank <= 10
+"""
+
+
 def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over quasi-identifiers — the privacy gate of a
     release pipeline (PII scrubbing removes direct identifiers; this
@@ -13024,6 +13074,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "multimodal_phash_dedup": (q_multimodal_phash_dedup, SQL_MULTIMODAL_PHASH_DEDUP),
     "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY_AUDIT),
+    "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
 }
 
 
