@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "multimodal_phash_dedup",
     "k_anonymity_audit",
     "proximity_search",
+    "fifo_allocation",
 ]
 
 

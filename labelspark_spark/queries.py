@@ -12440,6 +12440,134 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
 """
 
 
+def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO quantity allocation — the queue-matching pattern of
+    inventory/ledger analytics (sells consume earliest buys), one of
+    the classically-hard SQL shapes, solved with the double
+    running-sum interval trick: per customer, purchases and returns
+    each get [cum_prev, cum) quantity intervals along the order
+    timeline, and an interval-OVERLAP join allocates overlap =
+    LEAST(hi)-GREATEST(lo) units of each return to each purchase —
+    FIFO falls out of the cumulative ordering with no iteration.
+    Determinism: (l_orderkey, l_linenumber) is NOT unique in this
+    data, so line rows are pre-aggregated per (cust, date, order,
+    line, returnflag) and the running-sum order carries returnflag as
+    the final tiebreak — a total order per stream. Quantities are
+    integral doubles quantized floor(q+0.5) (never a bare bigint
+    cast: Spark truncates where DuckDB rounds). Scale shape: both
+    interval sets are customer-keyed, the join is an equi-join on
+    customer with the overlap as a residual band filter, and the
+    output is one row per customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+    base = (
+        li.join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.col("o_custkey").alias("cust"),
+                F.col("o_orderdate").alias("d"),
+            ),
+            "l_orderkey",
+        )
+        .select(
+            "cust", "d", F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"), F.col("l_returnflag").alias("rf"),
+            qty.alias("qty"),
+        )
+        .groupBy("cust", "d", "ok", "ln", "rf")
+        .agg(F.sum("qty").alias("qty"))
+    )
+    w = (
+        Window.partitionBy("cust")
+        .orderBy("d", "ok", "ln", "rf")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    buys = (
+        base.filter(F.col("rf") != "R")
+        .withColumn("hi", F.sum("qty").over(w))
+        .select("cust", (F.col("hi") - F.col("qty")).alias("lo"), "hi")
+    )
+    rets = (
+        base.filter(F.col("rf") == "R")
+        .withColumn("hi", F.sum("qty").over(w))
+        .select("cust", (F.col("hi") - F.col("qty")).alias("lo"), "hi")
+    )
+    alloc = (
+        rets.alias("r")
+        .join(
+            buys.alias("b"),
+            (F.col("r.cust") == F.col("b.cust"))
+            & (F.col("b.lo") < F.col("r.hi"))
+            & (F.col("r.lo") < F.col("b.hi")),
+        )
+        .groupBy(F.col("r.cust").alias("cust"))
+        .agg(
+            F.sum(
+                F.least(F.col("b.hi"), F.col("r.hi"))
+                - F.greatest(F.col("b.lo"), F.col("r.lo"))
+            ).alias("matched_qty"),
+            F.count(F.lit(1)).alias("n_allocations"),
+        )
+    )
+    totals = base.groupBy("cust").agg(
+        F.sum(F.when(F.col("rf") != "R", F.col("qty")).otherwise(0)).alias("bought_qty"),
+        F.sum(F.when(F.col("rf") == "R", F.col("qty")).otherwise(0)).alias("returned_qty"),
+    )
+    return totals.join(alloc, "cust", "left").select(
+        F.col("cust").alias("custkey"),
+        "bought_qty",
+        "returned_qty",
+        F.coalesce(F.col("matched_qty"), F.lit(0).cast("bigint")).alias("fifo_matched_qty"),
+        (
+            F.col("returned_qty")
+            - F.coalesce(F.col("matched_qty"), F.lit(0).cast("bigint"))
+        ).alias("unmatched_qty"),
+        F.coalesce(F.col("n_allocations"), F.lit(0).cast("bigint")).alias("n_allocations"),
+    )
+
+
+SQL_FIFO_ALLOCATION = """
+WITH base AS (
+  SELECT o.o_custkey AS cust, o.o_orderdate AS d, l.l_orderkey AS ok,
+         l.l_linenumber AS ln, l.l_returnflag AS rf,
+         CAST(SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3, 4, 5
+), buys AS (
+  SELECT cust, hi - qty AS lo, hi FROM (
+    SELECT cust, qty,
+           SUM(qty) OVER (PARTITION BY cust ORDER BY d, ok, ln, rf
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+    FROM base WHERE rf <> 'R'
+  )
+), rets AS (
+  SELECT cust, hi - qty AS lo, hi FROM (
+    SELECT cust, qty,
+           SUM(qty) OVER (PARTITION BY cust ORDER BY d, ok, ln, rf
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+    FROM base WHERE rf = 'R'
+  )
+), alloc AS (
+  SELECT r.cust,
+         CAST(SUM(LEAST(b.hi, r.hi) - GREATEST(b.lo, r.lo)) AS BIGINT) AS matched_qty,
+         CAST(COUNT(*) AS BIGINT) AS n_allocations
+  FROM rets r JOIN buys b ON r.cust = b.cust AND b.lo < r.hi AND r.lo < b.hi
+  GROUP BY 1
+), totals AS (
+  SELECT cust,
+         CAST(SUM(CASE WHEN rf <> 'R' THEN qty ELSE 0 END) AS BIGINT) AS bought_qty,
+         CAST(SUM(CASE WHEN rf = 'R' THEN qty ELSE 0 END) AS BIGINT) AS returned_qty
+  FROM base GROUP BY 1
+)
+SELECT t.cust AS custkey, t.bought_qty, t.returned_qty,
+       CAST(COALESCE(a.matched_qty, 0) AS BIGINT) AS fifo_matched_qty,
+       CAST(t.returned_qty - COALESCE(a.matched_qty, 0) AS BIGINT) AS unmatched_qty,
+       CAST(COALESCE(a.n_allocations, 0) AS BIGINT) AS n_allocations
+FROM totals t LEFT JOIN alloc a ON a.cust = t.cust
+"""
+
+
 def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity (slop) search — the relaxation between exact phrase
     and bag-of-words: co-occurrences of 'stream' and 'column' within a
@@ -13075,6 +13203,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_phash_dedup": (q_multimodal_phash_dedup, SQL_MULTIMODAL_PHASH_DEDUP),
     "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY_AUDIT),
     "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
+    "fifo_allocation": (q_fifo_allocation, SQL_FIFO_ALLOCATION),
 }
 
 
