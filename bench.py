@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     # pins the AllPairs/PPJoin prefix arm (auto picks 'count' on this
     # corpus, so the other physical strategy needs its own bench row)
     "dedup_jaccard_prefix",
+    "similarity_topk_l2",
 ]
 
 

@@ -27,9 +27,15 @@ from labelspark_spark.functions.vectors import cosine, dot
 
 
 def _rank_topk(
-    scored: DataFrame, query_id: str, k: int, two_phase: bool = False
+    scored: DataFrame,
+    query_id: str,
+    k: int,
+    two_phase: bool = False,
+    order_cols=None,
 ) -> DataFrame:
-    """Deterministic top-k: rank on rounded cosine desc, id asc.
+    """Deterministic top-k: rank on rounded cosine desc, id asc by
+    default; pass ``order_cols`` for other metrics (e.g. L2 distance
+    ascending).
 
     ``two_phase=True`` first ranks within (scan partition, query) — the
     shuffle spreads over num_partitions × num_queries reducers and cuts
@@ -40,7 +46,11 @@ def _rank_topk(
     the global top-k is a subset of the union of per-partition top-ks,
     and both phases share the same total tie order.
     """
-    order = [F.col("cos").desc(), F.col("neighbor_id").asc()]
+    order = (
+        list(order_cols)
+        if order_cols is not None
+        else [F.col("cos").desc(), F.col("neighbor_id").asc()]
+    )
     if two_phase:
         w1 = Window.partitionBy("_pid", query_id).orderBy(*order)
         scored = (

@@ -1561,6 +1561,56 @@ QUALIFY rank <= 5
 """
 
 
+def q_similarity_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force EUCLIDEAN top-5 for 5 query vectors — the L2 metric
+    arm of the exact-ANN family (everything else ranks by cosine;
+    k-means/IVF assignment is L2 internally, so this also attests the
+    metric those paths minimize). Same broadcast-query/corpus-stationary
+    scan shape as similarity_topk; distances via the HOF fold
+    (functions/vectors.l2_distance), rounded to 6dp with the identical
+    sqrt-of-sum shape on both engines, rank ties broken by neighbor id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        )
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv"))
+    scored = c.crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            V.l2_distance(
+                F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")
+            ),
+            6,
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
+    # per-query rank windows are bounded by the broadcast query count
+    # times corpus rows per partition; reuse the two-phase ANN ranker
+    from labelspark_spark.operators.similarity import _rank_topk
+
+    return _rank_topk(
+        scored, "query_id", 5, two_phase=True, order_cols=[F.col("dist").asc(), F.col("neighbor_id")]
+    ).select("query_id", "neighbor_id", "dist", "rank")
+
+
+SQL_SIMILARITY_TOPK_L2 = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         ROUND(list_distance(qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS dist
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, neighbor_id, dist,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — approximate, rows-only; recall bound in tests."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -13228,6 +13278,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
     "fifo_allocation": (q_fifo_allocation, SQL_FIFO_ALLOCATION),
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),
+    "similarity_topk_l2": (q_similarity_topk_l2, SQL_SIMILARITY_TOPK_L2),
 }
 
 
