@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     # corpus, so the other physical strategy needs its own bench row)
     "dedup_jaccard_prefix",
     "similarity_topk_l2",
+    "sql_group_order_by_all",
 ]
 
 

@@ -12691,6 +12691,33 @@ FROM counts QUALIFY rank <= 10
 """
 
 
+def q_sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (SPARK-41631/41635, the modern
+    analyst shorthand both engines adopted from DuckDB): every
+    non-aggregate select item becomes a grouping key, every select
+    item an ordering key — the statement text is byte-identical on
+    Spark and the oracle, the strongest SQL-surface parity form in the
+    registry. Exact integer cents; the trailing ORDER BY ALL is a
+    result-presentation sort (the driver compare is order-insensitive,
+    but the clause itself is the surface under test)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("gba_src_r6")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM gba_src_r6 GROUP BY ALL ORDER BY ALL
+        """
+    )
+
+
+SQL_GROUP_ORDER_BY_ALL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY ALL ORDER BY ALL
+"""
+
+
 def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over quasi-identifiers — the privacy gate of a
     release pipeline (PII scrubbing removes direct identifiers; this
@@ -13279,6 +13306,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fifo_allocation": (q_fifo_allocation, SQL_FIFO_ALLOCATION),
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),
     "similarity_topk_l2": (q_similarity_topk_l2, SQL_SIMILARITY_TOPK_L2),
+    "sql_group_order_by_all": (q_sql_group_order_by_all, SQL_GROUP_ORDER_BY_ALL),
 }
 
 

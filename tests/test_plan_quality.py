@@ -628,3 +628,52 @@ def test_analyze_table_feeds_cbo_statistics(spark):
     joined = big.join(probe, big["c_nationkey"] == probe["n_nationkey"])
     plan = explain.formatted_plan(joined)
     assert "BroadcastHashJoin" in plan, plan[:1200]
+
+
+def test_bm25_retrieval_plan_shape(spark):
+    """q_bm25_retrieval: df/N/avgdl must reach the scorer as
+    broadcasts, the final top-10 must be TakeOrderedAndProject (no
+    global sort), and no Python shows up anywhere."""
+    from labelspark_spark.queries import q_bm25_retrieval
+
+    plan = explain.formatted_plan(q_bm25_retrieval(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert plan.count("BroadcastExchange") >= 3, plan[:800]
+    assert "pythonudf" not in plan.lower()
+
+
+def test_fifo_allocation_plan_shape(spark):
+    """q_fifo_allocation: the interval-overlap join must be an
+    equi-join on customer (hash or sort-merge) with the band as a
+    residual condition — NEVER a BroadcastNestedLoop/Cartesian over
+    the interval sets."""
+    from labelspark_spark.queries import q_fifo_allocation
+
+    plan = explain.formatted_plan(q_fifo_allocation(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:800]
+
+
+def test_phash_dedup_band_join_shape(spark):
+    """q_multimodal_phash_dedup: the only pair source is the banded
+    equi-join — no cartesian, no nested-loop; the band explode keeps
+    the join keyed."""
+    from labelspark_spark.queries import q_multimodal_phash_dedup
+
+    plan = explain.formatted_plan(q_multimodal_phash_dedup(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+
+
+def test_unigram_wordpiece_folds_stay_jvm(spark):
+    """The tokenizer-fold queries must be pure JVM: no PythonUDF, no
+    mapInPandas — the DP is an F.aggregate expression, and the only
+    join is the broadcast of the per-distinct-token segmentation."""
+    from labelspark_spark.queries import q_unigram_segment, q_wordpiece_segment
+
+    for fn in (q_unigram_segment, q_wordpiece_segment):
+        plan = explain.formatted_plan(fn(spark, SF_SMOKE))
+        low = plan.lower()
+        assert "pythonudf" not in low and "mapinpandas" not in low, plan[:600]
+        assert "BroadcastHashJoin" in plan, plan[:600]
