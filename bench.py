@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "dedup_jaccard_prefix",
     "similarity_topk_l2",
     "sql_group_order_by_all",
+    "benford_conformance",
 ]
 
 

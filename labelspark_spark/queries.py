@@ -12691,6 +12691,83 @@ FROM counts QUALIFY rank <= 10
 """
 
 
+def q_benford_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance — the classic fraud /
+    data-fabrication screen of financial data quality (beside dq_checks
+    and anomaly_*): per event type, the observed first-significant-
+    digit distribution of positive cent amounts against the Benford
+    expectation p(d) = ln(1+1/d)/ln(10), as a dense 1..9 grid
+    (zero-observation digits surface explicitly) with per-cell chi2
+    contributions. Digit extraction is EXACT — first character of the
+    bigint's decimal string, no float log10 — and the only doubles are
+    the Benford expectation and chi2 term, ppm-quantized with the
+    identical shape both engines. Two keyed aggregates plus a 9-row
+    broadcast grid."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    c = ev.select("event_type", cents.alias("cents")).filter(F.col("cents") > 0)
+    obs = (
+        c.select(
+            "event_type",
+            F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit"),
+        )
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    n = obs.groupBy("event_type").agg(F.sum("observed").alias("n"))
+    grid = n.select(
+        "event_type", "n", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+    )
+    dense = grid.join(obs, ["event_type", "digit"], "left").select(
+        "event_type",
+        F.col("digit").cast("int").alias("digit"),
+        "n",
+        F.coalesce(F.col("observed"), F.lit(0)).cast("bigint").alias("observed"),
+    )
+    p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    exp_n = F.col("n") * p
+    dev = F.col("observed") - exp_n
+    return dense.select(
+        "event_type",
+        "digit",
+        "n",
+        "observed",
+        F.floor(p * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("benford_ppm"),
+        F.floor(dev * dev / exp_n * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("chi2_term_uppm"),
+    )
+
+
+SQL_BENFORD_CONFORMANCE = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) > 0
+), d AS (
+  SELECT event_type, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM c
+), obs AS (
+  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS observed FROM d GROUP BY 1, 2
+), n AS (
+  SELECT event_type, CAST(SUM(observed) AS BIGINT) AS n FROM obs GROUP BY 1
+), grid AS (
+  SELECT nn.event_type, g.digit, nn.n, COALESCE(o.observed, 0) AS observed
+  FROM n nn CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) g
+  LEFT JOIN obs o ON o.event_type = nn.event_type AND o.digit = g.digit
+)
+SELECT event_type, CAST(digit AS INTEGER) AS digit, n,
+       CAST(observed AS BIGINT) AS observed,
+       CAST(FLOOR(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000.0 + 0.5) AS BIGINT)
+         AS benford_ppm,
+       CAST(FLOOR(
+         (observed - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+         * (observed - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+         / (n * (ln(1.0 + 1.0 / digit) / ln(10.0))) * 1000000.0 + 0.5) AS BIGINT)
+         AS chi2_term_uppm
+FROM grid
+"""
+
+
 def q_sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL / ORDER BY ALL (SPARK-41631/41635, the modern
     analyst shorthand both engines adopted from DuckDB): every
@@ -13307,6 +13384,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),
     "similarity_topk_l2": (q_similarity_topk_l2, SQL_SIMILARITY_TOPK_L2),
     "sql_group_order_by_all": (q_sql_group_order_by_all, SQL_GROUP_ORDER_BY_ALL),
+    "benford_conformance": (q_benford_conformance, SQL_BENFORD_CONFORMANCE),
 }
 
 
