@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "similarity_topk_l2",
     "sql_group_order_by_all",
     "benford_conformance",
+    "ivm_join_view",
 ]
 
 

@@ -12691,6 +12691,58 @@ FROM counts QUALIFY rank <= 10
 """
 
 
+def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over a JOIN view — the delta-join
+    sibling of incremental_agg_merge (which maintains a plain
+    aggregate): the materialized view is revenue per nation
+    (orders JOIN customer, grouped), maintained as standing partials
+    from the 80% historical order slice plus a 20% DELTA batch that
+    joins ONLY against the (static) dimension and aggregates — the
+    classic IVM identity d(A JOIN B) = dA JOIN B for a static B, so
+    history is never rescanned: the delta pass touches |delta| fact
+    rows and the merge touches |nations| partial rows. Exact integer
+    cents keep the partial-merge associative; the oracle computes the
+    view from scratch and the hash match IS the maintenance-identity
+    proof."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+
+    def partial(o: DataFrame) -> DataFrame:
+        return (
+            o.select(F.col("o_custkey").alias("c_custkey"), cents.alias("_c"))
+            .join(F.broadcast(cust), "c_custkey")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("_c").alias("revenue_cents"))
+        )
+
+    state = partial(orders.filter(F.pmod(F.col("o_orderkey"), F.lit(5)) != 0))
+    delta = partial(orders.filter(F.pmod(F.col("o_orderkey"), F.lit(5)) == 0))
+    return (
+        state.unionByName(delta)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            "n_orders",
+            "revenue_cents",
+        )
+    )
+
+
+SQL_IVM_JOIN_VIEW = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
 def q_benford_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit conformance — the classic fraud /
     data-fabrication screen of financial data quality (beside dq_checks
@@ -13385,6 +13437,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "similarity_topk_l2": (q_similarity_topk_l2, SQL_SIMILARITY_TOPK_L2),
     "sql_group_order_by_all": (q_sql_group_order_by_all, SQL_GROUP_ORDER_BY_ALL),
     "benford_conformance": (q_benford_conformance, SQL_BENFORD_CONFORMANCE),
+    "ivm_join_view": (q_ivm_join_view, SQL_IVM_JOIN_VIEW),
 }
 
 
