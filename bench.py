@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "sql_group_order_by_all",
     "benford_conformance",
     "ivm_join_view",
+    "hierarchical_share",
 ]
 
 

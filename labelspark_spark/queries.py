@@ -12691,6 +12691,76 @@ FROM counts QUALIFY rank <= 10
 """
 
 
+def q_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-PARENT hierarchical rollup — the two-level sibling of
+    the flat ratio-to-report (share_of_total): nation revenue as a
+    share of its REGION, and region revenue as a share of the grand
+    total, in one pass over the fact table. The leaf aggregate is the
+    only fact scan; the region and grand-total levels re-aggregate the
+    25-row leaf table and come back as broadcasts, so the hierarchy
+    costs nothing extra at scale. Shares use the q8/q11 ppm discipline
+    (same cents*1e6/parent double expression shape both engines —
+    cross-engine deterministic IEEE even where the product exceeds
+    2^53)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    rev = (
+        orders.select(F.col("o_custkey").alias("c_custkey"), cents.alias("_c"))
+        .join(F.broadcast(cust), "c_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("regionkey", F.col("c_nationkey").alias("nationkey"))
+        .agg(F.sum("_c").alias("cents"))
+    )
+    reg = rev.groupBy("regionkey").agg(F.sum("cents").alias("_region_cents"))
+    tot = rev.agg(F.sum("cents").alias("_total_cents"))
+    return (
+        rev.join(F.broadcast(reg), "regionkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("regionkey").cast("bigint").alias("regionkey"),
+            F.col("nationkey").cast("bigint").alias("nationkey"),
+            "cents",
+            F.floor(
+                F.col("cents") * F.lit(1000000.0) / F.col("_region_cents") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("share_of_region_ppm"),
+            F.floor(
+                F.col("_region_cents") * F.lit(1000000.0) / F.col("_total_cents")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("region_share_ppm"),
+        )
+    )
+
+
+SQL_HIERARCHICAL_SHARE = """
+WITH rev AS (
+  SELECT n.n_regionkey AS regionkey, n.n_nationkey AS nationkey,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), reg AS (
+  SELECT regionkey, CAST(SUM(cents) AS BIGINT) AS region_cents FROM rev GROUP BY 1
+), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM rev)
+SELECT CAST(rev.regionkey AS BIGINT) AS regionkey,
+       CAST(rev.nationkey AS BIGINT) AS nationkey, rev.cents,
+       CAST(FLOOR(rev.cents * 1000000.0 / reg.region_cents + 0.5) AS BIGINT)
+         AS share_of_region_ppm,
+       CAST(FLOOR(reg.region_cents * 1000000.0 / tot.total_cents + 0.5) AS BIGINT)
+         AS region_share_ppm
+FROM rev JOIN reg USING (regionkey) CROSS JOIN tot
+"""
+
+
 def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance over a JOIN view — the delta-join
     sibling of incremental_agg_merge (which maintains a plain
@@ -13438,6 +13508,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sql_group_order_by_all": (q_sql_group_order_by_all, SQL_GROUP_ORDER_BY_ALL),
     "benford_conformance": (q_benford_conformance, SQL_BENFORD_CONFORMANCE),
     "ivm_join_view": (q_ivm_join_view, SQL_IVM_JOIN_VIEW),
+    "hierarchical_share": (q_hierarchical_share, SQL_HIERARCHICAL_SHARE),
 }
 
 
