@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "benford_conformance",
     "ivm_join_view",
     "hierarchical_share",
+    "ewma_exact",
 ]
 
 

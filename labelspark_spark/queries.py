@@ -12691,6 +12691,68 @@ FROM counts QUALIFY rank <= 10
 """
 
 
+def q_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=1/4) over daily spend in EXACT integer
+    arithmetic — the time-series smoother native `avg` windows can't
+    express (every value depends on the full prefix), and the doctrine
+    answer to float EWMA's partial-order nondeterminism: state is
+    micro-cents (bigint), each step is e' = (x*1e6 + 3e) div 4 with
+    integer floor division, so both engines agree bit-for-bit at any
+    length. The fourth state-recursion pair in the registry (after
+    ADPCM, Viterbi, WordPiece): Spark runs the recursion as a row-local
+    `F.aggregate` fold over each user's day-sorted daily array (arrays
+    bounded by PERSONAL history length, never corpus size — the
+    chunk_pack bound), the oracle as a per-user recursive CTE over day
+    ranks. Output: user, day count, final EWMA in micro-cents."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        ev.select(
+            "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    series = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("_s")
+    )
+    xs = F.transform(F.col("_s"), lambda e: e.getField("cents"))
+    folded = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        (F.element_at(xs, 1) * F.lit(1000000)).cast("long"),
+        lambda e, x: F.floor(
+            (x * F.lit(1000000) + F.lit(3) * e) / F.lit(4)
+        ).cast("long"),
+    )
+    return series.select(
+        "user_id",
+        F.size(xs).cast("bigint").alias("n_days"),
+        folded.alias("ewma_ucents"),
+    )
+
+
+SQL_EWMA_EXACT = """
+WITH RECURSIVE daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM daily
+), st AS (
+  SELECT user_id, i, n, cents * 1000000 AS ewma_ucents FROM ranked WHERE i = 1
+  UNION ALL
+  SELECT r.user_id, r.i, r.n, (r.cents * 1000000 + 3 * st.ewma_ucents) // 4
+  FROM st JOIN ranked r ON r.user_id = st.user_id AND r.i = st.i + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_days, CAST(ewma_ucents AS BIGINT) AS ewma_ucents
+FROM st WHERE i = n
+"""
+
+
 def q_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-PARENT hierarchical rollup — the two-level sibling of
     the flat ratio-to-report (share_of_total): nation revenue as a
@@ -13509,6 +13571,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "benford_conformance": (q_benford_conformance, SQL_BENFORD_CONFORMANCE),
     "ivm_join_view": (q_ivm_join_view, SQL_IVM_JOIN_VIEW),
     "hierarchical_share": (q_hierarchical_share, SQL_HIERARCHICAL_SHARE),
+    "ewma_exact": (q_ewma_exact, SQL_EWMA_EXACT),
 }
 
 
