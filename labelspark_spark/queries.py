@@ -13188,6 +13188,403 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# round-7 additions: spatial blocking, Pareto frontier, changepoints, BFS
+# --------------------------------------------------------------------------
+
+
+def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over part (maximize p_size, minimize
+    price): a part survives iff no other part has size >= AND price <=
+    with one strict. The naive formulation is an O(n^2) NOT EXISTS
+    self-join; the scale plan exploits the frontier's structure: only
+    the per-size MIN price matters, so (1) one map-side-combinable
+    groupBy collapses the fact table to the |size domain| rows, (2) a
+    triangular self-join on that TINY dim computes the strictly-greater-
+    size suffix-min, (3) the fact table joins the broadcast dim once —
+    p is dominated iff suffix_min(size) <= price OR min_at(size) <
+    price. No window, no self-join on the fact side, one shuffle — the
+    plan you'd run at 100 TB. Prices quantized to exact cents.
+    (Reference has no skyline op; engine extension in the SURVEY §2
+    analytics family, labelspark export tables motivate best-tradeoff
+    row selection.)"""
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    m = parts.groupBy("p_size").agg(F.min("price_cents").alias("_mc"))
+    suff = (
+        m.alias("a")
+        .join(m.alias("b"), F.col("b.p_size") > F.col("a.p_size"))
+        .groupBy(F.col("a.p_size").alias("p_size"))
+        .agg(F.min(F.col("b._mc")).alias("_suff"))
+    )
+    dim = m.join(suff, "p_size", "left")
+    dominated = (F.col("_suff").isNotNull() & (F.col("_suff") <= F.col("price_cents"))) | (
+        F.col("_mc") < F.col("price_cents")
+    )
+    return (
+        parts.join(F.broadcast(dim), "p_size")
+        .filter(~dominated)
+        .select("p_partkey", "p_size", "price_cents")
+    )
+
+
+SQL_SKYLINE_2D = """
+WITH p AS (
+  SELECT p_partkey, p_size,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM part
+),
+m AS (SELECT p_size, MIN(price_cents) AS mc FROM p GROUP BY p_size),
+suff AS (
+  SELECT a.p_size, MIN(b.mc) AS suff
+  FROM m a JOIN m b ON b.p_size > a.p_size
+  GROUP BY a.p_size
+)
+SELECT p.p_partkey, p.p_size, p.price_cents
+FROM p
+JOIN m ON m.p_size = p.p_size
+LEFT JOIN suff s ON s.p_size = p.p_size
+WHERE NOT ((s.suff IS NOT NULL AND s.suff <= p.price_cents)
+           OR m.mc < p.price_cents)
+"""
+
+
+def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join via grid blocking — the distributed pattern for
+    "all pairs within radius r" without a cross join. Points are
+    deterministic pseudo-coordinates on a 65536^2 integer plane derived
+    from c_custkey by LCG multipliers (pure int arithmetic, identical
+    in both engines). Cell size == r, so any pair within r spans at
+    most adjacent cells: the probe side replicates each point to its
+    3x3 neighborhood (9x map-side fanout, the classic trade of bounded
+    replication for a key-equi join), the build side keeps home cells
+    only, the join is a plain shuffle on cell id, and each qualifying
+    pair matches EXACTLY once (the neighbor offset is unique). Exact
+    integer dist^2 refine; per-point neighbor summary output keeps the
+    result O(n). At 100 TB both sides shuffle-partition by cell —
+    no broadcast needed, skew bounded by cell population."""
+    r2 = 1024 * 1024
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 48271) % 65536).alias("x"),
+        ((F.col("c_custkey") * 69621) % 65536).alias("y"),
+    )
+    home = pts.withColumn(
+        "cell", F.expr("(x div 1024) * 64 + (y div 1024)")
+    )
+    offs = F.explode(F.array(*[F.lit(v) for v in range(-1, 2)]))
+    probe = (
+        pts.select("pid", "x", "y", offs.alias("dx"))
+        .select("pid", "x", "y", "dx", offs.alias("dy"))
+        .select(
+            F.col("pid").alias("b_pid"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.expr("((x div 1024) + dx) * 64 + ((y div 1024) + dy)").alias("cell"),
+        )
+    )
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    pairs = (
+        home.join(probe, "cell")
+        .filter((F.col("pid") != F.col("b_pid")) & (d2 <= F.lit(r2)))
+        .select("pid", "b_pid", d2.cast("bigint").alias("d2"))
+    )
+    # argmin-with-tiebreak as one exact composite bigint (d2 < 2^21 cells
+    # apart squared; pid < 1e8): engine-portable, no argmax tie ambiguity
+    return (
+        pairs.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_within"),
+            F.min("d2").alias("nn_d2"),
+            F.min(F.col("d2") * 100000000 + F.col("b_pid")).alias("_nk"),
+        )
+        .select(
+            "pid",
+            "n_within",
+            "nn_d2",
+            (F.col("_nk") % 100000000).alias("nn_pid"),
+        )
+    )
+
+
+SQL_SPATIAL_GRID_JOIN = """
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         (c_custkey * 48271) % 65536 AS x,
+         (c_custkey * 69621) % 65536 AS y
+  FROM customer
+),
+home AS (SELECT pid, x, y, (x // 1024) * 64 + (y // 1024) AS cell FROM pts),
+probe AS (
+  SELECT p.pid AS b_pid, p.x AS bx, p.y AS by,
+         ((p.x // 1024) + o1.dx) * 64 + ((p.y // 1024) + o2.dy) AS cell
+  FROM pts p
+  CROSS JOIN (VALUES (-1), (0), (1)) AS o1(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS o2(dy)
+),
+pairs AS (
+  SELECT h.pid, pr.b_pid,
+         (h.x - pr.bx) * (h.x - pr.bx) + (h.y - pr.by) * (h.y - pr.by) AS d2
+  FROM home h JOIN probe pr ON h.cell = pr.cell
+  WHERE h.pid <> pr.b_pid
+    AND (h.x - pr.bx) * (h.x - pr.bx) + (h.y - pr.by) * (h.y - pr.by)
+        <= 1024 * 1024
+)
+SELECT pid,
+       COUNT(*) AS n_within,
+       MIN(d2) AS nn_d2,
+       MIN(d2 * 100000000 + b_pid) % 100000000 AS nn_pid
+FROM pairs
+GROUP BY pid
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen per event_type: cumulative sum of
+    deviations of the daily total from the type's 30-day mean; the
+    candidate changepoint is the day where |CUSUM| peaks. Division-free
+    exact form: cusum_k = sum_{i<=k}(x_i * n_days) - k * total (all
+    bigint cents — scale the deviation by n instead of dividing the
+    mean, so both engines agree bit-for-bit). Daily rollup is one
+    map-side-combinable agg; the running sum is a window PARTITIONED by
+    event_type (shuffles per key, never to one task); the peak day is
+    recovered by max-join-back with a min-day tiebreak rather than an
+    engine-specific argmax. Scale: state per window partition is one
+    type's day series (<= days-in-range rows)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    w_tot = Window.partitionBy("event_type")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = (
+        daily.withColumn("_n", F.count(F.lit(1)).over(w_tot))
+        .withColumn("_tot", F.sum("cents").over(w_tot))
+        .withColumn("_k", F.count(F.lit(1)).over(w_run))
+        .withColumn("_runsum", F.sum("cents").over(w_run))
+        .withColumn(
+            "_cusum",
+            F.col("_runsum") * F.col("_n") - F.col("_k") * F.col("_tot"),
+        )
+        .withColumn("_abs", F.abs(F.col("_cusum")))
+    )
+    peak = cs.groupBy("event_type").agg(F.max("_abs").alias("max_abs_cusum"))
+    return (
+        cs.join(peak, "event_type")
+        .filter(F.col("_abs") == F.col("max_abs_cusum"))
+        .groupBy("event_type", "max_abs_cusum")
+        .agg(F.min("day").alias("change_day"))
+        .select("event_type", "change_day", "max_abs_cusum")
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events
+  GROUP BY 1, 2
+),
+cs AS (
+  SELECT event_type, day,
+         SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) * COUNT(*) OVER (PARTITION BY event_type)
+         - (COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING))
+           * SUM(cents) OVER (PARTITION BY event_type) AS cusum
+  FROM daily
+),
+peak AS (
+  SELECT event_type, MAX(ABS(cusum)) AS max_abs_cusum FROM cs GROUP BY 1
+)
+SELECT cs.event_type, MIN(cs.day) AS change_day, p.max_abs_cusum
+FROM cs JOIN peak p
+  ON p.event_type = cs.event_type AND ABS(cs.cusum) = p.max_abs_cusum
+GROUP BY cs.event_type, p.max_abs_cusum
+"""
+
+
+def q_sssp_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS levels (min-hop distance from node 0) over a
+    deterministic synthetic 2-regular link graph on documents
+    (src -> (13*src+1) % N, (7*src+3) % N — same in-plan broadcast-N
+    device as pagerank_iter). The distributed shape is frontier
+    iteration: 8 rounds of (frontier JOIN edges on src) -> min per dst
+    -> anti-join visited -> union; each round shuffles only the
+    FRONTIER (never the visited set, which only unions), and the edge
+    table is computed once and reused. localCheckpoint would cut the
+    lineage on a real cluster per dedup.connected_components; 8 bounded
+    rounds keep the plan finite here. Oracle: recursive CTE + MIN(lvl)
+    — path enumeration is bounded by fanout^depth = 2^8, independent
+    of N."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_nodes = docs.agg(F.count(F.lit(1)).alias("_n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 13 + 1) % F.col("_n"),
+                    (F.col("doc_id") * 7 + 3) % F.col("_n"),
+                )
+            ).alias("dst"),
+        )
+    )
+    visited = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("node"), F.lit(0).cast("bigint").alias("lvl")
+    )
+    frontier = visited
+    for i in range(1, 9):
+        # rename the frontier key before joining: from round 2 on the
+        # frontier's lineage CONTAINS edges, and Spark's analyzer would
+        # otherwise see an ambiguous self-join reference
+        nxt = (
+            frontier.select(F.col("node").alias("src"))
+            .join(edges, "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(i).cast("bigint").alias("lvl"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+SQL_SSSP_LEVELS = """
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 13 + 1) % nn.n AS dst
+  FROM documents d CROSS JOIN nn
+  UNION ALL
+  SELECT d.doc_id, (d.doc_id * 7 + 3) % nn.n
+  FROM documents d CROSS JOIN nn
+),
+reach(node, lvl) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT e.dst, r.lvl + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.lvl < 8
+)
+SELECT node, MIN(lvl) AS lvl FROM reach GROUP BY node
+"""
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13):
+    users split into arms by user_id parity; the pre-period covariate
+    (spend in Jan 1-15) de-noises the post-period metric (Jan 16-30) via
+    theta = cov(pre, post)/var(pre) computed over ALL users, then
+    adjusted_arm_mean = mean_post_arm - theta * (mean_pre_arm -
+    mean_pre_global). Distributed shape: one per-user agg (map-side
+    combinable), one 1-row global-moment agg crossJoin-broadcast back,
+    one per-arm agg — no shuffles beyond the two aggs. Determinism: all
+    moments are exact bigints in whole dollars (per-user cents div 100;
+    n*sxy - sx*sy stays < 2^53 up to ~sf100 — documented bound like
+    q8/q11), every double op sequence is mirrored verbatim in the
+    oracle, outputs ppm-quantized with floor(x*1e6 + 0.5)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, cents).otherwise(F.lit(0))).alias("_pc"),
+            F.sum(F.when(~pre, cents).otherwise(F.lit(0))).alias("_yc"),
+        )
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.expr("_pc div 100").alias("x"),
+            F.expr("_yc div 100").alias("y"),
+        )
+    )
+    glob = per_user.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+    )
+    arm = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("_ax"),
+        F.sum("y").alias("_ay"),
+    )
+    theta = (
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+        / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    )
+    mean_y = F.col("_ay").cast("double") / F.col("n_users").cast("double")
+    mean_x = F.col("_ax").cast("double") / F.col("n_users").cast("double")
+    gmean_x = F.col("_sx").cast("double") / F.col("_n").cast("double")
+    adj = mean_y - theta * (mean_x - gmean_x)
+    return arm.crossJoin(F.broadcast(glob)).select(
+        "arm",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.floor(mean_y * 1000000 + F.lit(0.5)).cast("bigint").alias("mean_post_ppm"),
+        F.floor(adj * 1000000 + F.lit(0.5)).cast("bigint").alias("mean_adj_ppm"),
+        F.floor(theta * 1000000 + F.lit(0.5)).cast("bigint").alias("theta_ppm"),
+    )
+
+
+SQL_CUPED_ADJUSTMENT = """
+WITH per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+           // 100 AS x,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+           // 100 AS y
+  FROM events GROUP BY user_id
+),
+glob AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM per_user
+),
+arm AS (
+  SELECT arm, COUNT(*) AS n_users, SUM(x) AS ax, SUM(y) AS ay
+  FROM per_user GROUP BY arm
+)
+SELECT a.arm,
+       CAST(a.n_users AS BIGINT) AS n_users,
+       CAST(FLOOR(CAST(a.ay AS DOUBLE) / CAST(a.n_users AS DOUBLE) * 1000000 + 0.5)
+            AS BIGINT) AS mean_post_ppm,
+       CAST(FLOOR((CAST(a.ay AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+                   - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                      / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+                     * (CAST(a.ax AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+                        - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS mean_adj_ppm,
+       CAST(FLOOR((CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                   / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS theta_ppm
+FROM arm a CROSS JOIN glob g
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -13206,7 +13603,11 @@ FROM c
 # everything below the window stays covered by tests/test_oracle_parity.py
 # against the same DuckDB oracle.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # ---- r6 DRIVER WINDOW (first 50 entries) -----------------------------
+    # ---- r6 DRIVER WINDOW (first 50 literal entries) ---------------------
+    # NOTE (r7): the literal order below is the FROZEN r6 composition; the
+    # r7 window is applied by the `_R7_WINDOW` reorder epilogue after this
+    # dict (never-driver-checked backlog leads; new r7 code is inserted at
+    # the head as it lands). Historical r6 head rationale follows.
     # Head: queries whose code CHANGED this round (token_ids /
     # embedding_jl_projection array->string serialization; the
     # duration_in_state overflow bound; every _global_topk consumer —
@@ -13572,6 +13973,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ivm_join_view": (q_ivm_join_view, SQL_IVM_JOIN_VIEW),
     "hierarchical_share": (q_hierarchical_share, SQL_HIERARCHICAL_SHARE),
     "ewma_exact": (q_ewma_exact, SQL_EWMA_EXACT),
+    # ---- r7 additions (window placement handled by _R7_WINDOW below) ----
+    "skyline_2d": (q_skyline_2d, SQL_SKYLINE_2D),
+    "spatial_grid_join": (q_spatial_grid_join, SQL_SPATIAL_GRID_JOIN),
+    "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+    "sssp_levels": (q_sssp_levels, SQL_SSSP_LEVELS),
 }
 
 
@@ -13585,6 +13991,98 @@ def _register_env_gated() -> None:
 
 
 _register_env_gated()
+
+
+# --------------------------------------------------------------------------
+# r7 DRIVER WINDOW rotation (applied as a reorder so the literal above keeps
+# its frozen r6 shape).  Per VERDICT r5 item 3 and the r6 boundary note:
+# never-driver-checked queries lead, newest code first —
+#   1..23: the 23 r6 POST-window additions (all new code that round),
+#   24..28: the deferred TPC-H stragglers q16/q19/q20/q21/q22,
+#   29..35: the seven deferred streaming replays,
+#   36..38: the DSv2 trio (kept together),
+#   39..41: bucketed/ORC/JSONL sink roundtrips,
+#   42..50: third-wave analytics/codec/SQL-form stragglers.
+# New r7 queries are INSERTED AT THE HEAD as they land (new code outranks
+# never-checked unchanged code, same rule as r5/r6); each insertion pushes
+# the tail of this list below the window edge, where test_oracle_parity
+# keeps attesting it locally every pytest run.
+_R7_WINDOW: list[str] = [
+    # r7 NEW code (this round) — outranks never-checked unchanged queries
+    "skyline_2d",
+    "spatial_grid_join",
+    "cusum_changepoint",
+    "sssp_levels",
+    # r6 post-window additions (newest code never driver-checked)
+    "bm25_retrieval",
+    "bm25_index_probe",
+    "rank_fusion_rrf",
+    "phrase_search",
+    "proximity_search",
+    "keyword_signature_sim",
+    "unigram_segment",
+    "wordpiece_segment",
+    "multimodal_audio_adpcm",
+    "multimodal_phash_dedup",
+    "group_trend_ols",
+    "timeseries_rollup_cascade",
+    "text_readability",
+    "events_stream_dedup_watermark",
+    "k_anonymity_audit",
+    "fifo_allocation",
+    "dedup_jaccard_prefix",
+    "similarity_topk_l2",
+    "sql_group_order_by_all",
+    "benford_conformance",
+    "ivm_join_view",
+    "hierarchical_share",
+    "ewma_exact",
+    # deferred TPC-H stragglers
+    "tpch_q16_supplier_counts",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_last_shipper",
+    "tpch_q22_dormant_customers",
+    # deferred streaming replays
+    "events_stream_outer_join",
+    "events_stream_upsert",
+    "events_stream_late_drop",
+    "events_stream_update_mode",
+    "events_stream_session_timeout",
+    "events_stream_full_outer_join",
+    "tpch_q11_value_concentration",  # (6 streaming were never-checked, not 7)
+    # DSv2 trio
+    "python_datasource_scan",
+    "python_datasource_stream",
+    "python_datasource_sink",
+    # sink roundtrips
+    "bucketed_join_roundtrip",
+    "orc_roundtrip",
+    "jsonl_roundtrip",
+    # third-wave stragglers
+    "scd2_asof_lookup",
+    "multimodal_tiff_meta",
+    "multimodal_frame_plan",
+    "quantile_bucket_assign",
+    "ab_test_ztest",
+    "anomaly_mad",
+    "event_pattern_match",
+    "variant_json_ops",
+    "schema_evolution_merge",
+]
+
+
+def _apply_window(window: list[str]) -> None:
+    """Reorder REGISTRY so `window` forms the prefix the driver checks."""
+    global REGISTRY
+    missing = [n for n in window if n not in REGISTRY]
+    assert not missing, f"window names absent from REGISTRY: {missing}"
+    head = {n: REGISTRY[n] for n in window}
+    rest = {n: v for n, v in REGISTRY.items() if n not in head}
+    REGISTRY = {**head, **rest}
+
+
+_apply_window(_R7_WINDOW)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
