@@ -13558,7 +13558,7 @@ WITH per_user AS (
            // 100 AS y
   FROM events GROUP BY user_id
 ),
-glob AS (
+gm AS (
   SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
          SUM(x * x) AS sxx, SUM(x * y) AS sxy
   FROM per_user
@@ -13580,7 +13580,725 @@ SELECT a.arm,
        CAST(FLOOR((CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
                    / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
                   * 1000000 + 0.5) AS BIGINT) AS theta_ppm
-FROM arm a CROSS JOIN glob g
+FROM arm a CROSS JOIN gm g
+"""
+
+
+# --------------------------------------------------------------------------
+# r7 wave 2: distributed prefix-scan analytics + sketch/ER/text additions
+# --------------------------------------------------------------------------
+
+
+def _twolevel_cumsum(
+    df: DataFrame, key: str, vals: list[str], coarse_div: int
+) -> DataFrame:
+    """Scale-safe GLOBAL prefix sum — never an unpartitioned window.
+
+    A bare ``Window.orderBy(key)`` moves every input row to ONE task
+    (the straggler test_plan_quality's global-window guard forbids).
+    This is the classic two-level parallel scan instead: (1) a running
+    sum within each coarse block of the key domain — a window
+    PARTITIONED by ``key div coarse_div``, which shuffles per block and
+    runs blocks in parallel; (2) per-block totals (bounded:
+    key_domain / coarse_div rows) prefix-summed via a triangular
+    broadcast self-join (no window at all on the tiny side); (3) block
+    offsets broadcast back and added to the local running sums. At
+    100 TB the input here is always a pre-aggregated per-key table, so
+    the block-total side stays a few thousand rows regardless of fact
+    cardinality. Requires ``key`` integer-typed and unique per row;
+    emits one inclusive-prefix ``<v>_cum`` column per entry of
+    ``vals``."""
+    d = df.withColumn("_blk", F.expr(f"{key} div {coarse_div}"))
+    w = Window.partitionBy("_blk").orderBy(key)
+    for v in vals:
+        d = d.withColumn(f"_loc_{v}", F.sum(v).over(w))
+    totals = d.groupBy("_blk").agg(
+        *[F.sum(v).alias(f"_bt_{v}") for v in vals]
+    )
+    prior = (
+        totals.alias("a")
+        .join(F.broadcast(totals.alias("b")), F.expr("b._blk < a._blk"), "left")
+        .groupBy(F.col("a._blk").alias("_blk"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b._bt_{v}"), F.lit(0)).alias(f"_pr_{v}")
+                for v in vals
+            ]
+        )
+    )
+    out = d.join(F.broadcast(prior), "_blk")
+    for v in vals:
+        out = out.withColumn(f"{v}_cum", F.col(f"_loc_{v}") + F.col(f"_pr_{v}"))
+    return out.drop(
+        "_blk", *[f"_loc_{v}" for v in vals], *[f"_pr_{v}" for v in vals]
+    )
+
+
+def q_global_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide running daily revenue WITHOUT a global window: the
+    two-level distributed prefix sum (`_twolevel_cumsum`, week blocks).
+    The naive ``SUM(x) OVER (ORDER BY day)`` plan funnels the whole
+    daily table through one task; here the scan + daily pre-agg are
+    map-side combinable and the only single-point work is the
+    triangular join over ~(days/7) block totals. Determinism: exact
+    cents bigints end-to-end."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).alias("day_cents"))
+        .withColumn(
+            "_k", F.datediff("day", F.lit("2024-01-01").cast("date"))
+        )
+    )
+    cum = _twolevel_cumsum(daily, "_k", ["day_cents"], 7)
+    return cum.select(
+        F.col("day").cast("string").alias("day"),
+        "day_cents",
+        F.col("day_cents_cum").alias("cum_cents"),
+    )
+
+
+SQL_GLOBAL_RUNNING_TOTAL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS day_cents
+  FROM events GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day, CAST(day_cents AS BIGINT) AS day_cents,
+       CAST(SUM(day_cents) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cents
+FROM daily
+"""
+
+
+def _arm_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared input for the rank tests: per-user total spend in exact
+    cents, split into two arms by user_id parity, aggregated to a
+    distinct-value table (v, c0, c1). Fact-scale work is one map-side
+    combinable agg; the value table is bounded by the spend domain."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.sum(cents).alias("v"))
+        .select((F.col("user_id") % 2).alias("arm"), "v")
+    )
+    return per_user.groupBy("v").agg(
+        F.count(F.when(F.col("arm") == 0, F.lit(1))).alias("c0"),
+        F.count(F.when(F.col("arm") == 1, F.lit(1))).alias("c1"),
+    )
+
+
+# Shared oracle CTE prefix for the two rank tests (mirrors
+# _arm_value_counts + the inclusive prefix sums).
+_RANK_CTES = """
+WITH per_user AS (
+  SELECT user_id % 2 AS arm,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY user_id
+),
+vals AS (
+  SELECT v,
+         COUNT(CASE WHEN arm = 0 THEN 1 END) AS c0,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS c1
+  FROM per_user GROUP BY v
+),
+cum AS (
+  SELECT v, c0, c1,
+         SUM(c0) OVER w AS c0_cum, SUM(c1) OVER w AS c1_cum
+  FROM vals
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM vals)
+"""
+
+
+def q_ks_test_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between the arms'
+    per-user spend distributions. D = max_v |F0(v) - F1(v)| is put on
+    the common denominator n0*n1 so the statistic is the INTEGER
+    max|cum0*n1 - cum1*n0| — no floating CDFs anywhere. The empirical
+    CDFs come from the distributed two-level prefix scan over the
+    distinct-value table (`_twolevel_cumsum`; $10k blocks), the max is
+    an ordinary agg, and the argmax (smallest v attaining D) pins the
+    row deterministically. Overflow bound: d_num <= n0*n1 and the ppm
+    cross-multiply needs n0*n1 < 2^63/1e6 ~ 9.2e12 — ~3M users per
+    arm, documented like q8/q11."""
+    vals = _arm_value_counts(spark, sf_dir)
+    cum = _twolevel_cumsum(vals, "v", ["c0", "c1"], 1 << 20)
+    tot = vals.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    scored = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "dnum",
+        F.abs(F.col("c0_cum") * F.col("n1") - F.col("c1_cum") * F.col("n0")),
+    )
+    dmax = scored.agg(F.max("dnum").alias("d_num"))
+    return (
+        scored.join(F.broadcast(dmax), F.col("dnum") == F.col("d_num"))
+        .groupBy("n0", "n1", "d_num")
+        .agg(F.min("v").alias("at_v"))
+        .select(
+            "n0",
+            "n1",
+            "d_num",
+            "at_v",
+            F.expr("d_num * 1000000 div (n0 * n1)").alias("ks_ppm"),
+        )
+    )
+
+
+SQL_KS_TEST_2SAMPLE = _RANK_CTES + """,
+scored AS (
+  SELECT v, ABS(c0_cum * n1 - c1_cum * n0) AS dnum, n0, n1
+  FROM cum CROSS JOIN tot
+),
+dmax AS (SELECT MAX(dnum) AS d_num FROM scored)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST(d_num AS BIGINT) AS d_num, CAST(MIN(v) AS BIGINT) AS at_v,
+       CAST(d_num * 1000000 // (n0 * n1) AS BIGINT) AS ks_ppm
+FROM scored JOIN dmax ON dnum = d_num
+GROUP BY n0, n1, d_num
+"""
+
+
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U (rank-sum) test between the two arms,
+    tie-corrected, with every quantity an integer: midranks are kept in
+    2x units (2*avg_rank = 2*rank_below + ties + 1 is always whole), so
+    2*R_arm = sum_v c_arm(v) * (2*(less0+less1) + (c0+c1) + 1) and
+    2*U_arm = 2*R_arm - n_arm*(n_arm+1). The rank table reuses the
+    distributed prefix scan (never a global rank window — the standard
+    rank() formulation is exactly the single-task plan the guard
+    forbids). Invariant u2_a + u2_b = 2*n0*n1 doubles as a self-check
+    column."""
+    vals = _arm_value_counts(spark, sf_dir)
+    cum = _twolevel_cumsum(vals, "v", ["c0", "c1"], 1 << 20)
+    tot = vals.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    less = cum.select(
+        "v",
+        "c0",
+        "c1",
+        (F.col("c0_cum") - F.col("c0") + F.col("c1_cum") - F.col("c1")).alias(
+            "below"
+        ),
+    )
+    r2 = less.agg(
+        F.sum(
+            F.col("c0")
+            * (2 * F.col("below") + F.col("c0") + F.col("c1") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("c1")
+            * (2 * F.col("below") + F.col("c0") + F.col("c1") + 1)
+        ).alias("r2b"),
+    )
+    return (
+        r2.crossJoin(F.broadcast(tot))
+        .select(
+            "n0",
+            "n1",
+            (F.col("r2a") - F.col("n0") * (F.col("n0") + 1)).alias("u2_a"),
+            (F.col("r2b") - F.col("n1") * (F.col("n1") + 1)).alias("u2_b"),
+        )
+        .withColumn(
+            "check_2n0n1", F.col("u2_a") + F.col("u2_b") - 2 * F.col("n0") * F.col("n1")
+        )
+    )
+
+
+SQL_MANN_WHITNEY_U = _RANK_CTES + """,
+r2 AS (
+  SELECT
+    SUM(c0 * (2 * (c0_cum - c0 + c1_cum - c1) + c0 + c1 + 1)) AS r2a,
+    SUM(c1 * (2 * (c0_cum - c0 + c1_cum - c1) + c0 + c1 + 1)) AS r2b
+  FROM cum
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST(r2a - n0 * (n0 + 1) AS BIGINT) AS u2_a,
+       CAST(r2b - n1 * (n1 + 1) AS BIGINT) AS u2_b,
+       CAST((r2a - n0 * (n0 + 1)) + (r2b - n1 * (n1 + 1))
+            - 2 * n0 * n1 AS BIGINT) AS check_2n0n1
+FROM r2 CROSS JOIN tot
+"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival over user lifetimes (day of a user's LAST
+    event = death; users still active on the corpus' final day are
+    right-censored). All counting is exact integers via the two-level
+    prefix scan (day-ordinal keys, week blocks): n_risk(t) = N - (#
+    ended before t). The survival curve is carried in log space as the
+    cumulative hazard -ln S(t) = sum_{t'<=t} -ln(1 - d/n), each term
+    ppm-quantized BEFORE the cumulative sum so the running total is an
+    exact bigint (a float running product would be partial-order
+    nondeterministic); the identical IEEE expression shape runs on both
+    engines. n_risk > d always holds: day-max users are censored, not
+    deaths, so ln never sees 0."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.to_date("ts")), F.lit("2024-01-01").cast("date")
+        ).alias("k")
+    )
+    kmax = per_user.agg(F.max("k").alias("kmax"))
+    day = (
+        per_user.crossJoin(F.broadcast(kmax))
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("k") < F.col("kmax"), F.lit(1))).alias("d"),
+            F.count(F.when(F.col("k") == F.col("kmax"), F.lit(1))).alias("c"),
+        )
+        .withColumn("ended", F.col("d") + F.col("c"))
+    )
+    cum = _twolevel_cumsum(day, "k", ["ended"], 7)
+    tot = day.agg(F.sum("ended").alias("n_users"))
+    risk = cum.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "d",
+        "c",
+        (F.col("n_users") - (F.col("ended_cum") - F.col("ended"))).alias(
+            "n_risk"
+        ),
+    )
+    term = risk.withColumn(
+        "haz_micro",
+        F.floor(
+            -F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    out = _twolevel_cumsum(term, "k", ["haz_micro"], 7)
+    return out.select(
+        "k",
+        "n_risk",
+        "d",
+        "c",
+        F.col("haz_micro_cum").alias("neg_ln_s_micro"),
+    )
+
+
+SQL_KAPLAN_MEIER = """
+WITH per_user AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', MAX(CAST(ts AS DATE))) AS k
+  FROM events GROUP BY user_id
+),
+kmax AS (SELECT MAX(k) AS kmax FROM per_user),
+dd AS (
+  SELECT k,
+         COUNT(CASE WHEN k < kmax THEN 1 END) AS d,
+         COUNT(CASE WHEN k = kmax THEN 1 END) AS c
+  FROM per_user CROSS JOIN kmax GROUP BY k, kmax
+),
+cum AS (
+  SELECT k, d, c,
+         SUM(d + c) OVER (ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ended_cum,
+         d + c AS ended
+  FROM dd
+),
+tot AS (SELECT SUM(d + c) AS n_users FROM dd),
+risk AS (
+  SELECT k, d, c, n_users - (ended_cum - ended) AS n_risk
+  FROM cum CROSS JOIN tot
+),
+term AS (
+  SELECT k, n_risk, d, c,
+         CAST(FLOOR(-LN(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS haz_micro
+  FROM risk
+)
+SELECT CAST(k AS INTEGER) AS k, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+       CAST(SUM(haz_micro) OVER (ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS neg_ln_s_micro
+FROM term
+"""
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al., ICML'09) of the
+    document corpus into a 256-bucket signed feature space: bucket =
+    md5(token)[0:8] mod 256, sign from the 9th hex nibble's parity —
+    both engine-portable and collision-deterministic, unlike
+    Murmur3-vs-DuckDB-hash. Output is the corpus-level feature
+    aggregate (signed sum + token mass per bucket): one explode + one
+    map-side combinable groupBy, no shuffle beyond the 256-key agg —
+    the exact shape a 100 TB featurizer wants."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " +")).alias("token")
+    ).filter(F.col("token") != "")
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("token")), 9, 1), 16, 10).cast("bigint")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select((h % 256).alias("bucket"), sign.alias("s"), "token")
+        .groupBy("bucket")
+        .agg(
+            F.sum("s").alias("signed_sum"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_terms"),
+        )
+    )
+
+
+SQL_FEATURE_HASHING = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), ' +'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+SELECT CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) % 256 AS bucket,
+       CAST(SUM(CASE WHEN CAST(('0x' || substring(md5(token), 9, 1)) AS BIGINT)
+                          % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS signed_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_terms
+FROM tok GROUP BY 1
+"""
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) over the token
+    stream — 3 salted md5 rows x 512 buckets — queried for the top-20
+    tokens by ESTIMATE and reconciled against exact counts (over =
+    est - exact >= 0 is the CMS guarantee, surfaced as a column). The
+    sketch build folds through one groupBy on (row, bucket): 1536
+    mergeable cells regardless of corpus size — the distributable
+    heavy-hitter path when the vocabulary itself won't fit per
+    executor. Probe side joins the distinct-token table to the
+    BROADCAST sketch; top-k via the bounded-heap `_global_topk`."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " +")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    salted = exact.select(
+        "token",
+        "exact",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r"), F.col("token"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 512,
+    )
+    sketch = salted.groupBy("r", "bucket").agg(F.sum("exact").alias("cell"))
+    est = (
+        salted.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cell").alias("est"), F.min("exact").alias("exact"))
+    )
+    top = _global_topk(
+        est, 20, [F.col("est").desc(), F.col("token").asc()], "rank"
+    )
+    return top.select(
+        "rank", "token", "exact", "est", (F.col("est") - F.col("exact")).alias("over")
+    )
+
+
+SQL_CMS_TOPK = """
+WITH exact AS (
+  SELECT token, COUNT(*) AS exact
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), ' +'),
+                                  x -> x <> '')) AS token
+        FROM documents)
+  GROUP BY token
+),
+salted AS (
+  SELECT token, exact, r,
+         CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || token), 1, 8))
+              AS BIGINT) % 512 AS bucket
+  FROM exact CROSS JOIN (SELECT unnest([0, 1, 2]) AS r)
+),
+sketch AS (
+  SELECT r, bucket, SUM(exact) AS cell FROM salted GROUP BY r, bucket
+),
+est AS (
+  SELECT s.token, MIN(k.cell) AS est, MIN(s.exact) AS exact
+  FROM salted s JOIN sketch k ON s.r = k.r AND s.bucket = k.bucket
+  GROUP BY s.token
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY est DESC, token) AS INTEGER) AS rank,
+       token, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
+       CAST(est - exact AS BIGINT) AS over
+FROM est
+ORDER BY est DESC, token LIMIT 20
+"""
+
+
+def q_log_odds_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-distinctive keywords by smoothed log-odds-ratio (the
+    Monroe/Colaresi/Quinn 'Fightin' Words' statistic with add-1
+    prior): delta(w) = ln((y1+1)/(n1-y1+1)) - ln((y2+1)/(n2-y2+1))
+    between English and non-English documents, ppm-quantized with the
+    identical IEEE expression shape on both engines. One token
+    explode + one groupBy; class totals ride a 1-row broadcast; top-20
+    by |delta| through the bounded-heap `_global_topk`."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("lang") == "en").cast("bigint").alias("en"),
+        F.explode(F.split(F.lower(F.col("text")), " +")).alias("token"),
+    ).filter(F.col("token") != "")
+    cnt = tok.groupBy("token").agg(
+        F.sum("en").alias("y1"),
+        F.sum(1 - F.col("en")).alias("y2"),
+    )
+    tot = cnt.agg(F.sum("y1").alias("n1"), F.sum("y2").alias("n2"))
+    delta = F.floor(
+        (
+            F.log(
+                (F.col("y1") + 1).cast("double")
+                / (F.col("n1") - F.col("y1") + 1).cast("double")
+            )
+            - F.log(
+                (F.col("y2") + 1).cast("double")
+                / (F.col("n2") - F.col("y2") + 1).cast("double")
+            )
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = cnt.crossJoin(F.broadcast(tot)).select(
+        "token", "y1", "y2", delta.alias("delta_micro")
+    )
+    return _global_topk(
+        scored,
+        20,
+        [F.abs(F.col("delta_micro")).desc(), F.col("token").asc()],
+        "rank",
+    ).select("rank", "token", "y1", "y2", "delta_micro")
+
+
+SQL_LOG_ODDS_KEYWORDS = """
+WITH tok AS (
+  SELECT CAST(lang = 'en' AS BIGINT) AS en,
+         unnest(list_filter(string_split_regex(lower(text), ' +'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT token, SUM(en) AS y1, SUM(1 - en) AS y2 FROM tok GROUP BY token
+),
+tot AS (SELECT SUM(y1) AS n1, SUM(y2) AS n2 FROM cnt),
+scored AS (
+  SELECT token, y1, y2,
+         CAST(FLOOR((LN(CAST(y1 + 1 AS DOUBLE) / CAST(n1 - y1 + 1 AS DOUBLE))
+                     - LN(CAST(y2 + 1 AS DOUBLE) / CAST(n2 - y2 + 1 AS DOUBLE)))
+                    * 1000000 + 0.5) AS BIGINT) AS delta_micro
+  FROM cnt CROSS JOIN tot
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY ABS(delta_micro) DESC, token)
+            AS INTEGER) AS rank,
+       token, CAST(y1 AS BIGINT) AS y1, CAST(y2 AS BIGINT) AS y2, delta_micro
+FROM scored
+ORDER BY ABS(delta_micro) DESC, token LIMIT 20
+"""
+
+
+def q_er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking + in-block fuzzy match audit over
+    part names: block key = first name token, candidate pairs only
+    WITHIN a block (an equi-join on the key — never a corpus cross
+    join), scored with Levenshtein and thresholded at <=10. The
+    standard ER shape: blocking bounds candidates to sum(b_i^2) from
+    n^2; at 100 TB you'd cap/salt oversized blocks, here block sizes
+    are ~n/92 and the plan is one shuffle on the block key. ASCII-only
+    inputs keep Spark's codepoint and DuckDB's byte Levenshtein
+    identical."""
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.lower(F.col("p_name")).alias("name"),
+        F.split(F.lower(F.col("p_name")), " ")[0].alias("blk"),
+    )
+    pairs = (
+        p.alias("a")
+        .join(p.alias("b"), ["blk"])
+        .filter(F.col("a.k") < F.col("b.k"))
+        .select(
+            "blk",
+            F.levenshtein(F.col("a.name"), F.col("b.name"))
+            .cast("bigint")
+            .alias("dist"),
+        )
+    )
+    return pairs.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("dist") <= 10).cast("bigint")).alias("n_matches"),
+        F.min("dist").alias("min_dist"),
+    )
+
+
+SQL_ER_BLOCKING_PAIRS = """
+WITH p AS (
+  SELECT p_partkey AS k, lower(p_name) AS name,
+         string_split(lower(p_name), ' ')[1] AS blk
+  FROM part
+),
+pairs AS (
+  SELECT a.blk, levenshtein(a.name, b.name) AS dist
+  FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+)
+SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN dist <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       CAST(MIN(dist) AS BIGINT) AS min_dist
+FROM pairs GROUP BY blk
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-event spend across event types
+    (the ML-preprocessing transform that forces every group onto a
+    common distribution): ntile(20) WITHIN each type over the total
+    order (cents, event_id) — a PARTITIONED window, one shuffle on
+    event_type — then the cross-type per-quantile reference value is
+    the pooled mean (exact integer div), broadcast-joined back onto
+    the 20-row quantile spine. Deterministic: the tile order is total
+    (event_id tiebreak) and NTILE's fill rule (earlier tiles get the
+    extras) matches across engines."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    tiled = ev.select(
+        "event_type", "event_id", cents.alias("cents")
+    ).withColumn("q", F.ntile(20).over(w))
+    per_cell = tiled.groupBy("event_type", "q").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents")
+    )
+    spine = per_cell.groupBy("q").agg(
+        F.expr("sum(sum_cents) div sum(n)").alias("norm_cents")
+    )
+    return per_cell.join(F.broadcast(spine), "q").select(
+        "event_type", "q", "n", "sum_cents", "norm_cents"
+    )
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH tiled AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         NTILE(20) OVER (PARTITION BY event_type
+                         ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                                  event_id) AS q
+  FROM events
+),
+per_cell AS (
+  SELECT event_type, q, COUNT(*) AS n, SUM(cents) AS sum_cents
+  FROM tiled GROUP BY event_type, q
+),
+spine AS (
+  SELECT q, SUM(sum_cents) // SUM(n) AS norm_cents FROM per_cell GROUP BY q
+)
+SELECT p.event_type, p.q, CAST(p.n AS BIGINT) AS n,
+       CAST(p.sum_cents AS BIGINT) AS sum_cents,
+       CAST(s.norm_cents AS BIGINT) AS norm_cents
+FROM per_cell p JOIN spine s ON p.q = s.q
+"""
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 difference-in-differences readout: arms by user_id parity,
+    periods split at Jan 16; the DiD estimate is (m11-m10)-(m01-m00)
+    over per-event mean spend. One conditional aggregation computes
+    all four cells (a single map-side combinable pass — no joins at
+    all), means stay exact rationals until one mirrored ppm
+    quantization. The closed-form panel estimator every experiment
+    pipeline reports next to CUPED (q_cuped_adjustment)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    arm = (F.col("user_id") % 2).cast("int")
+    post = (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).cast("int")
+
+    def cell(a: int, p: int, col):
+        return F.sum(
+            F.when((arm == a) & (post == p), col).otherwise(F.lit(0))
+        )
+
+    agg = ev.agg(
+        *[
+            c
+            for a in (0, 1)
+            for p in (0, 1)
+            for c in (
+                cell(a, p, cents).alias(f"s{a}{p}"),
+                cell(a, p, F.lit(1)).alias(f"n{a}{p}"),
+            )
+        ]
+    )
+    m = {
+        f"m{a}{p}": F.col(f"s{a}{p}").cast("double")
+        / F.col(f"n{a}{p}").cast("double")
+        for a in (0, 1)
+        for p in (0, 1)
+    }
+    did = (m["m11"] - m["m10"]) - (m["m01"] - m["m00"])
+    return agg.select(
+        *[
+            F.floor(m[f"m{a}{p}"] * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias(f"m{a}{p}_micro")
+            for a in (0, 1)
+            for p in (0, 1)
+        ],
+        F.floor(did * 1000000 + F.lit(0.5)).cast("bigint").alias("did_micro"),
+    )
+
+
+SQL_DIFF_IN_DIFF = """
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN user_id % 2 = 0 AND ts < TIMESTAMP '2024-01-16'
+             THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS s00,
+    SUM(CASE WHEN user_id % 2 = 0 AND ts < TIMESTAMP '2024-01-16'
+             THEN 1 ELSE 0 END) AS n00,
+    SUM(CASE WHEN user_id % 2 = 0 AND ts >= TIMESTAMP '2024-01-16'
+             THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS s01,
+    SUM(CASE WHEN user_id % 2 = 0 AND ts >= TIMESTAMP '2024-01-16'
+             THEN 1 ELSE 0 END) AS n01,
+    SUM(CASE WHEN user_id % 2 = 1 AND ts < TIMESTAMP '2024-01-16'
+             THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS s10,
+    SUM(CASE WHEN user_id % 2 = 1 AND ts < TIMESTAMP '2024-01-16'
+             THEN 1 ELSE 0 END) AS n10,
+    SUM(CASE WHEN user_id % 2 = 1 AND ts >= TIMESTAMP '2024-01-16'
+             THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS s11,
+    SUM(CASE WHEN user_id % 2 = 1 AND ts >= TIMESTAMP '2024-01-16'
+             THEN 1 ELSE 0 END) AS n11
+  FROM events
+)
+SELECT
+  CAST(FLOOR(CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) * 1000000 + 0.5)
+       AS BIGINT) AS m00_micro,
+  CAST(FLOOR(CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) * 1000000 + 0.5)
+       AS BIGINT) AS m01_micro,
+  CAST(FLOOR(CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) * 1000000 + 0.5)
+       AS BIGINT) AS m10_micro,
+  CAST(FLOOR(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) * 1000000 + 0.5)
+       AS BIGINT) AS m11_micro,
+  CAST(FLOOR(((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+               - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+              - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+                 - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS did_micro
+FROM agg
 """
 
 
@@ -13978,6 +14696,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "spatial_grid_join": (q_spatial_grid_join, SQL_SPATIAL_GRID_JOIN),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "sssp_levels": (q_sssp_levels, SQL_SSSP_LEVELS),
+    "cuped_adjustment": (q_cuped_adjustment, SQL_CUPED_ADJUSTMENT),
+    "global_running_total": (q_global_running_total, SQL_GLOBAL_RUNNING_TOTAL),
+    "ks_test_2sample": (q_ks_test_2sample, SQL_KS_TEST_2SAMPLE),
+    "mann_whitney_u": (q_mann_whitney_u, SQL_MANN_WHITNEY_U),
+    "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
+    "feature_hashing": (q_feature_hashing, SQL_FEATURE_HASHING),
+    "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
+    "log_odds_keywords": (q_log_odds_keywords, SQL_LOG_ODDS_KEYWORDS),
+    "er_blocking_pairs": (q_er_blocking_pairs, SQL_ER_BLOCKING_PAIRS),
+    "quantile_normalize": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
+    "diff_in_diff": (q_diff_in_diff, SQL_DIFF_IN_DIFF),
 }
 
 
@@ -14009,10 +14738,21 @@ _register_env_gated()
 # keeps attesting it locally every pytest run.
 _R7_WINDOW: list[str] = [
     # r7 NEW code (this round) — outranks never-checked unchanged queries
+    "global_running_total",
+    "ks_test_2sample",
+    "mann_whitney_u",
+    "kaplan_meier",
+    "feature_hashing",
+    "cms_topk",
+    "log_odds_keywords",
+    "er_blocking_pairs",
+    "quantile_normalize",
+    "diff_in_diff",
     "skyline_2d",
     "spatial_grid_join",
     "cusum_changepoint",
     "sssp_levels",
+    "cuped_adjustment",
     # r6 post-window additions (newest code never driver-checked)
     "bm25_retrieval",
     "bm25_index_probe",
