@@ -14302,6 +14302,65 @@ FROM agg
 """
 
 
+def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hard-signal for Spark 4's state data source: a bounded
+    file-source stream runs a per-user streaming count against a REAL
+    checkpoint, then the OPERATOR STATE ITSELF — not the sink — is read
+    back with ``format("statestore")`` and hash-checked against the
+    batch oracle.  This is the offline-introspection path a 100 TB
+    deployment uses to debug stateful jobs: state keys/values become a
+    DataFrame without replaying the stream, and the read is
+    partition-parallel over the checkpoint's per-partition state files
+    (no driver materialization).  ``format("state-metadata")`` is
+    probed first for the operator inventory — operatorId / store name
+    are taken from the checkpoint the way an operator would discover
+    them on a foreign checkpoint, not hard-coded.  Complete-mode agg
+    state after processAllAvailable equals the batch aggregation,
+    making the check exact.  Reference has no streaming surface
+    (SURVEY §2.8 extension)."""
+    import tempfile
+
+    from labelspark_spark.streaming import events as se
+
+    d = _stage_stream_dir(sf_dir, copies=1)
+    stream = _normalize_ts(se.read_events_stream(spark, d))
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ckpt = tempfile.mkdtemp(prefix="statestore_read_ckpt_")
+    try:
+        spark.catalog.dropTempView("statestore_read_sink")
+    except Exception:
+        pass
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("statestore_read_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    meta = spark.read.format("state-metadata").load(ckpt)
+    op = meta.select("operatorId", "stateStoreName").first()
+    st = (
+        spark.read.format("statestore")
+        .option("operatorId", op["operatorId"])
+        .option("storeName", op["stateStoreName"])
+        .load(ckpt)
+    )
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+    )
+
+
+SQL_STATESTORE_READ = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14707,6 +14766,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "er_blocking_pairs": (q_er_blocking_pairs, SQL_ER_BLOCKING_PAIRS),
     "quantile_normalize": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
     "diff_in_diff": (q_diff_in_diff, SQL_DIFF_IN_DIFF),
+    "statestore_read": (q_statestore_read, SQL_STATESTORE_READ),
 }
 
 
@@ -14738,6 +14798,7 @@ _register_env_gated()
 # keeps attesting it locally every pytest run.
 _R7_WINDOW: list[str] = [
     # r7 NEW code (this round) — outranks never-checked unchanged queries
+    "statestore_read",
     "global_running_total",
     "ks_test_2sample",
     "mann_whitney_u",
