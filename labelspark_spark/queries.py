@@ -14361,6 +14361,350 @@ FROM events GROUP BY user_id
 """
 
 
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch with SET-INTERSECTION
+    estimation — the set-operation companion to the HLL family
+    (`hll_*`, union-only): per event_type, the sketch is the K smallest
+    md5-60-bit hashes of the distinct user ids; pairwise, the union
+    sketch is the K smallest of the merged sketches, Jaccard is
+    estimated from sketch overlap, union cardinality from the K-th
+    minimum ((K-1)·2^60/kth), and the intersection as J·|A∪B| (Beyer
+    et al., SIGMOD'07).  Scale shape: sketch building is TWO-PHASE —
+    k-smallest per (type, 64 shards) through a spill-safe sorted
+    window (no single task ever sorts a whole type's users; shard
+    count is the parallelism knob), then the ≤64K survivors per type
+    take the final k-smallest and fold into one K-length array.  The
+    pairwise stage joins T sketch rows (T = #types) broadcast, each
+    comparison O(K) array ops — independent of corpus size.  Sketches
+    saturating below K (sf0.001) take the exact-union arm; saturated
+    sketches (sf0.01+) take the estimator arm, so both paths are
+    hash-checked.  All arithmetic integer until the final estimator
+    division, which quantizes milli/ppm with the identical expression
+    shape in the DuckDB oracle (round-4 float discipline).
+    Reference has no sketch surface (engine extension, SURVEY §2.4)."""
+    K = 64
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = ev.select("event_type", hv.alias("hv")).distinct()
+    w1 = Window.partitionBy("event_type", "shard").orderBy("hv")
+    w2 = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        hashed.withColumn("shard", F.pmod(F.col("hv"), F.lit(64)))
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= K)
+        .withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") <= K)
+        .groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list("hv")).alias("sk"),
+            F.count(F.lit(1)).cast("bigint").alias("sk_n"),
+        )
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("ska"),
+        F.col("sk_n").alias("na"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("skb"),
+        F.col("sk_n").alias("nb"),
+    )
+    p = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .withColumn("merged", F.array_sort(F.array_union("ska", "skb")))
+        .withColumn("L", F.least(F.lit(K), F.size("merged")).cast("bigint"))
+        .withColumn("us", F.expr("slice(merged, 1, L)"))
+        .withColumn(
+            "n_inter",
+            F.size(
+                F.array_intersect(F.array_intersect("us", "ska"), "skb")
+            ).cast("bigint"),
+        )
+        .withColumn("kth", F.expr("element_at(us, CAST(L AS INT))"))
+        .withColumn(
+            "exact",
+            (F.size("merged") <= K) & (F.col("na") < K) & (F.col("nb") < K),
+        )
+        .withColumn(
+            "est_union_milli",
+            F.when(F.col("exact"), F.col("L") * 1000).otherwise(
+                F.floor(
+                    (F.col("L") - 1).cast("double")
+                    * F.pow(F.lit(2.0), F.lit(60.0))
+                    / F.col("kth").cast("double")
+                    * 1000
+                    + 0.5
+                )
+            ),
+        )
+        .withColumn("jaccard_ppm", F.expr("n_inter * 1000000 div L"))
+        .withColumn(
+            "est_inter_milli",
+            F.floor(
+                F.col("n_inter").cast("double")
+                * F.col("est_union_milli").cast("double")
+                / F.col("L").cast("double")
+                + 0.5
+            ),
+        )
+    )
+    return p.select(
+        "type_a",
+        "type_b",
+        F.col("L").alias("k_used"),
+        "n_inter",
+        "jaccard_ppm",
+        "est_union_milli",
+        "est_inter_milli",
+    )
+
+
+SQL_KMV_INTERSECT = """
+WITH du AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM du
+), sk AS (
+  SELECT event_type, list_sort(list(hv)) AS sk, CAST(COUNT(*) AS BIGINT) AS sk_n
+  FROM r WHERE rn <= 64 GROUP BY event_type
+), p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.sk AS ska, b.sk AS skb, a.sk_n AS na, b.sk_n AS nb
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+), c AS (
+  SELECT *, list_sort(list_distinct(list_concat(ska, skb))) AS merged FROM p
+), d AS (
+  SELECT *, LEAST(64, len(merged)) AS L FROM c
+), e AS (
+  SELECT *, list_slice(merged, 1, L) AS us FROM d
+), f AS (
+  SELECT *, CAST(len(list_intersect(list_intersect(us, ska), skb)) AS BIGINT) AS n_inter,
+         list_extract(us, L) AS kth,
+         (len(merged) <= 64 AND na < 64 AND nb < 64) AS exact
+  FROM e
+)
+SELECT type_a, type_b, CAST(L AS BIGINT) AS k_used, n_inter,
+       n_inter * 1000000 // L AS jaccard_ppm,
+       CASE WHEN exact THEN CAST(L AS BIGINT) * 1000
+            ELSE CAST(FLOOR(CAST(L - 1 AS DOUBLE) * POW(2.0, 60.0) / CAST(kth AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+       END AS est_union_milli,
+       CAST(FLOOR(CAST(n_inter AS DOUBLE) *
+            CAST(CASE WHEN exact THEN CAST(L AS BIGINT) * 1000
+                 ELSE CAST(FLOOR(CAST(L - 1 AS DOUBLE) * POW(2.0, 60.0) / CAST(kth AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+            END AS DOUBLE) / CAST(L AS DOUBLE) + 0.5) AS BIGINT) AS est_inter_milli
+FROM f
+"""
+
+
+def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the per-type daily event-count series —
+    the seasonality screen a pipeline runs before forecasting or
+    anomaly thresholds (extends the time-series family: `ewma_exact`,
+    `cusum_changepoint`, `group_trend_ols`).  Pearson r over
+    (x_t, x_{t+1}) pairs of OBSERVED days, built entirely from integer
+    sufficient statistics: the fact table pre-aggregates to one row per
+    (type, day) BEFORE the lead() window, so the window input is
+    #days·#types rows regardless of corpus size, and all five sums are
+    exact bigints (daily counts ≤ ~2^20 at 100 TB keep n·Sxy < 2^63).
+    Only the final r = cov/sqrt(varx·vary) leaves integers, quantized
+    ppm with the identical expression shape in the oracle; NULLIF
+    guards zero variance (ANSI mode).  Reference has no time-series
+    surface (engine extension, SURVEY §2.4)."""
+    e = _normalize_ts(_t(spark, sf_dir, "events"))
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = daily.withColumn("y", F.lead("x").over(w)).where(F.col("y").isNotNull())
+    g = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r_ppm = F.floor(
+        num / F.nullif(F.sqrt(vx * vy), F.lit(0.0)) * 1000000 + 0.5
+    ).cast("bigint")
+    return g.select("event_type", "n", r_ppm.alias("acf1_ppm"))
+
+
+SQL_AUTOCORR_LAG = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT event_type, x, LEAD(x) OVER (PARTITION BY event_type ORDER BY d) AS y
+  FROM daily
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs WHERE y IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+            / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+            * 1000000 + 0.5) AS BIGINT) AS acf1_ppm
+FROM g
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary) with
+    EQUAL-WIDTH 5-bins instead of ntile: quintile ranking needs a
+    global sort (the no-global-window invariant), while equal-width
+    bins need only the 6 global extrema — one tiny agg row broadcast
+    back over the fact, so the plan is two map-side-combinable aggs
+    plus a broadcast, no wide shuffle keyed on a sort.  All metrics are
+    exact integers (days, counts, totalprice cents via the round-4
+    floor discipline) and the bin arithmetic is pure bigint division —
+    bit-identical on both engines.  Output is the populated segment
+    lattice with customer counts.  Reference has no segmentation
+    surface (engine extension, SURVEY §2.4)."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    per = per.crossJoin(F.broadcast(anchor)).withColumn(
+        "rec_days", F.datediff("anchor", "last_d").cast("bigint")
+    )
+    stats = per.agg(
+        F.min("rec_days").alias("rmin"),
+        F.max("rec_days").alias("rmax"),
+        F.min("freq").alias("fmin"),
+        F.max("freq").alias("fmax"),
+        F.min("cents").alias("mmin"),
+        F.max("cents").alias("mmax"),
+    )
+    per = per.crossJoin(F.broadcast(stats))
+
+    def bin5(v: str, lo: str, hi: str) -> F.Column:
+        # equal-width 5-bin on integers; +1 span keeps the max in bin 4
+        return F.expr(f"CAST(({v} - {lo}) * 5 div ({hi} - {lo} + 1) AS BIGINT)")
+
+    seg = per.select(
+        bin5("rec_days", "rmin", "rmax").alias("r_bin"),
+        bin5("freq", "fmin", "fmax").alias("f_bin"),
+        bin5("cents", "mmin", "mmax").alias("m_bin"),
+    )
+    return seg.groupBy("r_bin", "f_bin", "m_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_d, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), a AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+w AS (
+  SELECT CAST(date_diff('day', last_d, anchor) AS BIGINT) AS rec_days, freq, cents
+  FROM per, a
+), s AS (
+  SELECT MIN(rec_days) AS rmin, MAX(rec_days) AS rmax,
+         MIN(freq) AS fmin, MAX(freq) AS fmax,
+         MIN(cents) AS mmin, MAX(cents) AS mmax
+  FROM w
+)
+SELECT CAST((rec_days - rmin) * 5 // (rmax - rmin + 1) AS BIGINT) AS r_bin,
+       CAST((freq - fmin) * 5 // (fmax - fmin + 1) AS BIGINT) AS f_bin,
+       CAST((cents - mmin) * 5 // (mmax - mmin + 1) AS BIGINT) AS m_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM w, s GROUP BY 1, 2, 3
+"""
+
+
+# Suffix-stripping stemmer (Porter step-1-style, fixed spec): the rule
+# text is shared verbatim by the Spark plan and the DuckDB oracle —
+# only the vowel-test function name differs (rlike vs regexp_matches),
+# injected via {x} below.
+STEM_STEP1_SQL = """
+CASE WHEN t LIKE '%sses' THEN substring(t, 1, length(t) - 2)
+     WHEN t LIKE '%ies'  THEN substring(t, 1, length(t) - 2)
+     WHEN t LIKE '%ss'   THEN t
+     WHEN t LIKE '%s' AND length(t) > 3 THEN substring(t, 1, length(t) - 1)
+     ELSE t END
+"""
+
+
+def _stem_step2_sql(vowel_test: str) -> str:
+    return f"""
+CASE WHEN s1 LIKE '%ing' AND length(s1) > 5
+          AND {vowel_test.format(x="substring(s1, 1, length(s1) - 3)")}
+     THEN substring(s1, 1, length(s1) - 3)
+     WHEN s1 LIKE '%ed' AND length(s1) > 4
+          AND {vowel_test.format(x="substring(s1, 1, length(s1) - 2)")}
+     THEN substring(s1, 1, length(s1) - 2)
+     ELSE s1 END
+"""
+
+
+def q_stem_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-stripping stemmer (Porter step-1-style: plural fold, then
+    -ing/-ed with a vowel-in-stem guard) applied corpus-wide, reducing
+    the vocabulary to stems with occurrence and surface-form counts —
+    the normalization pass that precedes index building or vocab
+    pruning (`vocab_topk`, `text_tfidf` operate on raw tokens).  The
+    rules are whole-stage-codegen string CASEs — zero Python — so the
+    hot path is scan → explode → two projections → partial-agg; the
+    top-50 goes through the two-phase `_global_topk` guard.  The rule
+    spec is ONE shared SQL string for both engines (only the
+    vowel-regex call differs), so oracle drift is impossible.
+    Reference has no text surface (engine extension, SURVEY §2.6)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("t")
+    ).where(F.length("t") >= 3)
+    s1 = toks.withColumn("s1", F.expr(STEM_STEP1_SQL))
+    s2 = s1.withColumn("stem", F.expr(_stem_step2_sql("{x} rlike '[aeiou]'")))
+    agg = s2.groupBy("stem").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("t").cast("bigint").alias("n_forms"),
+    )
+    return _global_topk(
+        agg, 50, [F.col("n_tokens").desc(), F.col("stem").asc()], "rank"
+    ).select("rank", "stem", "n_tokens", "n_forms")
+
+
+SQL_STEM_VOCAB = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS t FROM documents
+), keep AS (SELECT t FROM toks WHERE length(t) >= 3),
+s1t AS (SELECT t, {STEM_STEP1_SQL} AS s1 FROM keep),
+s2t AS (SELECT t, {_stem_step2_sql("regexp_matches({x}, '[aeiou]')")} AS stem FROM s1t),
+agg AS (
+  SELECT stem, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS n_forms
+  FROM s2t GROUP BY stem
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, stem) AS INTEGER) AS rank,
+       stem, n_tokens, n_forms
+FROM agg ORDER BY rank LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14767,6 +15111,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quantile_normalize": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
     "diff_in_diff": (q_diff_in_diff, SQL_DIFF_IN_DIFF),
     "statestore_read": (q_statestore_read, SQL_STATESTORE_READ),
+    "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
+    "autocorr_lag": (q_autocorr_lag, SQL_AUTOCORR_LAG),
+    "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
+    "stem_vocab": (q_stem_vocab, SQL_STEM_VOCAB),
 }
 
 
@@ -14798,6 +15146,10 @@ _register_env_gated()
 # keeps attesting it locally every pytest run.
 _R7_WINDOW: list[str] = [
     # r7 NEW code (this round) — outranks never-checked unchanged queries
+    "autocorr_lag",
+    "rfm_segments",
+    "stem_vocab",
+    "kmv_intersect",
     "statestore_read",
     "global_running_total",
     "ks_test_2sample",
