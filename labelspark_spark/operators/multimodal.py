@@ -292,7 +292,6 @@ def wav_decode_samples(content: bytes | None) -> dict:
     double op, floor-half-up on sqrt(energy/n)). Non-PCM16-mono or
     malformed input returns all-None."""
     import math
-    import struct
 
     none = {
         "n_samples": None,
@@ -301,13 +300,40 @@ def wav_decode_samples(content: bytes | None) -> dict:
         "zero_crossings": None,
         "rms_ppm": None,
     }
+    vals = _wav_pcm16_mono(content)
+    if vals is None:
+        return none
+    count = len(vals)
+    energy = sum(v * v for v in vals)
+    peak = max(abs(v) for v in vals)
+    crossings = sum(
+        1 for a, b in zip(vals, vals[1:]) if (a < 0) != (b < 0)
+    )
+    rms_ppm = math.floor(math.sqrt(energy / count) * 1000000.0 + 0.5)
+    return {
+        "n_samples": count,
+        "energy": energy,
+        "peak": peak,
+        "zero_crossings": crossings,
+        "rms_ppm": rms_ppm,
+    }
+
+
+def _wav_pcm16_mono(content: bytes | None) -> tuple | None:
+    """Chunk-walk a RIFF/WAVE blob to its 'data' payload and decode
+    16-bit little-endian MONO PCM samples (any chunk layout, padded
+    odd-size chunks handled).  Returns None for malformed input or any
+    non-PCM16-mono format — the shared guard for every sample-level
+    audio operator (features, resample)."""
+    import struct
+
     if (
         not content
         or len(content) < 12
         or content[:4] != b"RIFF"
         or content[8:12] != b"WAVE"
     ):
-        return none
+        return None
     fmt = None
     data = None
     i = 12
@@ -324,29 +350,96 @@ def wav_decode_samples(content: bytes | None) -> dict:
             break
         i = body + size + (size % 2)
     if fmt is None or data is None:
-        return none
+        return None
     audio_format = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1 or channels != 1 or bits != 16:
-        return none
+        return None
     count = len(data) // 2
     if count == 0:
+        return None
+    return struct.unpack(f"<{count}h", data[: count * 2])
+
+
+def wav_resample_linear_feats(content: bytes | None, l_up: int, m_down: int) -> dict:
+    """REAL sample-rate conversion: rational-ratio (l_up/m_down) LINEAR
+    resampler over decoded PCM16 mono, entirely in exact integer
+    fixed-point.  Output position j maps to input position j·m/l:
+    idx = (j·m) div l, rem = (j·m) mod l, and the interpolated sample
+    is (x'[idx]·(l-rem) + x'[idx+1]·rem) div l on the +32768-offset
+    signal (keeping the numerator non-negative so floor division is
+    truncation on every engine — the round-4 integer-div discipline).
+    Returns per-clip aggregate features (count, sum, order-weighted
+    checksum) so the Arrow exchange stays one row per clip; the
+    checksum pins every output sample's value AND position.
+    Malformed / non-PCM16-mono input returns all-None."""
+    none = {"n_in": None, "n_out": None, "sum_out": None, "chk_out": None}
+    xs = _wav_pcm16_mono(content)
+    if xs is None:
         return none
-    vals = struct.unpack(f"<{count}h", data[: count * 2])
-    energy = sum(v * v for v in vals)
-    peak = max(abs(v) for v in vals)
-    crossings = sum(
-        1 for a, b in zip(vals, vals[1:]) if (a < 0) != (b < 0)
+    n = len(xs)
+    n_out = ((n - 1) * l_up) // m_down + 1
+    total = 0
+    chk = 0
+    for j in range(n_out):
+        pos = j * m_down
+        idx = pos // l_up
+        rem = pos % l_up
+        a = xs[idx] + 32768
+        b = (xs[idx + 1] if idx + 1 < n else xs[idx]) + 32768
+        out = (a * (l_up - rem) + b * rem) // l_up - 32768
+        total += out
+        chk += (j + 1) * out
+    return {"n_in": n, "n_out": n_out, "sum_out": total, "chk_out": chk}
+
+
+def decode_audio_resample(
+    df: DataFrame,
+    l_up: int,
+    m_down: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched rational-ratio linear resample
+    (:func:`wav_resample_linear_feats` per blob) — the sample-rate-
+    conversion member of the audio family (decode → features →
+    codec-expand → RESAMPLE).  Per-partition streaming over bounded
+    batches; one aggregate row per clip crosses the Arrow boundary."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("n_in", LongType(), True),
+            StructField("n_out", LongType(), True),
+            StructField("sum_out", LongType(), True),
+            StructField("chk_out", LongType(), True),
+        ]
     )
-    rms_ppm = math.floor(math.sqrt(energy / count) * 1000000.0 + 0.5)
-    return {
-        "n_samples": count,
-        "energy": energy,
-        "peak": peak,
-        "zero_crossings": crossings,
-        "rms_ppm": rms_ppm,
-    }
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                feats = [
+                    wav_resample_linear_feats(c, l_up, m_down)
+                    for c in chunk[content_col]
+                ]
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        "n_in": pd.array([f["n_in"] for f in feats], dtype="Int64"),
+                        "n_out": pd.array([f["n_out"] for f in feats], dtype="Int64"),
+                        "sum_out": pd.array(
+                            [f["sum_out"] for f in feats], dtype="Int64"
+                        ),
+                        "chk_out": pd.array(
+                            [f["chk_out"] for f in feats], dtype="Int64"
+                        ),
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
 
 
 def ulaw_to_linear(u: int) -> int:

@@ -850,6 +850,40 @@ def test_wav_decode_samples_features_and_refusals():
     assert wav_decode_samples(None)["n_samples"] is None
 
 
+def test_wav_resample_linear_feats():
+    """Rational-ratio linear resampler: identity ratio reproduces the
+    input exactly, 2/1 upsample interleaves exact midpoints (floor on
+    the +32768-offset signal), and refusals mirror the decode path."""
+    import struct
+
+    from labelspark_spark.operators.multimodal import (
+        wav_encode_pcm,
+        wav_resample_linear_feats,
+    )
+
+    vals = [100, -201, 300, 0, -1]
+    wav = wav_encode_pcm(
+        n_samples=len(vals), channels=1, bits=16,
+        samples=struct.pack("<5h", *vals),
+    )
+    ident = wav_resample_linear_feats(wav, 1, 1)
+    assert ident["n_in"] == 5 and ident["n_out"] == 5
+    assert ident["sum_out"] == sum(vals)
+    assert ident["chk_out"] == sum((j + 1) * v for j, v in enumerate(vals))
+
+    up = wav_resample_linear_feats(wav, 2, 1)
+    # midpoints floor toward -inf via the +32768 offset: (100-201)//2 = -51
+    mids = [(a + b + 65536) // 2 - 32768 for a, b in zip(vals, vals[1:])]
+    expect = [v for pair in zip(vals, mids) for v in pair] + [vals[-1]]
+    assert up["n_out"] == 9 and up["n_out"] == len(expect)
+    assert up["sum_out"] == sum(expect)
+    assert up["chk_out"] == sum((j + 1) * v for j, v in enumerate(expect))
+
+    stereo = wav_encode_pcm(n_samples=4, channels=2, bits=16)
+    assert wav_resample_linear_feats(stereo, 3, 4)["n_out"] is None
+    assert wav_resample_linear_feats(None, 3, 4)["n_out"] is None
+
+
 def test_g711_expansion_and_decode():
     """G.711 µ-law/A-law expansion is bit-exact vs the CPython audioop
     reference for all 256 codes (audioop exists on 3.11; skip the
