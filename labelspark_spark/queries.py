@@ -14705,6 +14705,630 @@ FROM agg ORDER BY rank LIMIT 50
 """
 
 
+def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sample-rate conversion, oracle-checked end to end: per doc
+    a PCM16 WAV with closed-form samples (x_i = (doc_id·31 + 17i) mod
+    2001 − 1000, n = 64 + doc_id mod 32, 16 kHz) is generated, then
+    linearly resampled at ratio 3/4 (16 kHz → 12 kHz) by the exact
+    integer fixed-point interpolator (operators/multimodal.py:
+    wav_resample_linear_feats) — the sample-rate-conversion member of
+    the audio codec family (PCM16 → G.711 → ADPCM → RESAMPLE).  The
+    oracle replays the interpolation arithmetic in pure SQL from the
+    closed form without parsing; the order-weighted checksum pins
+    every output sample's value and position.  Decode runs Arrow-
+    batched `mapInPandas`, one aggregate row per clip on the wire.
+    Reference treats media as opaque URLs (labelspark/client.py:
+    create_data_rows_from_table) — real decode is an engine extension
+    (SURVEY §2.9 multimodal)."""
+    import struct as _struct
+
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _enc(d: int) -> bytes:
+        n = 64 + d % 32
+        payload = b"".join(
+            _struct.pack("<h", ((d * 31 + i * 17) % 2001) - 1000) for i in range(n)
+        )
+        return mm.wav_encode_pcm(
+            n_samples=n, sample_rate=16000, channels=1, bits=16, samples=payload
+        )
+
+    staged = _stage_media(docs, _enc)
+    return mm.decode_audio_resample(
+        staged, l_up=3, m_down=4, content_col="content", id_col="doc_id"
+    )
+
+
+SQL_MULTIMODAL_AUDIO_RESAMPLE = """
+WITH d AS (
+  SELECT doc_id, 64 + doc_id % 32 AS n,
+         ((64 + doc_id % 32 - 1) * 3) // 4 + 1 AS n_out
+  FROM documents
+), j AS (
+  SELECT doc_id, n, n_out, unnest(range(0, n_out)) AS jj FROM d
+), c AS (
+  SELECT doc_id, n, jj, (jj * 4) // 3 AS idx, (jj * 4) % 3 AS rem FROM j
+), v AS (
+  SELECT doc_id, jj, rem,
+         ((doc_id * 31 + idx * 17) % 2001) - 1000 + 32768 AS a,
+         CASE WHEN idx + 1 < n
+              THEN ((doc_id * 31 + (idx + 1) * 17) % 2001) - 1000 + 32768
+              ELSE ((doc_id * 31 + idx * 17) % 2001) - 1000 + 32768 END AS b
+  FROM c
+), o AS (
+  SELECT doc_id, jj, (a * (3 - rem) + b * rem) // 3 - 32768 AS outv FROM v
+)
+SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_in, CAST(d.n_out AS BIGINT) AS n_out,
+       CAST(SUM(o.outv) AS BIGINT) AS sum_out,
+       CAST(SUM((o.jj + 1) * o.outv) AS BIGINT) AS chk_out
+FROM d JOIN o ON d.doc_id = o.doc_id
+GROUP BY d.doc_id, d.n, d.n_out
+"""
+
+
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p10/p90-clamped) group means — the robust-statistics
+    companion to `anomaly_mad`: outliers are CLAMPED to the exact rank
+    thresholds rather than dropped, so the estimator keeps every row's
+    vote.  The thresholds come from the DISTINCT-VALUE HISTOGRAM
+    pattern, the scale-safe exact-quantile route: the fact collapses
+    to (group, value, count) first, the running count runs over that
+    histogram (window input = #distinct values per group, not raw
+    rows), and the p10/p90 bounds are the first values whose
+    cumulative count clears n/10 and 9n/10 — pure bigint comparisons,
+    no interpolation, no doubles until the final mean quantization
+    (same expression shape both engines).  Thresholds broadcast back
+    over the fact for the clamp.  Contrast: `quantile_bucket_assign`
+    uses the interpolated `percentile()` aggregate; this query needs
+    rank-threshold semantics, which the histogram gives exactly.
+    Reference has no robust-stats surface (engine extension,
+    SURVEY §2.4)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    fact = o.select("o_orderpriority", cents.alias("v"))
+    hist = fact.groupBy("o_orderpriority", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("v")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("o_orderpriority").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    thr = (
+        cum.join(F.broadcast(tot), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min(F.when(F.col("cum") * 10 >= F.col("n"), F.col("v"))).alias("lo"),
+            F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("v"))).alias(
+                "hi"
+            ),
+        )
+    )
+    clamped = fact.join(F.broadcast(thr), "o_orderpriority").select(
+        "o_orderpriority",
+        "v",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v"))).alias("w"),
+    )
+    g = clamped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("raw_sum"),
+        F.sum("w").cast("bigint").alias("win_sum"),
+    )
+
+    def mean_milli(s: str) -> F.Column:
+        return F.floor(
+            F.col(s).cast("double") * 10 / F.col("n") + 0.5
+        ).cast("bigint")
+
+    return g.select(
+        "o_orderpriority",
+        "n",
+        mean_milli("raw_sum").alias("raw_mean_milli"),
+        mean_milli("win_sum").alias("win_mean_milli"),
+    )
+
+
+SQL_WINSORIZED_MEAN = """
+WITH fact AS (
+  SELECT o_orderpriority, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders
+), hist AS (
+  SELECT o_orderpriority, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM fact GROUP BY 1, 2
+), cum AS (
+  SELECT o_orderpriority, v, cnt,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY v) AS cum
+  FROM hist
+), tot AS (
+  SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1
+), thr AS (
+  SELECT c.o_orderpriority,
+         MIN(CASE WHEN c.cum * 10 >= t.n THEN c.v END) AS lo,
+         MIN(CASE WHEN c.cum * 10 >= t.n * 9 THEN c.v END) AS hi
+  FROM cum c JOIN tot t USING (o_orderpriority)
+  GROUP BY c.o_orderpriority
+), clamped AS (
+  SELECT f.o_orderpriority, f.v,
+         GREATEST(th.lo, LEAST(th.hi, f.v)) AS w
+  FROM fact f JOIN thr th USING (o_orderpriority)
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(CAST(SUM(v) AS DOUBLE) * 10 / COUNT(*) + 0.5) AS BIGINT) AS raw_mean_milli,
+       CAST(FLOOR(CAST(SUM(w) AS DOUBLE) * 10 / COUNT(*) + 0.5) AS BIGINT) AS win_mean_milli
+FROM clamped GROUP BY 1
+"""
+
+
+def q_events_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hard-signal: STREAM-STREAM LEFT-SEMI interval join — the
+    last join type the streaming surface lacked (inner, left-outer and
+    full-outer replays exist): purchases pass through IFF the same
+    user clicked within the prior 6 hours, and the click columns never
+    reach the sink, so click state is pure existence state (Spark can
+    drop a click the moment the watermark passes it — the cheapest
+    state profile of the join family).  Replayed in one micro-batch so
+    watermarking drops nothing; the appended sink equals the batch
+    EXISTS, hash-checked per user."""
+    from labelspark_spark.streaming import events as se
+
+    d = _stage_stream_dir(sf_dir, copies=1)
+    purchases = (
+        _normalize_ts(se.read_events_stream(spark, d))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _normalize_ts(se.read_events_stream(spark, d))
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    sem = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 6 hours"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_semi",
+    )
+    _replay_to_memory(sem, "events_stream_semi_sink", "append")
+    return (
+        spark.table("events_stream_semi_sink")
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_qualified"))
+    )
+
+
+SQL_EVENTS_STREAM_SEMI_JOIN = """
+SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_qualified
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (SELECT 1 FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts)
+GROUP BY p.user_id
+"""
+
+
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    fractional-credit companion to `attribution_last_touch`: each
+    user's click/view touches BEFORE their first purchase split the
+    conversion credit 40% first / 40% last / 20% spread evenly over
+    the middle (100% single-touch, 50/50 two-touch).  Credits are
+    exact ppm integers (the middle share is integer-divided, floor,
+    same on both engines — totals may undershoot 1e6 by the remainder,
+    by spec).  The touch ranking window partitions per user (bounded
+    state: one user's touches), and the conversion anchor is a
+    groupBy-min broadcast back over the touch scan.  Reference has no
+    attribution surface (engine extension, SURVEY §2.5)."""
+    e = _normalize_ts(_t(spark, sf_dir, "events"))
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .join(F.broadcast(conv), "user_id")
+        .filter(F.col("ts") < F.col("conv_ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = touches.withColumn("rn", F.row_number().over(w)).withColumn(
+        "k", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1000000))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("k")),
+            F.when(F.col("k") == 2, 500000).otherwise(400000),
+        )
+        .otherwise(F.expr("200000 div (k - 2)"))
+    ).cast("bigint")
+    return (
+        t.select(F.col("event_type").alias("channel"), credit.alias("c"))
+        .groupBy("channel")
+        .agg(
+            F.sum("c").cast("bigint").alias("credit_ppm_total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        )
+    )
+
+
+SQL_ATTRIBUTION_POSITION = """
+WITH conv AS (
+  SELECT user_id, MIN(ts) AS conv_ts FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), touches AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM events e JOIN conv USING (user_id)
+  WHERE e.event_type IN ('click', 'view') AND e.ts < conv.conv_ts
+), t AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS k
+  FROM touches
+)
+SELECT event_type AS channel,
+       CAST(SUM(CASE WHEN k = 1 THEN 1000000
+                     WHEN rn = 1 OR rn = k THEN (CASE WHEN k = 2 THEN 500000 ELSE 400000 END)
+                     ELSE 200000 // (k - 2) END) AS BIGINT) AS credit_ppm_total,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM t GROUP BY event_type
+"""
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase conversion latency per monthly cohort —
+    the time-to-event companion to `retention_cohorts` / `funnel_steps`
+    (those count conversions; this distributes WHEN).  Latency is
+    millisecond-exact integer arithmetic (`unix_millis` both sides —
+    NOT `unix_timestamp`/`epoch`, which floor-vs-round sub-second
+    fractions differently across engines) floor-divided to seconds;
+    the median/p90 reuse the interpolated-percentile parity
+    established by q_percentiles (round-6dp).  Non-converters stay in
+    the cohort denominator via the left join.  Reference has no funnel
+    surface (engine extension, SURVEY §2.4)."""
+    e = _normalize_ts(_t(spark, sf_dir, "events"))
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(p, "user_id", "left")
+        .filter(F.col("p_ts").isNull() | (F.col("p_ts") >= F.col("s_ts")))
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("p_ts").alias("c_ts"))
+    )
+    lat = conv.select(
+        F.date_trunc("month", "s_ts").alias("cohort"),
+        F.expr("(unix_millis(c_ts) - unix_millis(s_ts)) div 1000")
+        .cast("bigint")
+        .alias("lat_s"),
+    )
+    return lat.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+        F.count("lat_s").cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(lat_s, 0.5)"), 6).alias("median_lat_s"),
+        F.round(F.expr("percentile(lat_s, 0.9)"), 6).alias("p90_lat_s"),
+    )
+
+
+SQL_CONVERSION_LATENCY = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT s.user_id, s.s_ts, MIN(p.ts) AS c_ts
+  FROM s LEFT JOIN events p
+    ON p.user_id = s.user_id AND p.event_type = 'purchase' AND p.ts >= s.s_ts
+  GROUP BY s.user_id, s.s_ts
+), lat AS (
+  SELECT date_trunc('month', s_ts) AS cohort,
+         (epoch_ms(c_ts) - epoch_ms(s_ts)) // 1000 AS lat_s
+  FROM conv
+)
+SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(COUNT(lat_s) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(lat_s, 0.5), 6) AS median_lat_s,
+       ROUND(quantile_cont(lat_s, 0.9), 6) AS p90_lat_s
+FROM lat GROUP BY cohort
+"""
+
+
+def q_sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 hard-signal for Spark 4 SQL USER-DEFINED FUNCTIONS — both
+    kinds: a scalar SQL UDF (`CREATE TEMPORARY FUNCTION ... RETURNS
+    BIGINT RETURN expr`, the declarative replacement for Python
+    scalar UDFs: Catalyst INLINES the body, so it folds into
+    whole-stage codegen with zero interpreter boundary) and a SQL
+    TABLE function (`RETURNS TABLE ... RETURN SELECT`), serving the
+    band dimension the fact range-joins against.  Both objects are
+    session-scoped catalog entities, exercised through one SQL query.
+    The oracle inlines the same expressions (DuckDB macros can't ride
+    one compare statement).  Complements `python_udtf_sentences`
+    (Python TVF) and the U1-U8 native replacements (SURVEY §2.7)."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders_udf_v"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_cents(x DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(FLOOR(x * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_bands() "
+        "RETURNS TABLE(band STRING, lo DOUBLE, hi DOUBLE) RETURN "
+        "SELECT * FROM VALUES ('low', 0.0, 75000.0), ('mid', 75000.0, 200000.0), "
+        "('high', 200000.0, 1000000000.0) AS t(band, lo, hi)"
+    )
+    return spark.sql(
+        """
+        SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(order_cents(o.o_totalprice)) AS BIGINT) AS cents_total
+        FROM orders_udf_v o JOIN price_bands() b
+          ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.band
+        """
+    )
+
+
+SQL_SQL_UDF_SURFACE = """
+WITH b AS (
+  SELECT * FROM (VALUES ('low', 0.0, 75000.0), ('mid', 75000.0, 200000.0),
+                        ('high', 200000.0, 1000000000.0)) AS t(band, lo, hi)
+)
+SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_total
+FROM orders o JOIN b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+"""
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 set-op completion: `unionByName(allowMissingColumns=True)`
+    — position-independent schema alignment with NULL fill for absent
+    columns, the union a schema-evolving ingest actually needs (the
+    positional `union` family is attested separately).  The missing
+    `price` column on the second branch surfaces as NULLs, pinned by
+    the n vs n_priced split.  Oracle: DuckDB `UNION ALL BY NAME`."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    b = o.select(
+        F.col("o_orderpriority").alias("prio"), F.col("o_orderkey").alias("k")
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("price").cast("bigint").alias("n_priced"),
+        F.sum(F.floor(F.col("price") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
+SQL_UNION_BY_NAME = """
+WITH u AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS prio FROM orders
+  UNION ALL BY NAME
+  SELECT o_orderpriority AS prio, o_orderkey AS k FROM orders
+)
+SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(price) AS BIGINT) AS n_priced,
+       CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM u GROUP BY prio
+"""
+
+
+def q_er_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter-style scored record linkage — the SCORING stage
+    on top of `er_blocking_pairs`' candidate generation: blocked part
+    pairs accumulate integer agreement/disagreement weights per field
+    (brand +24/-8, type +18/-6, size-within-2 +12/-4, name-edit-
+    distance<=10 +30/-10) and classify match / possible / non_match at
+    the 50/10 thresholds — the classic three-region decision rule,
+    with all weights integer so both engines agree bit-for-bit.  Same
+    blocking scale posture as the parent (candidates bounded to
+    sum(b_i^2), one shuffle on the block key; ASCII inputs keep the
+    two engines' Levenshtein identical)."""
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.lower(F.col("p_name")).alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("typ"),
+        F.col("p_size").alias("size"),
+        F.split(F.lower(F.col("p_name")), " ")[0].alias("blk"),
+    )
+    pr = (
+        p.alias("a")
+        .join(p.alias("b"), ["blk"])
+        .filter(F.col("a.k") < F.col("b.k"))
+        .select(
+            (
+                F.when(F.col("a.brand") == F.col("b.brand"), 24).otherwise(-8)
+                + F.when(F.col("a.typ") == F.col("b.typ"), 18).otherwise(-6)
+                + F.when(F.abs(F.col("a.size") - F.col("b.size")) <= 2, 12).otherwise(
+                    -4
+                )
+                + F.when(
+                    F.levenshtein(F.col("a.name"), F.col("b.name")) <= 10, 30
+                ).otherwise(-10)
+            )
+            .cast("bigint")
+            .alias("w")
+        )
+    )
+    cls = pr.select(
+        F.when(F.col("w") >= 50, "match")
+        .when(F.col("w") >= 10, "possible")
+        .otherwise("non_match")
+        .alias("cls"),
+        "w",
+    )
+    return cls.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("w").cast("bigint").alias("w_sum"),
+        F.min("w").alias("w_min"),
+        F.max("w").alias("w_max"),
+    )
+
+
+SQL_ER_SCORE_PAIRS = """
+WITH p AS (
+  SELECT p_partkey AS k, lower(p_name) AS name, p_brand AS brand,
+         p_type AS typ, p_size AS size,
+         string_split(lower(p_name), ' ')[1] AS blk
+  FROM part
+), pr AS (
+  SELECT (CASE WHEN a.brand = b.brand THEN 24 ELSE -8 END
+        + CASE WHEN a.typ = b.typ THEN 18 ELSE -6 END
+        + CASE WHEN abs(a.size - b.size) <= 2 THEN 12 ELSE -4 END
+        + CASE WHEN levenshtein(a.name, b.name) <= 10 THEN 30 ELSE -10 END) AS w
+  FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+), cls AS (
+  SELECT CASE WHEN w >= 50 THEN 'match' WHEN w >= 10 THEN 'possible'
+              ELSE 'non_match' END AS cls, w
+  FROM pr
+)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(w) AS BIGINT) AS w_sum,
+       CAST(MIN(w) AS BIGINT) AS w_min, CAST(MAX(w) AS BIGINT) AS w_max
+FROM cls GROUP BY cls
+"""
+
+
+def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for entity resolution: corpus tokens bucketed
+    by SOUNDEX — the classic spelling-insensitive block key (completes
+    the ER ladder: `er_blocking_pairs` blocks on exact first token,
+    `er_score_pairs` scores, this blocks PHONETICALLY so 'smith'/
+    'smyth' collide).  Spark's JVM `soundex()` is the operator; the
+    oracle REIMPLEMENTS the full algorithm (first letter kept; h/w
+    transparent for adjacency; vowels reset; adjacent-duplicate
+    collapse; leading digit dropped when it repeats the first
+    letter's code; zero-pad to 4) as layered DuckDB list expressions —
+    the twin is property-tested against the classic definition over
+    random words in tests/test_properties.py, not just this corpus's
+    vocabulary.  Plan: explode → JVM soundex projection → partial agg;
+    no Python anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("t")
+    ).where(F.length("t") >= 2)
+    return (
+        toks.select(F.soundex("t").alias("sx"), "t")
+        .groupBy("sx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("t").cast("bigint").alias("n_forms"),
+        )
+    )
+
+
+# DuckDB has no soundex(); the oracle builds it from list primitives.
+# Shared by the property test (tests/test_properties.py) which checks
+# this very fragment against the classic algorithm on random words.
+SOUNDEX_DUCK_CTE = """
+enc AS (
+  SELECT t, upper(t[1]) AS f,
+    CASE WHEN t[1] IN ('b','f','p','v') THEN '1'
+         WHEN t[1] IN ('c','g','j','k','q','s','x','z') THEN '2'
+         WHEN t[1] IN ('d','t') THEN '3' WHEN t[1] = 'l' THEN '4'
+         WHEN t[1] IN ('m','n') THEN '5' WHEN t[1] = 'r' THEN '6'
+         ELSE '0' END AS fcode,
+    list_transform(
+      string_split(regexp_replace(t[2:], '[hw]', '', 'g'), ''),
+      c -> CASE WHEN c IN ('b','f','p','v') THEN '1'
+                WHEN c IN ('c','g','j','k','q','s','x','z') THEN '2'
+                WHEN c IN ('d','t') THEN '3' WHEN c = 'l' THEN '4'
+                WHEN c IN ('m','n') THEN '5' WHEN c = 'r' THEN '6'
+                ELSE '0' END) AS codes
+  FROM keep
+), coll AS (
+  SELECT t, f, fcode,
+         list_filter(codes, (c, i) -> i = 1 OR c <> codes[i - 1]) AS dedup
+  FROM enc
+), strip AS (
+  SELECT t, f,
+         list_filter(dedup, (c, i) -> c <> '0' AND NOT (i = 1 AND c = fcode)) AS digs
+  FROM coll
+), sxt AS (
+  SELECT t,
+         f || substring(coalesce(array_to_string(digs, ''), '') || '000', 1, 3) AS sx
+  FROM strip
+)
+"""
+
+SQL_PHONETIC_BLOCKING = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS t FROM documents
+), keep AS (SELECT t FROM toks WHERE length(t) >= 2),
+{SOUNDEX_DUCK_CTE}
+SELECT sx, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT t) AS BIGINT) AS n_forms
+FROM sxt GROUP BY sx
+"""
+
+
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event type — the
+    median-of-pairwise-slopes estimator (up to 29% outlier breakdown
+    vs OLS's zero; complements `group_trend_ols`, which these daily
+    series can now be cross-read against).  The pairwise self-join
+    runs on the PRE-AGGREGATED daily series (one row per (type, day) —
+    bounded by the calendar, never the event count), so the O(d²) pair
+    set stays tiny at any corpus scale: 100 TB of events still
+    collapses to #days rows per type before pairing.  Slopes are
+    integer milli-units/day (both engines truncate negative integer
+    division toward zero — verified: -7 div 2 = -3 on each); the
+    median reuses the q_percentiles interpolation parity.  Reference
+    has no time-series surface (engine extension, SURVEY §2.4)."""
+    e = _normalize_ts(_t(spark, sf_dir, "events"))
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select("event_type", F.col("d").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            F.expr("(xb - xa) * 1000 div datediff(db, da)")
+            .cast("bigint")
+            .alias("slope_milli"),
+        )
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(slope_milli, 0.5)"), 6).alias("ts_slope_milli"),
+    )
+
+
+SQL_THEIL_SEN_SLOPE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         (b.x - a.x) * 1000 // date_diff('day', a.d, b.d) AS slope_milli
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(slope_milli, 0.5), 6) AS ts_slope_milli
+FROM pairs GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15115,6 +15739,22 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "autocorr_lag": (q_autocorr_lag, SQL_AUTOCORR_LAG),
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
     "stem_vocab": (q_stem_vocab, SQL_STEM_VOCAB),
+    "multimodal_audio_resample": (
+        q_multimodal_audio_resample,
+        SQL_MULTIMODAL_AUDIO_RESAMPLE,
+    ),
+    "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
+    "events_stream_semi_join": (
+        q_events_stream_semi_join,
+        SQL_EVENTS_STREAM_SEMI_JOIN,
+    ),
+    "attribution_position": (q_attribution_position, SQL_ATTRIBUTION_POSITION),
+    "conversion_latency": (q_conversion_latency, SQL_CONVERSION_LATENCY),
+    "sql_udf_surface": (q_sql_udf_surface, SQL_SQL_UDF_SURFACE),
+    "union_by_name": (q_union_by_name, SQL_UNION_BY_NAME),
+    "er_score_pairs": (q_er_score_pairs, SQL_ER_SCORE_PAIRS),
+    "phonetic_blocking": (q_phonetic_blocking, SQL_PHONETIC_BLOCKING),
+    "theil_sen_slope": (q_theil_sen_slope, SQL_THEIL_SEN_SLOPE),
 }
 
 
@@ -15146,6 +15786,16 @@ _register_env_gated()
 # keeps attesting it locally every pytest run.
 _R7_WINDOW: list[str] = [
     # r7 NEW code (this round) — outranks never-checked unchanged queries
+    "theil_sen_slope",
+    "phonetic_blocking",
+    "sql_udf_surface",
+    "union_by_name",
+    "er_score_pairs",
+    "events_stream_semi_join",
+    "attribution_position",
+    "conversion_latency",
+    "winsorized_mean",
+    "multimodal_audio_resample",
     "autocorr_lag",
     "rfm_segments",
     "stem_vocab",

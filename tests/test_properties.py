@@ -192,6 +192,7 @@ def test_codec_robustness_arbitrary_bytes(blob):
         mm.wav_decode_samples,
         mm.wav_decode_samples_g711,
         mm.wav_decode_samples_adpcm,
+        lambda c: mm.wav_resample_linear_feats(c, 3, 4),
         mm.png_decode,
         mm.parse_mp4_header,
         mm.parse_exif,
@@ -201,3 +202,52 @@ def test_codec_robustness_arbitrary_bytes(blob):
     for variant in (blob, (b"RIFF" + blob + b"WAVE" if blob else blob)):
         for dec in decoders:
             dec(variant)  # must not raise, whatever the shape
+
+
+def _soundex_classic(w: str) -> str:
+    """The textbook American Soundex (the definition Spark's JVM
+    soundex implements): keep the first letter; h/w are transparent
+    for adjacency; vowels reset; collapse adjacent duplicate codes;
+    drop a leading code equal to the first letter's; zero-pad to 4."""
+    code = {
+        **{c: "1" for c in "bfpv"}, **{c: "2" for c in "cgjkqsxz"},
+        **{c: "3" for c in "dt"}, "l": "4", **{c: "5" for c in "mn"}, "r": "6",
+    }
+    out = w[0].upper()
+    prev = code.get(w[0], "")
+    for ch in w[1:]:
+        if ch in "hw":
+            continue
+        c = code.get(ch, "")
+        if c and c != prev:
+            out += c
+            if len(out) == 4:
+                break
+        prev = c
+    return (out + "000")[:4]
+
+
+@given(words=st.lists(st.text(alphabet="abcdefghijklmnopqrstuvwxyz",
+                              min_size=2, max_size=12),
+                      min_size=1, max_size=40, unique=True))
+@settings(max_examples=60, deadline=None)
+def test_soundex_duckdb_twin_matches_classic(words):
+    """The DuckDB soundex reimplementation that oracles
+    `phonetic_blocking` (queries.SOUNDEX_DUCK_CTE) must match the
+    classic algorithm on ARBITRARY words, not just the corpus
+    vocabulary — the corpus has ~30 distinct tokens, far too few to
+    pin h/w transparency and leading-code collapse on their own.
+    (Spark's soundex is checked against the same classic definition
+    by the registry parity of phonetic_blocking.)"""
+    import duckdb
+
+    from labelspark_spark.queries import SOUNDEX_DUCK_CTE
+
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = (
+        f"WITH keep AS (SELECT * FROM (VALUES {vals}) AS v(t)),\n"
+        + SOUNDEX_DUCK_CTE
+        + "SELECT t, sx FROM sxt"
+    )
+    got = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == {w: _soundex_classic(w) for w in words}
