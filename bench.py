@@ -218,6 +218,39 @@ BENCH_QUERIES = [
     "ivm_join_view",
     "hierarchical_share",
     "ewma_exact",
+    # round-7 wave: statistics/experimentation, sketches, ER, product
+    # analytics, engine surfaces (statestore read + stream semi join pay
+    # real checkpoint/staging I/O per call, same as events_stream_restart)
+    "global_running_total",
+    "ks_test_2sample",
+    "mann_whitney_u",
+    "kaplan_meier",
+    "feature_hashing",
+    "cms_topk",
+    "log_odds_keywords",
+    "er_blocking_pairs",
+    "quantile_normalize",
+    "diff_in_diff",
+    "skyline_2d",
+    "spatial_grid_join",
+    "cusum_changepoint",
+    "sssp_levels",
+    "cuped_adjustment",
+    "statestore_read",
+    "kmv_intersect",
+    "autocorr_lag",
+    "rfm_segments",
+    "stem_vocab",
+    "multimodal_audio_resample",
+    "winsorized_mean",
+    "events_stream_semi_join",
+    "attribution_position",
+    "conversion_latency",
+    "sql_udf_surface",
+    "union_by_name",
+    "er_score_pairs",
+    "phonetic_blocking",
+    "theil_sen_slope",
 ]
 
 
