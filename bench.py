@@ -251,6 +251,14 @@ BENCH_QUERIES = [
     "er_score_pairs",
     "phonetic_blocking",
     "theil_sen_slope",
+    "events_stream_file_sink",
+    "funnel_windowed",
+    "rolling_median_7d",
+    "csv_roundtrip",
+    "events_sessionize_dynamic",
+    "spatial_nearest_neighbor",
+    "python_udtf_table_arg",
+    "l_diversity_audit",
 ]
 
 

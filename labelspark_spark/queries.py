@@ -15329,6 +15329,489 @@ FROM pairs GROUP BY event_type
 """
 
 
+def q_events_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hard-signal for the FILE sink's exactly-once contract: a
+    bounded stream writes filtered events to a parquet directory with
+    a real checkpoint, then a schema-valid ORPHAN parquet file is
+    planted in the sink directory (simulating a failed task's
+    leftover), and the batch read-back must EXCLUDE it — proof the
+    read goes through the `_spark_metadata` commit manifest, not
+    directory listing (the mechanism that makes file sinks
+    exactly-once under task retries at 100 TB).  The oracle is the
+    plain filtered aggregate: a hash match means the orphan row never
+    surfaced.  Complements `events_stream_restart` (checkpoint
+    recovery on the memory sink) with the FILE-sink commit protocol."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from labelspark_spark.streaming import events as se
+
+    d = _stage_stream_dir(sf_dir, copies=1)
+    out = tempfile.mkdtemp(prefix="stream_file_sink_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_file_sink_ckpt_")
+    stream = _normalize_ts(se.read_events_stream(spark, d))
+    proj = stream.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = (
+        proj.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    orphan = spark.createDataFrame(
+        [(999999999, -1, "view", 1.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    orphan.coalesce(1).write.mode("append").parquet(out + "_orphan")
+    src = glob.glob(out + "_orphan/part-*.parquet")[0]
+    shutil.copy(src, os.path.join(out, "part-99999-orphan.parquet"))
+    back = spark.read.parquet(out)  # manifest-driven listing
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000000 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("val_micro"),
+    )
+
+
+SQL_EVENTS_STREAM_FILE_SINK = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS val_micro
+FROM events WHERE event_type <> 'error' GROUP BY event_type
+"""
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order TIME-BOUNDED funnel: signup → first click within 7
+    days → first purchase within 7 days OF THAT CLICK — the
+    conversion-window semantics growth reporting uses (`funnel_steps`
+    counts unordered stage membership; `session_funnel` orders within
+    a session; this chains stage deadlines).  Each stage is a
+    groupBy-min anchored on the previous stage's timestamp, so the
+    plan is three filtered aggregates chained by equi-joins on
+    user_id — no windows, no self-join of the raw fact with itself,
+    and every stage's state is one row per surviving user.  Exact
+    timestamp compares; counts only."""
+    e = _normalize_ts(_t(spark, sf_dir, "events"))
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") > F.col("s_ts"))
+            & (F.col("ts") <= F.col("s_ts") + F.expr("interval 7 days"))
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("interval 7 days"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stages = s.join(c.select("user_id", "c_ts"), "user_id", "left").join(
+        p, "user_id", "left"
+    )
+    return stages.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signup"),
+        F.count("c_ts").cast("bigint").alias("n_click_7d"),
+        F.count("p_ts").cast("bigint").alias("n_purchase_7d"),
+    )
+
+
+SQL_FUNNEL_WINDOWED = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, s.s_ts, MIN(e.ts) AS c_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s.s_ts AND e.ts <= s.s_ts + INTERVAL 7 DAY
+  GROUP BY e.user_id, s.s_ts
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 7 DAY
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_signup,
+       CAST(COUNT(c.c_ts) AS BIGINT) AS n_click_7d,
+       CAST(COUNT(p.p_ts) AS BIGINT) AS n_purchase_7d
+FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def q_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN of per-type daily counts — the robust twin
+    of `rolling_avg_7d` (a mean window is one bad day from useless as
+    an alert baseline; hypertable dashboards smooth with medians): the
+    `percentile` AGGREGATE runs as a WINDOW function over a calendar
+    RANGE frame (6 preceding days .. current, keyed on an integer day
+    number so the frame is value-based, not row-based — gap days
+    shrink the window rather than silently widening it).  The window
+    input is the pre-aggregated daily grain — calendar-bounded, as in
+    `autocorr_lag`/`theil_sen_slope` — so the per-partition sort is
+    #days rows at any corpus size.  Median parity rides the
+    q_percentiles interpolation recipe (round-6dp); n_in_win pins the
+    frame boundaries themselves."""
+    e = _normalize_ts(_t(spark, sf_dir, "events"))
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    daily = daily.withColumn(
+        "dn", F.datediff("d", F.lit("2024-01-01")).cast("bigint")
+    )
+    w = Window.partitionBy("event_type").orderBy("dn").rangeBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.expr("percentile(x, 0.5)").over(w), 6).alias("med7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_win"),
+    )
+
+
+SQL_ROLLING_MEDIAN_7D = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dn
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       ROUND(quantile_cont(x, 0.5) OVER w, 6) AS med7,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_win
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source roundtrip — completes the sink-format matrix
+    (parquet/ORC/JSONL attested earlier): documents write through
+    Spark's CSV writer with RFC-4180 double-quote escaping and read
+    back with `multiLine` (quoted embedded newlines must survive) and
+    the explicit schema (CSV carries no types).  The language
+    aggregate INCLUDING a length-sum over the free-text column must
+    match the parquet-sourced oracle exactly — text with commas,
+    quotes, or newlines that mis-escapes would shift lengths and break
+    the hash.  Reference exports via Delta/SQL only; text-format
+    interchange is an engine extension (SURVEY §2.1)."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="csv_rt_")
+    (
+        docs.write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(d)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .schema(docs.schema)
+        .csv(d)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("text_len_sum"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS text_len_sum,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def q_events_sessionize_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: `F.session_window` with a PER-ROW
+    gap column (purchases hold a session open 30 minutes, everything
+    else 10) — the gap policy real products ship, and a Spark-4
+    capability the fixed-gap `events_sessionize` can't express.  The
+    oracle derives identical sessions INDEPENDENTLY via the
+    running-max gaps-islands construction (a session breaks when an
+    event's time clears the max expiry of everything before it), so a
+    hash match pins Spark's native merge semantics, not just row
+    counts.  Epoch-ms integer compares throughout."""
+    e = _normalize_ts(_t(spark, sf_dir, "events"))
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    s = e.groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+        F.sum("n_events").cast("bigint").alias("n_total"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE_DYNAMIC = """
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS t,
+         CASE WHEN event_type = 'purchase' THEN 1800000 ELSE 600000 END AS gap
+  FROM events
+), o AS (
+  SELECT user_id, t,
+         MAX(t + gap) OVER (PARTITION BY user_id ORDER BY t, t + gap
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM ev
+), marked AS (
+  SELECT user_id, t,
+         CASE WHEN prev_max IS NULL OR t >= prev_max THEN 1 ELSE 0 END AS is_start
+  FROM o
+), islands AS (
+  SELECT user_id, t,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+), sessions AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM islands GROUP BY user_id, sid
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_total
+FROM sessions GROUP BY user_id
+"""
+
+
+def q_spatial_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-pruned NEAREST-NEIGHBOR join (customer → closest supplier
+    within the 3×3 cell neighborhood) — the kNN companion to
+    `spatial_grid_join`'s radius join: build side keeps home cells,
+    probe side fans each customer to its 9 neighbor cells (bounded
+    replication for a key-equi join), exact integer distance² refines,
+    and a per-customer rank-1 window (partitioned by customer — state
+    is one customer's candidates) picks the argmin with a total
+    (d2, sid) tie order.  Customers whose neighborhood holds no
+    supplier fall out — the radius-bounded contract, stated rather
+    than hidden (unbounded exact kNN would need an expanding search).
+    Coordinates are the same LCG pseudo-plane as the radius join.  At
+    scale both sides shuffle on cell id; no broadcast required."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cid"),
+        ((F.col("c_custkey") * 48271) % 65536).alias("x"),
+        ((F.col("c_custkey") * 69621) % 65536).alias("y"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sid"),
+        ((F.col("s_suppkey") * 16807) % 65536).alias("sx"),
+        ((F.col("s_suppkey") * 22695477) % 65536).alias("sy"),
+    )
+    home = sup.withColumn("cell", F.expr("(sx div 4096) * 16 + (sy div 4096)"))
+    offs = F.explode(F.array(*[F.lit(v) for v in range(-1, 2)]))
+    probe = (
+        cust.select("cid", "x", "y", offs.alias("dx"))
+        .select("cid", "x", "y", "dx", offs.alias("dy"))
+        .select(
+            "cid",
+            "x",
+            "y",
+            F.expr("((x div 4096) + dx) * 16 + ((y div 4096) + dy)").alias("cell"),
+        )
+    )
+    d2 = (
+        (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
+        + (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy"))
+    ).cast("bigint")
+    cand = probe.join(home, "cell").select("cid", "sid", d2.alias("d2"))
+    w = Window.partitionBy("cid").orderBy("d2", "sid")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("sid").alias("nearest_sid"), "d2")
+    )
+
+
+SQL_SPATIAL_NEAREST_NEIGHBOR = """
+WITH c AS (
+  SELECT c_custkey AS cid, (c_custkey * 48271) % 65536 AS x,
+         (c_custkey * 69621) % 65536 AS y FROM customer
+), s AS (
+  SELECT s_suppkey AS sid, (s_suppkey * 16807) % 65536 AS sx,
+         (s_suppkey * 22695477) % 65536 AS sy FROM supplier
+), cand AS (
+  SELECT c.cid, s.sid,
+         (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy) AS d2
+  FROM c JOIN s
+    ON abs((c.x // 4096) - (s.sx // 4096)) <= 1
+   AND abs((c.y // 4096) - (s.sy // 4096)) <= 1
+), ranked AS (
+  SELECT cid, sid, d2, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, sid) AS rn
+  FROM cand
+)
+SELECT cid, sid AS nearest_sid, CAST(d2 AS BIGINT) AS d2 FROM ranked WHERE rn = 1
+"""
+
+
+def q_python_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 UDTF with a TABLE ARGUMENT — the polymorphic
+    table-in/table-out contract (`FROM f(TABLE(v) PARTITION BY k ORDER
+    BY ...)`): each user's event stream arrives as one ORDERED
+    partition and a stateful per-partition instance folds it into a
+    journey summary (first/last type, longest same-type streak — the
+    row-order-dependent state machine that motivates the API).
+    Complements `python_udtf_sentences` (scalar-arg LATERAL UDTF);
+    together they cover both Spark-4 UDTF invocation forms.  The
+    oracle derives the same streaks natively via the rn-difference
+    gaps-islands construction — which is also the declared SCALE PATH
+    for this particular metric (the UDTF is the general contract for
+    per-partition Python state F.* cannot express; partitions are one
+    user's history, so state is bounded).  Total (ts, event_id) order
+    makes every field deterministic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "user_id bigint, n_events bigint, first_type string, "
+            "last_type string, max_streak bigint"
+        )
+    )
+    class JourneySummary:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.first = None
+            self.last = None
+            self.cur_t = None
+            self.cur_len = 0
+            self.best = 0
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            t = row["event_type"]
+            if self.first is None:
+                self.first = t
+            self.last = t
+            if t == self.cur_t:
+                self.cur_len += 1
+            else:
+                self.cur_t, self.cur_len = t, 1
+            if self.cur_len > self.best:
+                self.best = self.cur_len
+
+        def terminate(self):
+            if self.n:
+                yield self.uid, self.n, self.first, self.last, self.best
+
+    e = _normalize_ts(_t(spark, sf_dir, "events")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    spark.udtf.register("journey_summary_r7", JourneySummary)
+    e.createOrReplaceTempView("events_judtf_v")
+    return spark.sql(
+        "SELECT * FROM journey_summary_r7(TABLE(events_judtf_v) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))"
+    )
+
+
+SQL_PYTHON_UDTF_TABLE_ARG = """
+WITH o AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rnt
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS len
+  FROM o GROUP BY user_id, event_type, rn - rnt
+), ends AS (
+  SELECT user_id,
+         MIN(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+         MAX(rn) AS n_events
+  FROM o GROUP BY user_id
+), lasts AS (
+  SELECT o.user_id, o.event_type AS last_type
+  FROM o JOIN ends ON o.user_id = ends.user_id AND o.rn = ends.n_events
+)
+SELECT e.user_id, CAST(e.n_events AS BIGINT) AS n_events, e.first_type,
+       l.last_type, CAST(r.max_streak AS BIGINT) AS max_streak
+FROM ends e
+JOIN lasts l ON e.user_id = l.user_id
+JOIN (SELECT user_id, MAX(len) AS max_streak FROM runs GROUP BY user_id) r
+  ON e.user_id = r.user_id
+"""
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the sensitive-attribute companion to
+    `k_anonymity_audit` (a class can be k-anonymous yet leak everything
+    if all its members share one sensitive value): per (lang, source)
+    equivalence class, the count of DISTINCT sensitive values (document
+    length band as the sensitive proxy), the dominant value's share in
+    exact ppm (the recursive-(c,l) screen input), and the l>=3 verdict.
+    Two stacked partial-agg groupBys — the inner one keyed on
+    (class, sensitive value) so nothing wider than the census ever
+    shuffles; same scale posture as the k-anonymity census.
+    Reference has no privacy surface (engine extension, SURVEY §2.4)."""
+    docs = _t(spark, sf_dir, "documents")
+    sens = (
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 600, "medium")
+        .otherwise("long")
+    )
+    per = (
+        docs.select("lang", "source", sens.alias("sv"))
+        .groupBy("lang", "source", "sv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cls = per.groupBy("lang", "source").agg(
+        F.sum("c").cast("bigint").alias("grp_size"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.max("c").cast("bigint").alias("top_c"),
+    )
+    return cls.select(
+        "lang",
+        "source",
+        "grp_size",
+        "l_distinct",
+        F.expr("top_c * 1000000 div grp_size").cast("bigint").alias("top_share_ppm"),
+        (F.col("l_distinct") >= 3).alias("diverse_ok"),
+    )
+
+
+SQL_L_DIVERSITY_AUDIT = """
+WITH per AS (
+  SELECT lang, source,
+         CASE WHEN n_chars < 200 THEN 'short'
+              WHEN n_chars < 600 THEN 'medium' ELSE 'long' END AS sv,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, source, CAST(SUM(c) AS BIGINT) AS grp_size,
+       CAST(COUNT(*) AS BIGINT) AS l_distinct,
+       CAST(MAX(c) AS BIGINT) * 1000000 // CAST(SUM(c) AS BIGINT) AS top_share_ppm,
+       COUNT(*) >= 3 AS diverse_ok
+FROM per GROUP BY lang, source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15755,6 +16238,23 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "er_score_pairs": (q_er_score_pairs, SQL_ER_SCORE_PAIRS),
     "phonetic_blocking": (q_phonetic_blocking, SQL_PHONETIC_BLOCKING),
     "theil_sen_slope": (q_theil_sen_slope, SQL_THEIL_SEN_SLOPE),
+    "events_stream_file_sink": (
+        q_events_stream_file_sink,
+        SQL_EVENTS_STREAM_FILE_SINK,
+    ),
+    "funnel_windowed": (q_funnel_windowed, SQL_FUNNEL_WINDOWED),
+    "rolling_median_7d": (q_rolling_median_7d, SQL_ROLLING_MEDIAN_7D),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    "events_sessionize_dynamic": (
+        q_events_sessionize_dynamic,
+        SQL_EVENTS_SESSIONIZE_DYNAMIC,
+    ),
+    "spatial_nearest_neighbor": (
+        q_spatial_nearest_neighbor,
+        SQL_SPATIAL_NEAREST_NEIGHBOR,
+    ),
+    "python_udtf_table_arg": (q_python_udtf_table_arg, SQL_PYTHON_UDTF_TABLE_ARG),
+    "l_diversity_audit": (q_l_diversity_audit, SQL_L_DIVERSITY_AUDIT),
 }
 
 
@@ -15786,6 +16286,14 @@ _register_env_gated()
 # keeps attesting it locally every pytest run.
 _R7_WINDOW: list[str] = [
     # r7 NEW code (this round) — outranks never-checked unchanged queries
+    "l_diversity_audit",
+    "python_udtf_table_arg",
+    "csv_roundtrip",
+    "events_sessionize_dynamic",
+    "spatial_nearest_neighbor",
+    "rolling_median_7d",
+    "events_stream_file_sink",
+    "funnel_windowed",
     "theil_sen_slope",
     "phonetic_blocking",
     "sql_udf_surface",
