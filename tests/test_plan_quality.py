@@ -677,3 +677,51 @@ def test_unigram_wordpiece_folds_stay_jvm(spark):
         low = plan.lower()
         assert "pythonudf" not in low and "mapinpandas" not in low, plan[:600]
         assert "BroadcastHashJoin" in plan, plan[:600]
+
+
+def test_kmv_pairwise_stage_broadcasts(spark):
+    """q_kmv_intersect: the pairwise sketch-comparison stage must join
+    the tiny per-type sketch table via broadcast (never shuffle the
+    sketch rows on a sort), and the sketch build must stay pure JVM —
+    no Python anywhere in a sketch operator."""
+    from labelspark_spark.queries import q_kmv_intersect
+
+    plan = explain.formatted_plan(q_kmv_intersect(spark, SF_SMOKE))
+    low = plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:800]
+    assert "pythonudf" not in low and "mapinpandas" not in low, plan[:600]
+
+
+def test_spatial_nearest_neighbor_no_cartesian(spark):
+    """q_spatial_nearest_neighbor: the candidate join must be a plain
+    equi-join on cell id (grid pruning), never a cartesian/BNLJ of
+    customers x suppliers."""
+    from labelspark_spark.queries import q_spatial_nearest_neighbor
+
+    plan = explain.formatted_plan(q_spatial_nearest_neighbor(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+
+
+def test_rfm_segments_broadcast_extrema(spark):
+    """q_rfm_segments: both the anchor date and the six global extrema
+    must return to the fact as BROADCAST arms (the no-global-sort
+    design); no Exchange may carry a sort for quintile ranking."""
+    import re
+
+    from labelspark_spark.queries import q_rfm_segments
+
+    plan = explain.formatted_plan(q_rfm_segments(spark, SF_SMOKE))
+    assert len(re.findall(r"BroadcastExchange", plan)) >= 2, plan[:800]
+    assert "ntile" not in plan.lower(), plan[:400]
+
+
+def test_winsorized_mean_window_on_histogram_only(spark):
+    """q_winsorized_mean: the running-count window must run over the
+    distinct-value histogram, and the fact-side clamp must join the
+    5-row threshold table via broadcast."""
+    from labelspark_spark.queries import q_winsorized_mean
+
+    plan = explain.formatted_plan(q_winsorized_mean(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "Window" in plan, plan[:400]
