@@ -16273,17 +16273,21 @@ _register_env_gated()
 # --------------------------------------------------------------------------
 # r7 DRIVER WINDOW rotation (applied as a reorder so the literal above keeps
 # its frozen r6 shape).  Per VERDICT r5 item 3 and the r6 boundary note:
-# never-driver-checked queries lead, newest code first —
-#   1..23: the 23 r6 POST-window additions (all new code that round),
-#   24..28: the deferred TPC-H stragglers q16/q19/q20/q21/q22,
-#   29..35: the seven deferred streaming replays,
-#   36..38: the DSv2 trio (kept together),
-#   39..41: bucketed/ORC/JSONL sink roundtrips,
-#   42..50: third-wave analytics/codec/SQL-form stragglers.
-# New r7 queries are INSERTED AT THE HEAD as they land (new code outranks
-# never-checked unchanged code, same rule as r5/r6); each insertion pushes
-# the tail of this list below the window edge, where test_oracle_parity
-# keeps attesting it locally every pytest run.
+# never-driver-checked queries lead, newest code first.  FINAL r7
+# composition (38 new r7 queries landed this round and were inserted at
+# the head as the policy below dictates, so the window is now):
+#   1..38:  the 38 NEW round-7 queries (stats/experimentation block,
+#           sketch/ER block, product analytics, engine surfaces),
+#   39..50: the first 12 of the r6 POST-window backlog (bm25_retrieval
+#           .. timeseries_rollup_cascade in list order).
+# The displaced backlog tail (remaining r6-post additions, the TPC-H
+# stragglers, the deferred streaming replays, the DSv2 trio, the sink
+# roundtrips, and the third-wave stragglers) stays queued IN ORDER below
+# the edge for the r8 window, attested locally by test_oracle_parity
+# every pytest run meanwhile.
+# Policy (unchanged from r5/r6): new queries are INSERTED AT THE HEAD as
+# they land — new code outranks never-checked unchanged code — and each
+# insertion pushes the tail of this list below the window edge.
 _R7_WINDOW: list[str] = [
     # r7 NEW code (this round) — outranks never-checked unchanged queries
     "l_diversity_audit",
