@@ -13428,12 +13428,14 @@ def q_sssp_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     device as pagerank_iter). The distributed shape is frontier
     iteration: 8 rounds of (frontier JOIN edges on src) -> min per dst
     -> anti-join visited -> union; each round shuffles only the
-    FRONTIER (never the visited set, which only unions), and the edge
-    table is computed once and reused. localCheckpoint would cut the
-    lineage on a real cluster per dedup.connected_components; 8 bounded
-    rounds keep the plan finite here. Oracle: recursive CTE + MIN(lvl)
-    — path enumeration is bounded by fanout^depth = 2^8, independent
-    of N."""
+    FRONTIER (never the visited set, which only unions).  Every round
+    ends in an EAGER localCheckpoint — the same lineage discipline as
+    dedup.connected_components and bpe_train_iters, and not optional:
+    without it round i's plan re-embeds (and re-executes) every prior
+    round through the anti-join's visited lineage, compounding to
+    ~200s at sf0.1 where the checkpointed form runs in ~2s (measured,
+    r7 bench).  Oracle: recursive CTE + MIN(lvl) — path enumeration is
+    bounded by fanout^depth = 2^8, independent of N."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n_nodes = docs.agg(F.count(F.lit(1)).alias("_n"))
     edges = (
@@ -13463,7 +13465,7 @@ def q_sssp_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(i).cast("bigint").alias("lvl"))
-        )
+        ).localCheckpoint(eager=True)
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
@@ -14117,18 +14119,26 @@ ORDER BY ABS(delta_micro) DESC, token LIMIT 20
 
 def q_er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution blocking + in-block fuzzy match audit over
-    part names: block key = first name token, candidate pairs only
-    WITHIN a block (an equi-join on the key — never a corpus cross
-    join), scored with Levenshtein and thresholded at <=10. The
-    standard ER shape: blocking bounds candidates to sum(b_i^2) from
-    n^2; at 100 TB you'd cap/salt oversized blocks, here block sizes
-    are ~n/92 and the plan is one shuffle on the block key. ASCII-only
-    inputs keep Spark's codepoint and DuckDB's byte Levenshtein
-    identical."""
+    part names: COMPOSITE block key = (first name token, brand) —
+    candidate pairs only WITHIN a block (an equi-join on the key,
+    never a corpus cross join), scored with Levenshtein and
+    thresholded at <=10.  The standard ER shape: blocking bounds
+    candidates to sum(b_i^2) from n^2, and the block-size discipline
+    is LIVE, not hypothetical: this corpus's 16-token first-word
+    vocabulary makes single-token blocks ~n/16 wide (25M Levenshtein
+    pairs at sf0.1, ~20s measured — the r7 bench caught it), while the
+    composite key bounds blocks to ~n/400 (≈0.6M pairs).  That is the
+    cap/oversized-block rule every production blocker applies; one
+    shuffle on the block key either way.  ASCII-only inputs keep
+    Spark's codepoint and DuckDB's byte Levenshtein identical."""
     p = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("k"),
         F.lower(F.col("p_name")).alias("name"),
-        F.split(F.lower(F.col("p_name")), " ")[0].alias("blk"),
+        F.concat(
+            F.split(F.lower(F.col("p_name")), " ")[0],
+            F.lit("|"),
+            F.col("p_brand"),
+        ).alias("blk"),
     )
     pairs = (
         p.alias("a")
@@ -14151,7 +14161,7 @@ def q_er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ER_BLOCKING_PAIRS = """
 WITH p AS (
   SELECT p_partkey AS k, lower(p_name) AS name,
-         string_split(lower(p_name), ' ')[1] AS blk
+         string_split(lower(p_name), ' ')[1] || '|' || p_brand AS blk
   FROM part
 ),
 pairs AS (
@@ -15136,17 +15146,27 @@ def q_er_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand +24/-8, type +18/-6, size-within-2 +12/-4, name-edit-
     distance<=10 +30/-10) and classify match / possible / non_match at
     the 50/10 thresholds — the classic three-region decision rule,
-    with all weights integer so both engines agree bit-for-bit.  Same
-    blocking scale posture as the parent (candidates bounded to
-    sum(b_i^2), one shuffle on the block key; ASCII inputs keep the
-    two engines' Levenshtein identical)."""
+    with all weights integer so both engines agree bit-for-bit.
+    COMPOSITE block key = (first name token, size mod 10): the
+    corpus's 16-token first-word vocabulary makes single-token blocks
+    ~n/16 wide (25M Levenshtein pairs at sf0.1, ~22s measured in the
+    r7 bench); the size digit bounds blocks ~10x tighter while leaving
+    every scored field (brand, type, size-within-2, name) free to
+    disagree — blocking on a scored field outright would pin its
+    weight to a constant.  Candidates bounded to sum(b_i^2), one
+    shuffle on the block key; ASCII inputs keep the two engines'
+    Levenshtein identical."""
     p = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("k"),
         F.lower(F.col("p_name")).alias("name"),
         F.col("p_brand").alias("brand"),
         F.col("p_type").alias("typ"),
         F.col("p_size").alias("size"),
-        F.split(F.lower(F.col("p_name")), " ")[0].alias("blk"),
+        F.concat(
+            F.split(F.lower(F.col("p_name")), " ")[0],
+            F.lit("|"),
+            (F.col("p_size") % 10).cast("string"),
+        ).alias("blk"),
     )
     pr = (
         p.alias("a")
@@ -15186,7 +15206,7 @@ SQL_ER_SCORE_PAIRS = """
 WITH p AS (
   SELECT p_partkey AS k, lower(p_name) AS name, p_brand AS brand,
          p_type AS typ, p_size AS size,
-         string_split(lower(p_name), ' ')[1] AS blk
+         string_split(lower(p_name), ' ')[1] || '|' || CAST(p_size % 10 AS VARCHAR) AS blk
   FROM part
 ), pr AS (
   SELECT (CASE WHEN a.brand = b.brand THEN 24 ELSE -8 END
