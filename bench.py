@@ -259,6 +259,9 @@ BENCH_QUERIES = [
     "spatial_nearest_neighbor",
     "python_udtf_table_arg",
     "l_diversity_audit",
+    "winnowing_fingerprints",
+    "item_cooccur_cosine",
+    "dedup_winnowing",
 ]
 
 

@@ -15832,6 +15832,216 @@ FROM per GROUP BY lang, source
 """
 
 
+# Winnowing selection as ONE let-bound expression: the token array and the
+# k-gram hash array bind to lambda variables (transform(array(x), v -> ..)[0]
+# — the no-CSE let-bind idiom), so however many times CollapseProject copies
+# the expression across a multi-consumer plan, each copy stays LINEAR in doc
+# length.  The naive withColumn chain inlines the whole h-building transform
+# into the per-window lambda of a join lineage (40 regexp copies, O(n^2)
+# md5s per doc — measured 381s at sf0.1 before the rewrite, ~3s after).
+WINNOW_SEL_EXPR = (
+    "transform(array(transform(array(regexp_extract_all(lower(text), '[a-z]+', 0)),"
+    " tt -> transform(sequence(1, size(tt) - 3), i ->"
+    "   CAST(conv(substring(md5(concat_ws(' ', slice(tt, i, 4))), 1, 15), 16, 10)"
+    "        AS BIGINT)))[0]),"
+    " hh -> array_distinct(transform(sequence(1, size(hh) - 2), j ->"
+    "   array_min(slice(hh, j, 3)))))[0]"
+)
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): per doc, 4-gram md5-60-bit hashes
+    over the token stream, then a sliding window of 3 selects each
+    window's minimum — guaranteeing any shared substring of >= 6
+    tokens contributes at least one COMMON fingerprint between two
+    documents, at ~2/(w+1) of the k-gram density (the property plain
+    every-nth sampling lacks).  The whole selection is ROW-LOCAL
+    (transform/slice/array_min over per-doc arrays — zero shuffle
+    before the final stats), the standard pre-stage for a
+    fingerprint-posting dedup join (`dedup_containment` shows the join
+    half).  Complements `text_fingerprint` (whole-doc rolling hash)
+    and `content_defined_chunks` (CDC cuts) with the locality-
+    guaranteed selection.  Hash-checked per-doc k-gram and fingerprint
+    counts; the oracle replays selection with list comprehensions."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.where(
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")) >= 6
+    ).select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .cast("bigint")
+        .alias("n_toks"),
+        F.expr(WINNOW_SEL_EXPR).alias("sel"),
+    )
+    return d.select(
+        "doc_id",
+        (F.col("n_toks") - 3).alias("n_kgrams"),
+        F.size("sel").cast("bigint").alias("n_fingerprints"),
+    )
+
+
+SQL_WINNOWING_FINGERPRINTS = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS toks FROM documents
+), k AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         list_transform(range(1, len(toks) - 2), i ->
+           CAST(('0x' || substring(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))::UBIGINT AS BIGINT)) AS h
+  FROM t WHERE len(toks) >= 6
+), s AS (
+  SELECT doc_id, h,
+         list_distinct(list_transform(range(1, len(h) - 1), j -> list_min(h[j:j+2]))) AS sel
+  FROM k
+)
+SELECT doc_id, CAST(len(h) AS BIGINT) AS n_kgrams,
+       CAST(len(sel) AS BIGINT) AS n_fingerprints
+FROM s
+"""
+
+
+def q_item_cooccur_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 cosine neighbors PER
+    PART from order co-occurrence — the neighborhood-list shape a
+    recommender serves (`market_basket` ranks pairs globally by lift;
+    this normalizes by item popularity and keeps per-item lists).  The
+    pair build is ROW-LOCAL (i<j pairs from per-order item arrays,
+    never a fact self-join); co-counts symmetrize by a cheap union of
+    the c>=2 pair table; item supports broadcast; cosine =
+    c/sqrt(n_a·n_b) quantized ppm with the identical expression shape
+    in the oracle; the per-item rank window partitions on the item (
+    state = one item's candidate neighbors).  At 100 TB the only wide
+    shuffle is the pair groupBy — bounded by basket sizes, the classic
+    co-occurrence trade."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(items) - 1),"
+        " i -> transform(sequence(i + 1, size(items)),"
+        " j -> struct(items[i-1] AS pa, items[j-1] AS pb))))"
+    )
+    co = (
+        baskets.filter(F.size("items") >= 2)
+        .select(F.explode(pair_expr).alias("_p"))
+        .select("_p.pa", "_p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    ic = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sym = co.unionByName(
+        co.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "c")
+    )
+    joined = sym.join(
+        F.broadcast(ic.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))),
+        "pa",
+    ).join(
+        F.broadcast(ic.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))),
+        "pb",
+    )
+    cos = F.floor(
+        F.col("c").cast("double") * 1000000
+        / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+        + 0.5
+    ).cast("bigint")
+    scored = joined.select(
+        F.col("pa").alias("item"),
+        F.col("pb").alias("neighbor"),
+        cos.alias("cosine_ppm"),
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine_ppm").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("item", F.col("rk").cast("int").alias("rk"), "neighbor", "cosine_ppm")
+    )
+
+
+SQL_ITEM_COOCCUR_COSINE = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), bo AS (
+  SELECT pa, pb, c FROM co
+  UNION ALL
+  SELECT pb, pa, c FROM co
+), ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1),
+scored AS (
+  SELECT bo.pa AS item, bo.pb AS neighbor,
+         CAST(FLOOR(CAST(c AS DOUBLE) * 1000000 / SQRT(CAST(ia.n * ib.n AS DOUBLE)) + 0.5) AS BIGINT) AS cosine_ppm
+  FROM bo JOIN ic ia ON bo.pa = ia.l_partkey JOIN ic ib ON bo.pb = ib.l_partkey
+)
+SELECT item, CAST(ROW_NUMBER() OVER (PARTITION BY item ORDER BY cosine_ppm DESC, neighbor) AS INTEGER) AS rk,
+       neighbor, cosine_ppm
+FROM scored QUALIFY rk <= 3
+"""
+
+
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based near-dup PAIR detection — the posting-join half
+    on top of `winnowing_fingerprints`' selection: selected
+    fingerprints explode to (fp, doc) postings, ubiquitous
+    fingerprints (df > 10 — boilerplate, not similarity signal) and
+    singletons are pruned by a df census, and candidate pairs come
+    from a self-join BLOCKED BY FINGERPRINT — the MOSS pipeline shape,
+    bounded to sum(df_i^2) over df<=10 postings, never a corpus self-
+    join (the same posting discipline as `dedup_containment`).  Pairs
+    sharing >= 3 fingerprints survive; by the winnowing guarantee any
+    >= 6-token verbatim overlap contributes at least one shared
+    fingerprint, so multi-fingerprint pairs are strong clones.
+    Complements the MinHash/SimHash family with the locality-
+    guaranteed exact-overlap detector."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.where(
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")) >= 6
+    ).select("doc_id", F.expr(WINNOW_SEL_EXPR).alias("sel"))
+    post = d.select("doc_id", F.explode("sel").alias("fp"))
+    df_counts = post.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    kept = post.join(
+        df_counts.filter((F.col("df") >= 2) & (F.col("df") <= 10)), "fp"
+    )
+    return (
+        kept.alias("a")
+        .join(kept.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 3)
+    )
+
+
+SQL_DEDUP_WINNOWING = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS toks FROM documents
+), k AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         list_transform(range(1, len(toks) - 2), i ->
+           CAST(('0x' || substring(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))::UBIGINT AS BIGINT)) AS h
+  FROM t WHERE len(toks) >= 6
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(h) - 1), j -> list_min(h[j:j+2]))) AS sel
+  FROM k
+), post AS (
+  SELECT doc_id, unnest(sel) AS fp FROM s
+), dfc AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY fp
+), kept AS (
+  SELECT p.doc_id, p.fp FROM post p JOIN dfc ON p.fp = dfc.fp
+  WHERE dfc.df BETWEEN 2 AND 10
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared_fp
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16275,6 +16485,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "python_udtf_table_arg": (q_python_udtf_table_arg, SQL_PYTHON_UDTF_TABLE_ARG),
     "l_diversity_audit": (q_l_diversity_audit, SQL_L_DIVERSITY_AUDIT),
+    "winnowing_fingerprints": (
+        q_winnowing_fingerprints,
+        SQL_WINNOWING_FINGERPRINTS,
+    ),
+    "item_cooccur_cosine": (q_item_cooccur_cosine, SQL_ITEM_COOCCUR_COSINE),
+    "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
 }
 
 
@@ -16310,6 +16526,9 @@ _register_env_gated()
 # insertion pushes the tail of this list below the window edge.
 _R7_WINDOW: list[str] = [
     # r7 NEW code (this round) — outranks never-checked unchanged queries
+    "dedup_winnowing",
+    "winnowing_fingerprints",
+    "item_cooccur_cosine",
     "l_diversity_audit",
     "python_udtf_table_arg",
     "csv_roundtrip",
