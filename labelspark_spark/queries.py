@@ -16510,12 +16510,13 @@ _register_env_gated()
 # r7 DRIVER WINDOW rotation (applied as a reorder so the literal above keeps
 # its frozen r6 shape).  Per VERDICT r5 item 3 and the r6 boundary note:
 # never-driver-checked queries lead, newest code first.  FINAL r7
-# composition (38 new r7 queries landed this round and were inserted at
+# composition (41 new r7 queries landed this round and were inserted at
 # the head as the policy below dictates, so the window is now):
-#   1..38:  the 38 NEW round-7 queries (stats/experimentation block,
-#           sketch/ER block, product analytics, engine surfaces),
-#   39..50: the first 12 of the r6 POST-window backlog (bm25_retrieval
-#           .. timeseries_rollup_cascade in list order).
+#   1..41:  the 41 NEW round-7 queries (stats/experimentation block,
+#           sketch/ER block, product analytics, engine surfaces,
+#           winnowing/CF close-out wave),
+#   42..50: the first 9 of the r6 POST-window backlog (bm25_retrieval
+#           .. multimodal_audio_adpcm in list order).
 # The displaced backlog tail (remaining r6-post additions, the TPC-H
 # stragglers, the deferred streaming replays, the DSv2 trio, the sink
 # roundtrips, and the third-wave stragglers) stays queued IN ORDER below
