@@ -262,6 +262,8 @@ BENCH_QUERIES = [
     "winnowing_fingerprints",
     "item_cooccur_cosine",
     "dedup_winnowing",
+    "vocab_growth",
+    "fano_burstiness",
 ]
 
 

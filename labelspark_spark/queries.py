@@ -16042,6 +16042,103 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 3
 """
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law checkpoints) — the corpus
+    statistic that decides tokenizer vocab size and dedup aggressiveness
+    as a crawl grows: distinct-token count after 20/40/60/80/100% of
+    the corpus, computed WITHOUT any running-distinct scan — each
+    token reduces to its FIRST-APPEARANCE doc id (one groupBy-min),
+    and every checkpoint is then a conditional count over that
+    token-level table, so the plan is one explode + one agg + a
+    5-row broadcast, independent of checkpoint count.  Checkpoint
+    cuts use integer div on BOTH engines (a /100-then-cast would
+    round on DuckDB and truncate on Spark).  All exact integers."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "t"
+        ),
+    )
+    first = toks.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    cps = mx.select(
+        F.explode(
+            F.array(*[F.expr(f"mx * {p} div 100") for p in (20, 40, 60, 80, 100)])
+        ).alias("n_docs_cut")
+    )
+    return (
+        first.crossJoin(F.broadcast(cps))
+        .groupBy("n_docs_cut")
+        .agg(
+            F.sum((F.col("first_doc") <= F.col("n_docs_cut")).cast("bigint")).alias(
+                "vocab_size"
+            )
+        )
+    )
+
+
+SQL_VOCAB_GROWTH = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS t FROM documents
+), first AS (
+  SELECT t, MIN(doc_id) AS first_doc FROM toks GROUP BY t
+), mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+cps AS (
+  SELECT mx * p // 100 AS n_docs_cut
+  FROM mx, (SELECT unnest([20, 40, 60, 80, 100]) AS p)
+)
+SELECT n_docs_cut,
+       CAST(SUM(CASE WHEN first_doc <= n_docs_cut THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size
+FROM first, cps GROUP BY n_docs_cut
+"""
+
+
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of per-type daily event
+    counts — the burstiness screen that separates Poisson-like traffic
+    (F≈1) from bursty (F>1) or regularized (F<1) streams; with
+    `autocorr_lag` and `theil_sen_slope` it completes the diagnostic
+    trio a pipeline runs on the daily grain before alert thresholds.
+    Built entirely from integer sufficient statistics (n, Σx, Σx²) on
+    the calendar-bounded daily table; one double division chain,
+    ppm-quantized with the identical expression shape in the oracle."""
+    e = _normalize_ts(_t(spark, sf_dir, "events"))
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    fano_ppm = F.floor(
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / F.col("n").cast("double")
+        / (F.col("n") - 1).cast("double")
+        / (F.col("s").cast("double") / F.col("n").cast("double"))
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    return g.select("event_type", "n", fano_ppm.alias("fano_ppm"))
+
+
+SQL_FANO_BURSTINESS = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS ss
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(FLOOR(CAST(n * ss - s * s AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+            / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS fano_ppm
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16491,6 +16588,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "item_cooccur_cosine": (q_item_cooccur_cosine, SQL_ITEM_COOCCUR_COSINE),
     "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
+    "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
+    "fano_burstiness": (q_fano_burstiness, SQL_FANO_BURSTINESS),
 }
 
 
@@ -16527,6 +16626,8 @@ _register_env_gated()
 # insertion pushes the tail of this list below the window edge.
 _R7_WINDOW: list[str] = [
     # r7 NEW code (this round) — outranks never-checked unchanged queries
+    "vocab_growth",
+    "fano_burstiness",
     "dedup_winnowing",
     "winnowing_fingerprints",
     "item_cooccur_cosine",
