@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "dedup_winnowing",
     "vocab_growth",
     "fano_burstiness",
+    "gini_by_nation",
 ]
 
 

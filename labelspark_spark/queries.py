@@ -16139,6 +16139,69 @@ FROM g
 """
 
 
+def q_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue per nation — the
+    NATIVE whole-stage-codegen twin of `pandas_udaf_gini` (which pins
+    the GROUPED_AGG UDAF surface; this shows the same statistic needs
+    no Python at all): G = 2·Σ(r·x)/(n·Σx) − (n+1)/n over per-nation
+    revenue ranked ascending with a total (cents, custkey) tie order.
+    The rank window partitions per nation (the per-group sort a
+    concentration statistic inherently needs — input is the
+    one-row-per-customer aggregate, not the fact), sums stay exact
+    bigints, and the two-term double expression quantizes ppm with the
+    identical shape in the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    r = rev.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    g = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.sum(F.col("rk") * F.col("cents")).cast("bigint").alias("rx"),
+    )
+    gini = (
+        2.0
+        * F.col("rx").cast("double")
+        / (F.col("n").cast("double") * F.col("tot").cast("double"))
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+    )
+    return g.select(
+        "c_nationkey",
+        "n",
+        F.floor(gini * 1000000 + 0.5).cast("bigint").alias("gini_ppm"),
+    )
+
+
+SQL_GINI_BY_NATION = """
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT c.c_nationkey, rev.o_custkey, rev.cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c.c_nationkey ORDER BY rev.cents, rev.o_custkey) AS BIGINT) AS rk
+  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+), g AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS tot,
+         CAST(SUM(rk * cents) AS BIGINT) AS rx
+  FROM j GROUP BY c_nationkey
+)
+SELECT c_nationkey, n,
+       CAST(FLOOR((2.0 * CAST(rx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+            - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS gini_ppm
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16590,6 +16653,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "fano_burstiness": (q_fano_burstiness, SQL_FANO_BURSTINESS),
+    "gini_by_nation": (q_gini_by_nation, SQL_GINI_BY_NATION),
 }
 
 
@@ -16626,6 +16690,7 @@ _register_env_gated()
 # insertion pushes the tail of this list below the window edge.
 _R7_WINDOW: list[str] = [
     # r7 NEW code (this round) — outranks never-checked unchanged queries
+    "gini_by_nation",
     "vocab_growth",
     "fano_burstiness",
     "dedup_winnowing",
