@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "vocab_growth",
     "fano_burstiness",
     "gini_by_nation",
+    "statestore_time_travel",
 ]
 
 

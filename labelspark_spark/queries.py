@@ -16202,6 +16202,67 @@ FROM g
 """
 
 
+def q_statestore_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 state TIME TRAVEL: the state data source's `batchId` option
+    reads the operator state AS OF an earlier micro-batch — the
+    debugging move for "when did this key's aggregate go wrong?" on a
+    long-running job.  A two-batch replay (the events file delivered
+    twice, maxFilesPerTrigger=1) checkpoints a per-user count; state at
+    batchId 0 must equal ONE copy's counts and the latest state exactly
+    TWICE that, both read back as DataFrames from the same checkpoint
+    and hash-checked against a single oracle (count vs 2·count) — so
+    the check pins the batch BOUNDARY, not just the final answer.
+    Identical staged files make batch order immaterial.  Extends
+    `statestore_read` (latest-state read, metadata discovery)."""
+    import tempfile
+
+    from labelspark_spark.streaming import events as se
+
+    d = _stage_stream_dir(sf_dir, copies=2)
+    stream = _normalize_ts(se.read_events_stream(spark, d))
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = tempfile.mkdtemp(prefix="statestore_tt_ckpt_")
+    try:
+        spark.catalog.dropTempView("statestore_tt_sink")
+    except Exception:
+        pass
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("statestore_tt_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def read_state(batch_id: int | None) -> DataFrame:
+        r = spark.read.format("statestore")
+        if batch_id is not None:
+            r = r.option("batchId", batch_id)
+        return r.load(ckpt).select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").alias("n"),
+        )
+
+    b0 = read_state(0).withColumnRenamed("n", "n_after_batch0")
+    fin = read_state(None).withColumnRenamed("n", "n_final")
+    return b0.join(fin, "user_id").select(
+        "user_id",
+        F.col("n_after_batch0").cast("bigint").alias("n_after_batch0"),
+        F.col("n_final").cast("bigint").alias("n_final"),
+    )
+
+
+SQL_STATESTORE_TIME_TRAVEL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_after_batch0,
+       CAST(COUNT(*) * 2 AS BIGINT) AS n_final
+FROM events GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16654,6 +16715,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "fano_burstiness": (q_fano_burstiness, SQL_FANO_BURSTINESS),
     "gini_by_nation": (q_gini_by_nation, SQL_GINI_BY_NATION),
+    "statestore_time_travel": (
+        q_statestore_time_travel,
+        SQL_STATESTORE_TIME_TRAVEL,
+    ),
 }
 
 
@@ -16690,6 +16755,7 @@ _register_env_gated()
 # insertion pushes the tail of this list below the window edge.
 _R7_WINDOW: list[str] = [
     # r7 NEW code (this round) — outranks never-checked unchanged queries
+    "statestore_time_travel",
     "gini_by_nation",
     "vocab_growth",
     "fano_burstiness",
