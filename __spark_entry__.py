@@ -34,8 +34,12 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for every hash-checkable query.
 
     Approximate operators (approx_distinct, dedup_minhash_lsh,
-    dedup_simhash, similarity_lsh, similarity_ivf) are intentionally
-    omitted -> driver records the weaker rows-only check; their
-    recall/error bounds are asserted in tests/test_approx_recall.py.
+    similarity_lsh, similarity_ivf) are intentionally omitted ->
+    driver records the weaker rows-only check; their recall/error
+    bounds are asserted in tests/test_approx_recall.py and each has a
+    hash-checked driver companion (hll_error_bound,
+    dedup_minhash_recall, similarity_lsh_replay, similarity_ivf_recall).
+    dedup_simhash is fully hash-checked as of r8 (deterministic
+    pipeline + pigeonhole-exact banding).
     """
     return Q.oracle_sql()

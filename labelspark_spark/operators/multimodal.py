@@ -375,6 +375,11 @@ def wav_resample_linear_feats(content: bytes | None, l_up: int, m_down: int) -> 
     checksum pins every output sample's value AND position.
     Malformed / non-PCM16-mono input returns all-None."""
     none = {"n_in": None, "n_out": None, "sum_out": None, "chk_out": None}
+    # Bad ratio params get the same refusal contract as malformed bytes:
+    # l_up=0 would divide by zero and m_down<=0 would loop nonsensically
+    # inside the Arrow batch on an executor.
+    if l_up <= 0 or m_down <= 0:
+        return none
     xs = _wav_pcm16_mono(content)
     if xs is None:
         return none

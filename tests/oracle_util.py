@@ -44,7 +44,12 @@ def _norm(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # Tag floats with their own type marker: Python's 123 == 123.0
+        # hides int64-vs-float64 dtype splits that the driver's
+        # pandas-hashtable hash DOES fail (r7 cusum_changepoint: DuckDB
+        # widened a windowed SUM(BIGINT) to HUGEINT -> pandas float64
+        # while Spark emitted int64; values equal, driver hash red).
+        return ("float", round(v, 9))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):

@@ -725,3 +725,52 @@ def test_winsorized_mean_window_on_histogram_only(spark):
     plan = explain.formatted_plan(q_winsorized_mean(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, plan[:800]
     assert "Window" in plan, plan[:400]
+
+
+def test_winnowing_posting_join_shape(spark):
+    """q_dedup_winnowing: candidate pairs must come ONLY from the
+    fingerprint-keyed posting self-join (MOSS discipline) — no
+    cartesian, no nested-loop — and the whole pipeline stays JVM
+    (the winnowing selection is a let-bound expression, not Python)."""
+    from labelspark_spark.queries import q_dedup_winnowing
+
+    plan = explain.formatted_plan(q_dedup_winnowing(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    assert "pythonudf" not in plan.lower()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan[:800]
+
+
+def test_er_score_pairs_block_join_shape(spark):
+    """q_er_score_pairs: the only pair source is the composite-block
+    equi-join (the r7 single-token 25M-pair blow-up fix) — never a
+    cartesian/nested-loop — and scoring stays JVM-side."""
+    from labelspark_spark.queries import q_er_score_pairs
+
+    plan = explain.formatted_plan(q_er_score_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    assert "pythonudf" not in plan.lower()
+
+
+def test_simhash_pairs_band_join_shape(spark):
+    """q_dedup_simhash (hash-checked as of r8): pairs must come from the
+    band-key equi-join — the pigeonhole-exact blocking — never from an
+    all-pairs product (the all-pairs form exists only in the oracle)."""
+    from labelspark_spark.queries import q_dedup_simhash
+
+    plan = explain.formatted_plan(q_dedup_simhash(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+
+
+def test_lsh_replay_bucket_join_shape(spark):
+    """q_similarity_lsh_replay: scoring pairs come from the bucket
+    equi-join with broadcast queries; no cartesian, no Python."""
+    from labelspark_spark.queries import q_similarity_lsh_replay
+
+    plan = explain.formatted_plan(q_similarity_lsh_replay(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "pythonudf" not in plan.lower()

@@ -204,6 +204,25 @@ def test_codec_robustness_arbitrary_bytes(blob):
             dec(variant)  # must not raise, whatever the shape
 
 
+@given(
+    blob=st.one_of(st.none(), st.binary(max_size=200)),
+    l_up=st.integers(min_value=-4, max_value=4),
+    m_down=st.integers(min_value=-4, max_value=4),
+)
+@settings(max_examples=100, deadline=None)
+def test_resample_ratio_params_robust(blob, l_up, m_down):
+    """The ratio params are caller input too: l_up=0 used to
+    ZeroDivisionError and m_down<=0 looped nonsensically inside the
+    Arrow batch on executors. Non-positive ratios must get the same
+    all-None refusal as malformed bytes (r7 advice)."""
+    from labelspark_spark.operators import multimodal as mm
+
+    out = mm.wav_resample_linear_feats(blob, l_up, m_down)
+    assert isinstance(out, dict)
+    if l_up <= 0 or m_down <= 0:
+        assert out == {"n_in": None, "n_out": None, "sum_out": None, "chk_out": None}
+
+
 def _soundex_classic(w: str) -> str:
     """The textbook American Soundex (the definition Spark's JVM
     soundex implements): keep the first letter; h/w are transparent
