@@ -28,6 +28,7 @@ the determinism rules decided in SURVEY §2.9:
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 
@@ -3981,17 +3982,39 @@ def _stage_stream_dir(sf_dir: str, copies: int) -> str:
     return d
 
 
+@contextmanager
+def _replay_conf(spark: SparkSession):
+    """Scope `spark.sql.shuffle.partitions` down to 4 for the duration
+    of a streaming REPLAY ATTESTATION. Stateful-operator setup/commit
+    I/O scales with the partition count (one state store instance per
+    shuffle partition per micro-batch), and the replays' entire state
+    fits in a handful of keys — at the bench's 32 partitions the semi
+    join replay spent 8.5s mostly opening/committing 32 RocksDB-less
+    HDFS state stores per batch; at 4 it runs in 2.3s with an identical
+    sink (measured, r8). The conf is read at stream START, so wrapping
+    the start/processAllAvailable block is sufficient and batch queries
+    built outside the block keep the session's partitioning. Production
+    streams size this to the cluster; the override is replay-local."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _replay_to_memory(agg: DataFrame, name: str, mode: str) -> None:
     spark = agg.sparkSession
     try:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    q = agg.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _replay_conf(spark):
+        q = agg.writeStream.format("memory").queryName(name).outputMode(mode).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
 
 def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -6598,18 +6621,19 @@ def q_events_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run_lifetime() -> None:
         stream = _normalize_ts(se.read_events_stream(spark, d))
-        q = (
-            stream.select("event_id", "user_id", "value")
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _replay_conf(spark):
+            q = (
+                stream.select("event_id", "user_id", "value")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
 
     run_lifetime()  # lifetime 1: file 1 committed
     shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-1.parquet")
@@ -8794,11 +8818,12 @@ def q_events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(path)
         versions.append(path)
 
-    q = stream.writeStream.foreachBatch(merge_batch).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _replay_conf(spark):
+        q = stream.writeStream.foreachBatch(merge_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.read.parquet(versions[-1]).select(
         "user_id",
         F.col("_s._ty").alias("last_type"),
@@ -14499,17 +14524,18 @@ def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView("statestore_read_sink")
     except Exception:
         pass
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("statestore_read_sink")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _replay_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("statestore_read_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     meta = spark.read.format("state-metadata").load(ckpt)
     op = meta.select("operatorId", "stateStoreName").first()
     st = (
@@ -15534,17 +15560,18 @@ def q_events_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = stream.filter(F.col("event_type") != "error").select(
         "event_id", "user_id", "event_type", "value"
     )
-    q = (
-        proj.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _replay_conf(spark):
+        q = (
+            proj.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     orphan = spark.createDataFrame(
         [(999999999, -1, "view", 1.0)],
         "event_id bigint, user_id bigint, event_type string, value double",
@@ -16395,17 +16422,18 @@ def q_statestore_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView("statestore_tt_sink")
     except Exception:
         pass
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("statestore_tt_sink")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _replay_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("statestore_tt_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     def read_state(batch_id: int | None) -> DataFrame:
         r = spark.read.format("statestore")
@@ -16429,6 +16457,357 @@ SQL_STATESTORE_TIME_TRAVEL = """
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_after_batch0,
        CAST(COUNT(*) * 2 AS BIGINT) AS n_final
 FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# round-8 wave: Spark-4 SQL surfaces (pipe syntax, collations) +
+# feature-selection / distribution statistics + seasonal + vocab overlap
+# --------------------------------------------------------------------------
+
+
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`|>` operators: WHERE -> EXTEND ->
+    AGGREGATE ... GROUP BY -> ORDER BY) — the linear query-composition
+    surface added in 4.0, attested end-to-end against a plain-ANSI
+    oracle. The pipeline itself is the point: each |> stage must
+    compose into the SAME Catalyst plan the nested form produces
+    (filters still push to the scan; the aggregate is still partial ->
+    final). Money in exact cents per the round-2 discipline."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
+    return spark.sql(
+        """
+        FROM _pipe_orders
+        |> WHERE o_orderstatus <> 'P'
+        |> EXTEND CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     SUM(cents) AS total_cents,
+                     CAST(MAX(cents) AS BIGINT) AS max_cents
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+SQL_SQL_PIPE_SYNTAX = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION semantics (UTF8_LCASE): grouping and equality
+    under a case-insensitive collation must merge case variants the
+    engine-native way (no lower() rewrite on the Spark side — the
+    collation IS the operator under test). Case variants are derived
+    deterministically from event_id parity so the input genuinely
+    mixes case; the output key is normalized (lower) because the
+    collated group's representative value is engine-internal. The
+    oracle replays with an explicit lower() GROUP BY. Collation-aware
+    grouping hashes/compares via collation keys JVM-side — same
+    shuffle shape as any groupBy at scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(
+                F.upper(F.substring("event_type", 1, 1)),
+                F.expr("substring(event_type, 2)"),
+            ),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("etype_mixed")
+    )
+    ev.createOrReplaceTempView("_coll_events")
+    return spark.sql(
+        """
+        SELECT lower(k) AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT collate(k, 'UTF8_BINARY')) AS BIGINT) AS n_case_variants
+        FROM (SELECT etype_mixed COLLATE UTF8_LCASE AS k FROM _coll_events)
+        GROUP BY k
+        ORDER BY event_type
+        """
+    )
+
+
+SQL_COLLATION_GROUP = """
+WITH m AS (
+  SELECT CASE WHEN event_id % 2 = 0
+              THEN upper(substring(event_type, 1, 1)) || substring(event_type, 2)
+              ELSE event_type END AS etype_mixed
+  FROM events
+)
+SELECT lower(etype_mixed) AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT etype_mixed) AS BIGINT) AS n_case_variants
+FROM m GROUP BY lower(etype_mixed) ORDER BY event_type
+"""
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and a high/low value
+    bucket — the feature-selection statistic a training pipeline runs
+    before keeping a categorical column. Exact integer contingency
+    counts (one map-side-combinable groupBy, the 2x5 table broadcast
+    back as scalars); the log-sum is evaluated in float64 from those
+    exact integers with the SAME expression shape on both engines and
+    ppm-quantized (the round-4 float discipline — entropy_profile set
+    the precedent that ln() agrees under quantization). Output: one
+    row (n_total, mi_ppm)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") >= 50.0).cast("int").alias("hi")
+    )
+    cell = ev.groupBy("event_type", "hi").agg(F.count(F.lit(1)).alias("nxy"))
+    # marginals as broadcast joins, not windows: a PARTITION BY hi (2
+    # keys) or BY () would funnel rows into 1-2 tasks at scale; the
+    # contingency table is tiny by construction, so broadcast is free
+    nx = cell.groupBy("event_type").agg(F.sum("nxy").alias("nx"))
+    ny = cell.groupBy("hi").agg(F.sum("nxy").alias("ny"))
+    ntot = cell.agg(F.sum("nxy").alias("n"))
+    terms = (
+        cell.join(F.broadcast(nx), "event_type")
+        .join(F.broadcast(ny), "hi")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "n",
+            (
+                F.col("nxy").cast("double")
+                / F.col("n").cast("double")
+                * F.log(
+                    F.col("nxy").cast("double")
+                    * F.col("n").cast("double")
+                    / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+                )
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.floor(F.sum("term") * 1000000.0 + F.lit(0.5)).cast("bigint").alias("mi_ppm")
+    ).select(F.col("n").cast("bigint").alias("n_total"), "mi_ppm")
+
+
+SQL_MUTUAL_INFORMATION = """
+WITH cell AS (
+  SELECT event_type, CAST(value >= 50.0 AS INTEGER) AS hi, COUNT(*) AS nxy
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT nxy,
+         SUM(nxy) OVER (PARTITION BY event_type) AS nx,
+         SUM(nxy) OVER (PARTITION BY hi) AS ny,
+         SUM(nxy) OVER () AS n
+  FROM cell
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+       CAST(FLOOR(SUM(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+                      * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+                           / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))))
+                  * 1000000.0 + 0.5) AS BIGINT) AS mi_ppm
+FROM t
+"""
+
+
+def q_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skewness and excess kurtosis from EXACT integer power
+    sums — not the builtins, because Spark's skewness/kurtosis are
+    population-moment forms while DuckDB's are bias-corrected sample
+    forms (measured: 0.657 vs 1.138 on the same 4 values). Deriving
+    both engines' values from the same exact BIGINT s1..s4 with the
+    same float64 expression shape makes the statistic
+    engine-portable, and the power sums are one map-side-combinable
+    aggregation (the single-pass moment pattern that works at any
+    scale; s4 of a 1-50 domain fits bigint to ~1.4e12 rows — beyond
+    that, DECIMAL partials)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    s = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / n
+        - F.lit(3.0) * mu * (F.col("s2").cast("double") / n)
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - F.lit(4.0) * mu * (F.col("s3").cast("double") / n)
+        + F.lit(6.0) * mu * mu * (F.col("s2").cast("double") / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return s.select(
+        "l_linestatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(m3 / (m2 * F.sqrt(m2)) * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("skew_ppm"),
+        F.floor((m4 / (m2 * m2) - F.lit(3.0)) * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("ex_kurt_ppm"),
+    )
+
+
+SQL_DISTRIBUTION_MOMENTS = """
+WITH s AS (
+  SELECT l_linestatus, COUNT(*) AS n,
+         SUM(q) AS s1, SUM(q*q) AS s2, SUM(q*q*q) AS s3, SUM(q*q*q*q) AS s4
+  FROM (SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+  GROUP BY 1
+), m AS (
+  SELECT l_linestatus, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+  FROM s
+)
+SELECT l_linestatus, CAST(n AS BIGINT) AS n,
+       CAST(FLOOR((e3 - 3.0*mu*e2 + 2.0*mu*mu*mu)
+                  / ((e2 - mu*mu) * sqrt(e2 - mu*mu)) * 1000000.0 + 0.5)
+            AS BIGINT) AS skew_ppm,
+       CAST(FLOOR(((e4 - 4.0*mu*e3 + 6.0*mu*mu*e2 - 3.0*mu*mu*mu*mu)
+                   / ((e2 - mu*mu) * (e2 - mu*mu)) - 3.0) * 1000000.0 + 0.5)
+            AS BIGINT) AS ex_kurt_ppm
+FROM m
+"""
+
+
+def q_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition — the hyperfunction that
+    separates weekly seasonality from anomaly: per event_type, daily
+    totals (exact cents) get a per-(type, dow) seasonal baseline, and
+    the reported day is the one whose deviation from its own dow
+    baseline is largest. Division-free integers: the residual is
+    scaled to milli-units with the truncating div BOTH engines share
+    (resid_milli = (daily*n_dow - sum_dow)*1000 div n_dow). Two
+    map-side aggs + one per-type argmax window whose partition state
+    is one type's day series."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        _normalize_ts(ev)
+        .select(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            F.date_format(F.to_date("ts"), "E").alias("dow"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("_c"),
+        )
+        .groupBy("event_type", "day", "dow")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    wd = Window.partitionBy("event_type", "dow")
+    resid = (
+        daily.withColumn("n_dow", F.count(F.lit(1)).over(wd))
+        .withColumn("sum_dow", F.sum("cents").over(wd))
+        .withColumn(
+            "resid_milli",
+            F.expr("(cents * n_dow - sum_dow) * 1000 div n_dow"),
+        )
+    )
+    peak = resid.groupBy("event_type").agg(
+        F.max(F.abs(F.col("resid_milli"))).alias("max_abs_resid_milli")
+    )
+    return (
+        resid.join(peak, "event_type")
+        .filter(F.abs(F.col("resid_milli")) == F.col("max_abs_resid_milli"))
+        .groupBy("event_type", "max_abs_resid_milli")
+        .agg(F.min("day").alias("anomaly_day"))
+        .select("event_type", "anomaly_day", "max_abs_resid_milli")
+    )
+
+
+SQL_SEASONAL_DECOMPOSE_DOW = """
+WITH daily AS (
+  SELECT event_type,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         dayofweek(CAST(ts AS DATE)) AS dow,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2, 3
+), r AS (
+  SELECT event_type, day,
+         CAST((cents * COUNT(*) OVER w - SUM(cents) OVER w) * 1000
+              // (COUNT(*) OVER w) AS BIGINT) AS resid_milli
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type, dow)
+), p AS (
+  SELECT event_type, CAST(MAX(ABS(resid_milli)) AS BIGINT) AS max_abs_resid_milli
+  FROM r GROUP BY 1
+)
+SELECT r.event_type, MIN(r.day) AS anomaly_day, p.max_abs_resid_milli
+FROM r JOIN p ON p.event_type = r.event_type
+             AND ABS(r.resid_milli) = p.max_abs_resid_milli
+GROUP BY r.event_type, p.max_abs_resid_milli
+"""
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard — the corpus-mixing
+    diagnostic (which sources contribute redundant vocabulary?): the
+    pair source is a POSTING equi-join on token (token -> sources,
+    never a source-pair cross product), intersection counts fall out
+    of the join, and union sizes come from a broadcast per-source
+    census. Integer jaccard_ppm with truncating div. Scale: postings
+    are |distinct(source, token)|; per-token fanout is the number of
+    sources sharing the token (bounded by the source count), the same
+    discipline as dedup_containment."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(T.whitespace_tokens(F.lower(F.col("text")))).alias("tok"))
+        .distinct()
+    )
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = toks.select(F.col("source").alias("src_a"), "tok")
+    b = toks.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("vocab", "va")), "src_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("vocab", "vb")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.expr("n_shared * 1000000 div (va + vb - n_shared)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+SQL_SOURCE_VOCAB_OVERLAP = f"""
+WITH toks AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest({TOKS_SQL.format(c='lower(text)')}) AS tok
+    FROM documents
+  )
+), sizes AS (
+  SELECT source, COUNT(*) AS vocab FROM toks GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared,
+       CAST(n_shared * 1000000 // (sa.vocab + sb.vocab - n_shared) AS BIGINT)
+         AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
 """
 
 
@@ -16893,6 +17272,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_statestore_time_travel,
         SQL_STATESTORE_TIME_TRAVEL,
     ),
+    # ---- round-8 wave ----
+    "sql_pipe_syntax": (q_sql_pipe_syntax, SQL_SQL_PIPE_SYNTAX),
+    "collation_group": (q_collation_group, SQL_COLLATION_GROUP),
+    "mutual_information": (q_mutual_information, SQL_MUTUAL_INFORMATION),
+    "distribution_moments": (q_distribution_moments, SQL_DISTRIBUTION_MOMENTS),
+    "seasonal_decompose_dow": (q_seasonal_decompose_dow, SQL_SEASONAL_DECOMPOSE_DOW),
+    "source_vocab_overlap": (q_source_vocab_overlap, SQL_SOURCE_VOCAB_OVERLAP),
 }
 
 
@@ -17033,6 +17419,82 @@ _R7_WINDOW: list[str] = [
 ]
 
 
+# r8 window (50 slots), composed per the standing policy and the r7
+# verdict's explicit instruction:
+#   1..8:   the 8 NEW/UPGRADED r8 entries (pipe syntax, collation, MI,
+#           moments, seasonal, vocab overlap, the simhash rows-only ->
+#           hash-checked upgrade, the LSH replay twin) — new code
+#           outranks never-checked unchanged code,
+#   9..10:  cusum_changepoint (r7 driver-red, oracle CAST-fixed) and
+#           token_ids (stale r5 red, fixed r6, never re-checked) — the
+#           only latest-status reds; flipping them makes every
+#           ever-checked row green,
+#   11..50: the never-driver-checked backlog IN QUEUE ORDER (r6
+#           post-window additions from keyword_signature_sim, the
+#           deferred TPC-H stragglers, the 6 deferred streaming
+#           replays, the DSv2 trio, the sink roundtrips, and the
+#           third-wave stragglers through quantile_bucket_assign).
+# Displaced tail (ab_test_ztest, anomaly_mad, event_pattern_match,
+# variant_json_ops, schema_evolution_merge + the older never-checked
+# remainder) queues for r9; all of it passes local oracle parity every
+# pytest run meanwhile.
+_R8_WINDOW: list[str] = [
+    # r8 NEW code
+    "sql_pipe_syntax",
+    "collation_group",
+    "mutual_information",
+    "distribution_moments",
+    "seasonal_decompose_dow",
+    "source_vocab_overlap",
+    "dedup_simhash",
+    "similarity_lsh_replay",
+    # latest-status driver reds, both fixed
+    "cusum_changepoint",
+    "token_ids",
+    # never-checked backlog, queue order
+    "keyword_signature_sim",
+    "unigram_segment",
+    "wordpiece_segment",
+    "multimodal_audio_adpcm",
+    "multimodal_phash_dedup",
+    "group_trend_ols",
+    "timeseries_rollup_cascade",
+    "text_readability",
+    "events_stream_dedup_watermark",
+    "k_anonymity_audit",
+    "fifo_allocation",
+    "dedup_jaccard_prefix",
+    "similarity_topk_l2",
+    "sql_group_order_by_all",
+    "benford_conformance",
+    "ivm_join_view",
+    "hierarchical_share",
+    "ewma_exact",
+    "tpch_q16_supplier_counts",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_last_shipper",
+    "tpch_q22_dormant_customers",
+    "events_stream_outer_join",
+    "events_stream_upsert",
+    "events_stream_late_drop",
+    "events_stream_update_mode",
+    "events_stream_session_timeout",
+    "events_stream_full_outer_join",
+    "tpch_q11_value_concentration",
+    "python_datasource_scan",
+    "python_datasource_stream",
+    "python_datasource_sink",
+    "bucketed_join_roundtrip",
+    "orc_roundtrip",
+    "jsonl_roundtrip",
+    "scd2_asof_lookup",
+    "multimodal_tiff_meta",
+    "multimodal_frame_plan",
+    "quantile_bucket_assign",
+]
+
+
 def _apply_window(window: list[str]) -> None:
     """Reorder REGISTRY so `window` forms the prefix the driver checks."""
     global REGISTRY
@@ -17043,7 +17505,7 @@ def _apply_window(window: list[str]) -> None:
     REGISTRY = {**head, **rest}
 
 
-_apply_window(_R7_WINDOW)
+_apply_window(_R8_WINDOW)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
