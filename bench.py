@@ -94,8 +94,10 @@ BENCH_QUERIES = [
     "tpch_q5_local_volume",
     "tpch_q13_custdist",
     "tpch_q17_small_qty",
-    # round-5 batch-12 TPC-H depth (the join-heavy ones; the sub-50ms
-    # scan-agg trivia q4/q6/q12/q14/q19/q22 stay out) + hyperfunctions
+    # round-5 batch-12 TPC-H depth + hyperfunctions (r8 note: the old
+    # "sub-50ms scan-agg trivia" claim about q4/q6/q12/q14/q19/q22 was
+    # refuted by measurement — 0.3-1.2s warm at sf0.1 — so the full
+    # TPC-H 22 now benches; the stragglers are in the r8 section below)
     "tpch_q2_preferred_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -266,7 +268,139 @@ BENCH_QUERIES = [
     "fano_burstiness",
     "gini_by_nation",
     "statestore_time_travel",
+    # round-8 wave: the six new queries, the simhash/LSH hash-check
+    # upgrades, and 20 promotions out of the previously-unbenched set
+    # (every registry query was measured at sf0.1 in r8; everything
+    # >= 0.5s warm that is not quarantined/subsumed/companion/streaming
+    # now benches — see BENCH_EXCLUDED below for the full accounting)
+    "xml_roundtrip",
+    "label_propagation",
+    "multimodal_bmp_pixels",
+    "statestore_rocksdb",
+    "lateral_column_alias",
+    "sql_pipe_syntax",
+    "collation_group",
+    "mutual_information",
+    "distribution_moments",
+    "seasonal_decompose_dow",
+    "source_vocab_overlap",
+    "dedup_simhash",
+    "similarity_lsh_replay",
+    "decontaminate",
+    "text_tfidf",
+    "fuzzy_levenshtein",
+    "stratified_sample",
+    "range_join_binned",
+    "multimodal_jpeg_pixels",
+    "multimodal_gif_frames",
+    "similarity_ivf_probe",
+    "similarity_pq",
+    "dedup_embedding_ivf",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_ship_delay",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_dominant_supplier",
+    "tpch_q22_dormant_customers",
+    "partitioned_roundtrip",
+    "ab_test_ztest",
+    "array_funcs",
+    "window_value_funcs",
+    "entropy_profile",
+    "agg_correlation",
+    "domain_filter",
+    "set_except_all",
 ]
+
+# --------------------------------------------------------------------------
+# Complete coverage accounting (r8): every REGISTRY query is either in
+# BENCH_QUERIES above or in BENCH_EXCLUDED below with its reason. A silent
+# gap would read as coverage; tests/test_plan_quality.py pins the union.
+# All runtimes cited are warm sf0.1 measurements from the r8 audit.
+# --------------------------------------------------------------------------
+
+_MICRO = (
+    # plan-dominated micro queries: < 0.5s warm at sf0.1, most < 0.3s —
+    # a bench row would track Catalyst/plan-build noise, not the data
+    # path these API-surface attestations exist to pin
+    "agg_counts", "agg_stats", "approx_distinct", "argmax_group",
+    "array_join_fold", "cast_enrich", "collect_sorted", "compaction_plan",
+    "conditional_agg", "cube_agg", "date_arith", "date_funcs", "date_spine",
+    "distinct_rows", "embedding_normalize", "epoch_shard",
+    "filter_predicates", "grouping_sets", "histogram_bins", "hll_distinct",
+    "join_anti", "join_broadcast_lookup", "join_cross", "join_full_outer",
+    "join_right_outer", "join_semi", "json_roundtrip", "map_funcs",
+    "map_hof_funcs", "mixing_weights", "nested_flatten", "null_funcs",
+    "percentiles", "percentiles_approx", "period_over_period", "pii_scrub",
+    "posexplode_tokens", "profile_table", "quality_gopher_rules",
+    "range_join", "regexp_funcs", "rollup_agg", "scan_project",
+    "set_except", "set_intersect", "set_union_distinct", "share_of_total",
+    "silver_answers_pivot", "silver_object_counts", "sql_surface",
+    "string_funcs", "string_funcs2", "text_fingerprint", "text_token_count",
+    "topk_orders", "topk_per_group", "train_val_split", "try_functions",
+    "unpivot_metrics", "uploads_build", "upsert_skip", "upsert_suffix",
+    "window_lag_lead", "window_rank_funcs", "window_rownum",
+)
+
+_STREAMING = (
+    # streaming replay attestations: per-call cost is micro-batch /
+    # checkpoint / state-store setup, not plan quality; the family IS
+    # benched via events_stream_restart, events_stream_semi_join and
+    # events_stream_file_sink (the three distinct cost profiles:
+    # checkpoint restart, stream-stream join state, file-sink manifest)
+    "events_stream_replay", "events_stream_enrich", "events_stream_join",
+    "events_stream_session", "events_stream_stateful", "events_stream_upsert",
+    "events_stream_late_drop", "events_stream_update_mode",
+    "events_stream_session_timeout", "events_stream_outer_join",
+    "events_stream_full_outer_join", "events_stream_dedup",
+    "events_stream_dedup_watermark",
+)
+
+_SUBSUMED = {
+    # same physical plan family as a benched row (the benched twin named)
+    "decontam_hits": "decontaminate",
+    "dedup_clusters": "dedup_canonicalize",
+    "bpe_merge_candidates": "bpe_train_iters",
+    "similarity_kmeans_ivf": "similarity_ivf_probe",
+    "similarity_ivf": "similarity_ivf_probe",
+    "similarity_lsh": "similarity_lsh_replay",
+    "multimodal_pixels": "multimodal_resize",
+    "multimodal_audio_native": "multimodal_audio_features",
+    "multimodal_frames": "multimodal_video_meta",
+    "multimodal_meta": "multimodal_video_meta",
+    "multimodal_tiff_meta": "multimodal_exif",
+    "python_datasource_stream": "python_datasource_scan",
+    "python_datasource_sink": "python_datasource_scan",
+}
+
+_QUARANTINED = {
+    # inherently quadratic on this corpus (exact all-pairs arms or
+    # data-degenerate candidate sets) — kept as oracles/baselines, with
+    # the sub-quadratic scale paths benched instead
+    "dedup_embedding": "exact all-pairs cosine baseline (46.7s warm sf0.1); LSH/IVF scale paths benched",
+    "dedup_embedding_lsh_recall": "re-runs the exact all-pairs arm (50.9s warm sf0.1)",
+    "dedup_embedding_ivf_recall": "re-runs the exact all-pairs arm (58.3s warm sf0.1)",
+    "dedup_char_ngram": "char-5-grams are data-degenerate here: median df ~291/5000 docs -> 10.5M true candidates",
+    "keyword_signature_sim": "top-5-tfidf signatures degenerate on the ~35-term synthetic vocabulary (11M pairs = 88% of all doc pairs)",
+    "triangle_count": "two-join triangle enumeration is quadratic in node degree (~40M join rows at sf0.1): a census job, not a headline query",
+    "cogroup_asof_pandas": "cogrouped-applyInPandas API floor ~10s at sf0.1; the native union+window asof_join is the benched scale path",
+}
+
+_COMPANION = (
+    # quality companions that re-run arms already benched elsewhere
+    "dedup_minhash_recall", "similarity_ivf_recall", "similarity_pq_recall",
+    "percentiles_approx_error", "hll_error_bound", "knn_label_vote_ivf",
+)
+
+BENCH_EXCLUDED: dict[str, str] = {
+    **{n: "micro: <0.5s warm sf0.1 (r8 audit), plan-build dominated" for n in _MICRO},
+    **{n: "streaming replay setup cost; family benched via restart/semi_join/file_sink" for n in _STREAMING},
+    **{n: f"subsumed by benched twin {twin}" for n, twin in _SUBSUMED.items()},
+    **_QUARANTINED,
+    **{n: "quality companion re-running benched arms" for n in _COMPANION},
+}
 
 
 def main() -> None:

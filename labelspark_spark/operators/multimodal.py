@@ -1457,6 +1457,68 @@ def png_encode_gray(pixels: bytes, width: int, height: int) -> bytes:
     )
 
 
+def bmp_encode_gray24(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (BITMAPINFOHEADER,
+    BI_RGB) — pure stdlib. Gray values are written as equal BGR
+    triples, rows BOTTOM-UP with 4-byte stride padding: the two spec
+    quirks that make BMP a distinct codec attestation rather than a
+    PNG re-skin. The decoder below round-trips them."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = b"".join(
+            bytes((v, v, v))
+            for v in pixels[r * width : (r + 1) * width]
+        )
+        rows.append(row + b"\x00" * (stride - len(row)))
+    body = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return hdr + info + body
+
+
+def bmp_decode(content: bytes | None):
+    """REAL BMP pixel decode: 24-bit BI_RGB with BITMAPINFOHEADER,
+    handling bottom-up (positive biHeight) AND top-down (negative)
+    row order and the 4-byte row stride. Returns (width, height,
+    channels, pixels) with pixels flattened top-down in BGR order, or
+    None for anything malformed / unsupported (refuse-don't-raise, the
+    corpus-scale codec contract)."""
+    import struct
+
+    if not content or len(content) < 54 or content[:2] != b"BM":
+        return None
+    try:
+        off = struct.unpack_from("<I", content, 10)[0]
+        hdr_size = struct.unpack_from("<I", content, 14)[0]
+        if hdr_size < 40:
+            return None
+        width, biheight = struct.unpack_from("<ii", content, 18)
+        planes, bpp = struct.unpack_from("<HH", content, 26)
+        compression = struct.unpack_from("<I", content, 30)[0]
+    except struct.error:
+        return None
+    if planes != 1 or bpp != 24 or compression != 0:
+        return None
+    height = abs(biheight)
+    if width <= 0 or height == 0 or width > 1 << 15 or height > 1 << 15:
+        return None
+    stride = (width * 3 + 3) & ~3
+    if off + stride * height > len(content):
+        return None
+    out = bytearray()
+    # stored bottom-up when biHeight > 0; emit top-down either way
+    row_ids = range(height - 1, -1, -1) if biheight > 0 else range(height)
+    for r in row_ids:
+        base = off + r * stride
+        out += content[base : base + width * 3]
+    return width, height, 3, bytes(out)
+
+
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -2134,14 +2196,17 @@ def decode_gif_frames(
 
 def _any_pixel_decode(content: bytes | None):
     """(width, height, channels, pixels) via whichever real codec
-    recognizes the payload: PNG (any supported color type) or baseline
-    grayscale JPEG."""
+    recognizes the payload: PNG (any supported color type), baseline
+    grayscale JPEG, or 24-bit BI_RGB BMP."""
     r = png_decode(content)
     if r is not None:
         return r
     j = jpeg_decode_gray(content)
     if j is not None:
         return j[0], j[1], 1, j[2]
+    b = bmp_decode(content)
+    if b is not None:
+        return b
     return None
 
 

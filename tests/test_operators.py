@@ -1077,3 +1077,36 @@ def test_ima_adpcm_expansion_and_decode():
     assert wav_decode_samples_adpcm(pcm)["n_samples"] is None
     assert wav_decode_samples_adpcm(None)["n_samples"] is None
     assert wav_decode_samples_adpcm(b"RIFFxxxxWAVE")["n_samples"] is None
+
+
+def test_bmp_roundtrip_bottomup_topdown_and_stride():
+    """bmp_encode_gray24/bmp_decode: bottom-up storage round-trips to
+    top-down pixel order; a hand-flipped negative-biHeight (top-down)
+    variant decodes to the SAME pixels; stride padding never leaks."""
+    import struct
+
+    from labelspark_spark.operators.multimodal import bmp_decode, bmp_encode_gray24
+
+    # width 5 -> stride 16 (one pad byte per row): the stride quirk live
+    px = bytes((10 + r * 5 + c) for r in range(3) for c in range(5))
+    blob = bmp_encode_gray24(px, 5, 3)
+    w, h, ch, out = bmp_decode(blob)
+    assert (w, h, ch) == (5, 3, 3)
+    assert out[0::3] == px and out[1::3] == px and out[2::3] == px
+
+    # top-down variant: negate biHeight and reverse the row blocks
+    stride = 16
+    off = 54
+    rows = [blob[off + i * stride : off + (i + 1) * stride] for i in range(3)]
+    td = bytearray(blob[:off] + b"".join(reversed(rows)))
+    struct.pack_into("<i", td, 22, -3)
+    w2, h2, ch2, out2 = bmp_decode(bytes(td))
+    assert (w2, h2, ch2) == (5, 3, 3)
+    assert out2 == out
+
+    # refusals: truncated body, wrong bpp, compressed
+    assert bmp_decode(blob[:53]) is None
+    bad_bpp = bytearray(blob); struct.pack_into("<H", bad_bpp, 28, 8)
+    assert bmp_decode(bytes(bad_bpp)) is None
+    comp = bytearray(blob); struct.pack_into("<I", comp, 30, 1)
+    assert bmp_decode(bytes(comp)) is None

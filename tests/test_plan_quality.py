@@ -4,6 +4,8 @@ results are correct (SURVEY §4)."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from labelspark_spark.plans import explain
@@ -774,3 +776,29 @@ def test_lsh_replay_bucket_join_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
     assert "BroadcastHashJoin" in plan, plan[:800]
     assert "pythonudf" not in plan.lower()
+
+
+def test_bench_coverage_is_total():
+    """Every registry query is either benched or carries an explicit
+    exclusion reason (r7 verdict: silent caps read as coverage). The
+    two sets must partition the registry exactly — a new query without
+    a bench decision fails here, as does a stale entry for a renamed
+    query."""
+    import importlib.util
+
+    from labelspark_spark.queries import REGISTRY
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    benched = set(bench.BENCH_QUERIES)
+    excluded = set(bench.BENCH_EXCLUDED)
+    reg = set(REGISTRY)
+    assert not benched & excluded, f"both benched and excluded: {benched & excluded}"
+    assert benched | excluded == reg, (
+        f"unaccounted: {sorted(reg - benched - excluded)}; "
+        f"stale: {sorted((benched | excluded) - reg)}"
+    )
+    assert all(bench.BENCH_EXCLUDED.values()), "empty exclusion reason"

@@ -194,6 +194,7 @@ def test_codec_robustness_arbitrary_bytes(blob):
         mm.wav_decode_samples_adpcm,
         lambda c: mm.wav_resample_linear_feats(c, 3, 4),
         mm.png_decode,
+        mm.bmp_decode,
         mm.parse_mp4_header,
         mm.parse_exif,
         mm.parse_tiff_header,
