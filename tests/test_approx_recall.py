@@ -421,3 +421,33 @@ def test_jl_projection_distance_concentration(spark):
     assert 0.8 <= median <= 1.2, f"JL ratio median {median:.3f} off 1.0"
     inside = sum(1 for r in ratios if 0.3 <= r <= 2.2) / len(ratios)
     assert inside >= 0.9, f"only {inside:.1%} of JL ratios within bound"
+
+
+def test_ivf_probe_batch_matches_broadcast_probe(spark):
+    """ivf_probe_batch (cogrouped Arrow matmul) must produce the same
+    (query, neighbor) top-k sets as the broadcast+HOF ivf_probe on the
+    same persisted index — two physical strategies, one operator
+    semantics. Compared as sets per query (equal-cos rank flips between
+    float64 fold orders are absorbed by the 6-decimal quantization the
+    tie order keys on)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    centroids = similarity.kmeans_fit(emb, k=4, dim=64, max_iters=2)
+    table = "ivf_probe_batch_parity"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme in ("", "file"):
+        shutil.rmtree(f"{wh.path}/{table}", ignore_errors=True)
+    similarity.ivf_build(emb, centroids, table=table, num_buckets=4, assign=2)
+    queries = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = similarity.ivf_probe(queries, centroids, table=table, k=5, nprobe=2)
+    b = similarity.ivf_probe_batch(queries, centroids, table=table, k=5, nprobe=2)
+    sa = {(r.query_id, r.neighbor_id, r.cos) for r in a.collect()}
+    sb = {(r.query_id, r.neighbor_id, r.cos) for r in b.collect()}
+    assert sa == sb, f"only-broadcast={sorted(sa-sb)[:5]} only-batch={sorted(sb-sa)[:5]}"
