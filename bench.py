@@ -274,6 +274,9 @@ BENCH_QUERIES = [
     # >= 0.5s warm that is not quarantined/subsumed/companion/streaming
     # now benches — see BENCH_EXCLUDED below for the full accounting)
     "xml_roundtrip",
+    "cdc_apply",
+    "weighted_median",
+    "json_malformed_handling",
     "label_propagation",
     "multimodal_bmp_pixels",
     "statestore_rocksdb",

@@ -16914,6 +16914,162 @@ FROM events GROUP BY user_id
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changefeed apply — reconstruct the current snapshot from an
+    ordered insert/upsert/delete event log (the lakehouse MERGE
+    pattern without a Delta dependency): events become a change
+    stream per user (signup=INSERT, purchase/click=UPSERT carrying a
+    new value, error=DELETE), and LAST-WINS per key is one window
+    argmax on the total (ts, event_id) change order — never an
+    iterative driver loop. Rows whose last change is a DELETE fall
+    out. Exact cents; one shuffle on the key; per-partition state is
+    one key's change history. Oracle replays with the same
+    ROW_NUMBER-over-change-order construction."""
+    ev = _normalize_ts(_t(spark, sf_dir, "events"))
+    ch = ev.filter(
+        F.col("event_type").isin("signup", "purchase", "click", "error")
+    ).select(
+        "user_id",
+        F.col("ts"),
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        ch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("op") == "U")
+    )
+    return last.select(
+        "user_id",
+        F.unix_millis("ts").alias("last_change_ms"),
+        F.col("cents").alias("current_cents"),
+    )
+
+
+SQL_CDC_APPLY = """
+WITH ch AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ('signup', 'purchase', 'click', 'error')
+), last AS (
+  SELECT user_id, ts, op, cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ch
+)
+SELECT user_id, epoch_ms(ts) AS last_change_ms, cents AS current_cents
+FROM last WHERE rn = 1 AND op = 'U'
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group (price weighted by quantity) —
+    the robust-statistics op plain percentile can't express: per
+    l_linestatus, order by the value, take the first row whose running
+    weight reaches half the total. Division-free integers (2*cum >=
+    total on bigint cents/quantities); the per-group window state is
+    the group's distinct-value histogram, built by a map-side
+    combinable pre-aggregation so the window never sees raw rows —
+    the same distinct-value-histogram discipline as winsorized_mean."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    hist = li.groupBy("l_linestatus", "cents").agg(F.sum("q").alias("w"))
+    wtot = hist.groupBy("l_linestatus").agg(F.sum("w").alias("tot"))
+    wrun = (
+        Window.partitionBy("l_linestatus")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("w").over(wrun)).join(
+        F.broadcast(wtot), "l_linestatus"
+    )
+    return (
+        cum.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_linestatus")
+        .agg(F.min("cents").alias("weighted_median_cents"))
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH h AS (
+  SELECT l_linestatus,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_linestatus, cents,
+         SUM(w) OVER (PARTITION BY l_linestatus ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_linestatus) AS tot
+  FROM h
+)
+SELECT l_linestatus, CAST(MIN(cents) AS BIGINT) AS weighted_median_cents
+FROM c WHERE cum * 2 >= tot GROUP BY 1
+"""
+
+
+def q_json_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON corrupt-record contract — the ingestion-robustness twin of
+    csv_malformed_handling: a JSONL file seeded with broken lines
+    (truncated object, bare string, trailing garbage) reads under
+    PERMISSIVE mode with an explicit `_corrupt_record` column; valid
+    rows keep their typed fields NULL-free, corrupt lines surface as
+    raw text with every data field NULL, and nothing is silently
+    dropped (count preserved). The census (n_valid, n_corrupt, value
+    sum over valid) is the hash-checked contract; the oracle derives
+    it in closed form from the seeded layout."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = tempfile.mkdtemp(prefix="json_mal_")
+    docs.coalesce(1).write.mode("overwrite").json(d + "/clean")
+    src = [p for p in os.listdir(d + "/clean") if p.endswith(".json")][0]
+    with open(f"{d}/clean/{src}", encoding="utf-8") as f:
+        lines = f.read().splitlines()
+    # NB measured: '{"doc_id": 2}garbage' is NOT corrupt — Jackson stops
+    # at the first complete object and drops the trailing garbage. The
+    # three seeds below are unambiguously malformed on any JSON parser.
+    broken = ['{"doc_id": 1, "n_chars":', '"just a string"', '{"doc_id": }']
+    with open(f"{d}/mixed.jsonl", "w", encoding="utf-8") as f:
+        f.write("\n".join(lines + broken) + "\n")
+    back = spark.read.schema(
+        "doc_id bigint, n_chars bigint, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(f"{d}/mixed.jsonl")
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars")))
+        .cast("bigint")
+        .alias("valid_chars"),
+    )
+
+
+SQL_JSON_MALFORMED = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       CAST(SUM(n_chars) AS BIGINT) AS valid_chars
+FROM documents
+"""
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (community detection), 3 rounds on
     the deterministic 2-regular doc graph (same in-plan broadcast-N
@@ -17548,6 +17704,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     # ---- round-8 wave ----
     "xml_roundtrip": (q_xml_roundtrip, SQL_XML_ROUNDTRIP),
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "json_malformed_handling": (q_json_malformed_handling, SQL_JSON_MALFORMED),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "multimodal_bmp_pixels": (q_multimodal_bmp_pixels, SQL_MULTIMODAL_BMP_PIXELS),
     "statestore_rocksdb": (q_statestore_rocksdb, SQL_STATESTORE_ROCKSDB),
@@ -17722,6 +17881,9 @@ _R8_WINDOW: list[str] = [
     # the standing policy, displaced the last three backlog slots —
     # multimodal_tiff_meta / multimodal_frame_plan /
     # quantile_bucket_assign re-queue for r9)
+    "cdc_apply",
+    "weighted_median",
+    "json_malformed_handling",
     "label_propagation",
     "multimodal_bmp_pixels",
     "xml_roundtrip",
@@ -17771,9 +17933,6 @@ _R8_WINDOW: list[str] = [
     "tpch_q11_value_concentration",
     "python_datasource_scan",
     "python_datasource_stream",
-    "python_datasource_sink",
-    "bucketed_join_roundtrip",
-    "orc_roundtrip",
 ]
 
 
