@@ -17857,25 +17857,31 @@ _R7_WINDOW: list[str] = [
 ]
 
 
-# r8 window (50 slots), composed per the standing policy and the r7
-# verdict's explicit instruction:
-#   1..8:   the 8 NEW/UPGRADED r8 entries (pipe syntax, collation, MI,
-#           moments, seasonal, vocab overlap, the simhash rows-only ->
-#           hash-checked upgrade, the LSH replay twin) — new code
-#           outranks never-checked unchanged code,
-#   9..10:  cusum_changepoint (r7 driver-red, oracle CAST-fixed) and
+# r8 window (50 slots), FINAL composition per the standing policy and
+# the r7 verdict's explicit instruction:
+#   1..16:  the 16 NEW/UPGRADED r8 entries in reverse-landing order
+#           (waves 4..1: cdc/median/json-corrupt, label-prop/BMP,
+#           XML/RocksDB/LCA, pipe/collation/MI/moments/seasonal/vocab-
+#           overlap, plus the simhash rows-only -> hash-checked upgrade
+#           and the LSH replay twin) — new code outranks never-checked
+#           unchanged code, and every wave's landing displaced the
+#           then-current window tail,
+#   17..18: cusum_changepoint (r7 driver-red, oracle CAST-fixed) and
 #           token_ids (stale r5 red, fixed r6, never re-checked) — the
 #           only latest-status reds; flipping them makes every
 #           ever-checked row green,
-#   11..50: the never-driver-checked backlog IN QUEUE ORDER (r6
+#   19..50: the never-driver-checked backlog IN QUEUE ORDER (r6
 #           post-window additions from keyword_signature_sim, the
 #           deferred TPC-H stragglers, the 6 deferred streaming
-#           replays, the DSv2 trio, the sink roundtrips, and the
-#           third-wave stragglers through quantile_bucket_assign).
-# Displaced tail (ab_test_ztest, anomaly_mad, event_pattern_match,
-# variant_json_ops, schema_evolution_merge + the older never-checked
-# remainder) queues for r9; all of it passes local oracle parity every
-# pytest run meanwhile.
+#           replays, and the DSv2 scan/stream pair).
+# Displaced tail (python_datasource_sink, the sink roundtrips,
+# scd2_asof_lookup, multimodal_tiff_meta/frame_plan,
+# quantile_bucket_assign, ab_test_ztest, anomaly_mad,
+# event_pattern_match, variant_json_ops, schema_evolution_merge + the
+# older never-checked remainder) queues for r9; all of it passes local
+# oracle parity every pytest run meanwhile. The FULL 50-slot window was
+# pre-attested green at sf0.01 through the driver contract after the
+# last registry change of the round.
 _R8_WINDOW: list[str] = [
     # r8 NEW code (wave 2 landed after the first composition and, per
     # the standing policy, displaced the last three backlog slots —
