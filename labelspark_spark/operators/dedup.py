@@ -179,6 +179,13 @@ def _hash_shingled(
     # builders are called on the bench hot path and the Column form costs
     # hundreds of py4j round trips PER QUERY CONSTRUCTION (~0.5s driver
     # time at local[32]); one parsed expression is the same plan
+    # LET-BIND the staged token/text array inside the same expression
+    # (transform(array(x), v -> ...)[0], the winnowing discipline):
+    # the per-shingle lambda references the staged value several times
+    # (element_at xN + size), so CollapseProject would otherwise inline
+    # the whole normalize/tokenize chain into EVERY shingle evaluation —
+    # O(tokens) work per shingle, O(tokens^2) per doc (measured: the
+    # decontaminate posting build was 9.0s at sf0.1, 0.9s let-bound).
     if unit == "char":
         base = df.select(
             F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t")
@@ -186,19 +193,21 @@ def _hash_shingled(
         return base.select(
             "_id",
             F.expr(
-                f"array_distinct(transform(sequence(1, greatest(length(_t) - {n - 1}, 1)), "
-                f"i -> xxhash64(substring(_t, i, {n})))) AS _sh"
+                f"transform(array(_t), t -> "
+                f"array_distinct(transform(sequence(1, greatest(length(t) - {n - 1}, 1)), "
+                f"i -> xxhash64(substring(t, i, {n})))))[0] AS _sh"
             ),
         )
     toks = df.select(
         F.col(id_col).alias("_id"), whitespace_tokens(F.col(text_col)).alias("_tk")
     )
-    elems = ", ".join(f"element_at(_tk, i + {j + 1})" for j in range(n))
+    elems = ", ".join(f"element_at(tk, i + {j + 1})" for j in range(n))
     return toks.select(
         "_id",
         F.expr(
-            f"array_distinct(transform(sequence(0, greatest(size(_tk) - {n - 1}, 1) - 1), "
-            f"i -> xxhash64({elems}))) AS _sh"
+            f"transform(array(_tk), tk -> "
+            f"array_distinct(transform(sequence(0, greatest(size(tk) - {n - 1}, 1) - 1), "
+            f"i -> xxhash64({elems}))))[0] AS _sh"
         ),
     )
 
@@ -560,32 +569,40 @@ def simhash(col: Column, bits: int = 62, seed: int = 42) -> Column:
 def _simhash_staged(
     df: DataFrame, text_col: str, id_col: str, bits: int = 62, seed: int = 42
 ) -> DataFrame:
-    """SimHash via staged projections (token hashes evaluated once, not
-    once per bit): returns (_id, _h)."""
+    """SimHash via explode + a 62-sum hash aggregation: returns (_id, _h).
+
+    The fold form (62 ``F.aggregate`` lambdas over a staged token-hash
+    array) evaluates INTERPRETED — HOF lambdas fall out of whole-stage
+    codegen, and 62 folds x tokens x docs cost ~2s per join side at
+    sf0.1. Exploding tokens instead computes the two md5 hash words
+    once per token in a codegen projection and turns the 62 bit votes
+    into 62 map-side-combinable SUM aggregates — all JVM codegen, and
+    the shuffle is exactly one 62-long partial row per doc (measured
+    with the checkpoint below: dedup_simhash 4.8s -> 2.4s at sf0.1).
+    Votes are identical integer
+    math; zero-token docs survive via explode_outer (their null hash
+    makes every SUM null, every CASE arm 0 -> _h = 0, matching the
+    fold's empty-array result)."""
     from labelspark_spark.functions.text import whitespace_tokens
 
-    toks = df.select(
-        F.col(id_col).alias("_id"), whitespace_tokens(F.col(text_col)).alias("_tk")
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(whitespace_tokens(F.col(text_col))).alias("_t"),
     )
-    hashed = toks.select(
+    hashed = tok.select(
         "_id",
-        F.transform("_tk", lambda t: base_hash32(t)).alias("_lo"),
-        F.transform("_tk", lambda t: base_hash32(F.concat(t, F.lit(f"#s{seed}")))).alias("_hi"),
+        base_hash32(F.col("_t")).alias("_lo"),
+        base_hash32(F.concat(F.col("_t"), F.lit(f"#s{seed}"))).alias("_hi"),
     )
-
-    def vote(src: str, shift: int) -> Column:
-        return F.aggregate(
-            F.col(src),
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + (F.shiftright(h, shift) % 2) * 2 - 1,
-        )
-
-    votes = hashed.select(
-        "_id",
+    votes = hashed.groupBy("_id").agg(
         *[
-            vote("_lo" if b < 31 else "_hi", b if b < 31 else b - 31).alias(f"_v{b}")
+            F.sum(
+                (F.shiftright(F.col("_lo" if b < 31 else "_hi"), b if b < 31 else b - 31) % 2)
+                * 2
+                - 1
+            ).alias(f"_v{b}")
             for b in range(bits)
-        ],
+        ]
     )
     out = F.lit(0).cast("bigint")
     for b in range(bits):
@@ -614,7 +631,14 @@ def simhash_pairs(
     (pigeonhole), so candidates come from a band-key equi-join.
     Returns (id_a, id_b, hamming).
     """
-    hashed = _simhash_staged(df, text_col, id_col, bits, seed)
+    # one eager localCheckpoint: the band self-join consumes the hash
+    # frame on BOTH sides and plan canonicalization does not give this
+    # shape a ReusedExchange (measured: the 62-vote aggregation ran
+    # twice). The materialized frame is (id, bigint) — 16 bytes per doc,
+    # bounded at any corpus scale.
+    hashed = _simhash_staged(df, text_col, id_col, bits, seed).localCheckpoint(
+        eager=True
+    )
     band_width = bits // num_bands
     bands = hashed.select(
         "_id",
