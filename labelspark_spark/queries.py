@@ -4509,15 +4509,21 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " +")
     n = F.size(toks)
+    # let-bound (winnowing discipline): the lambda references the token
+    # array 3x per trigram — unbound, CollapseProject re-splits the text
+    # for every trigram
     tris = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
+        F.array(toks),
+        lambda tk: F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+            ),
         ),
-    )
+    ).getItem(0)
     n_tri = n - 2
     # multiply BEFORE dividing, matching the oracle's association:
     # floor((d/n)*1e6+0.5) and floor(d*1e6/n+0.5) round differently
@@ -4877,14 +4883,18 @@ def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " +")
     n = F.size(toks)
+    # let-bound: the per-chunk lambda slices the token array twice
     chunks = F.transform(
-        F.sequence(F.lit(0), F.floor((n - 1) / 32).cast("int")),
-        lambda i: F.struct(
-            i.cast("bigint").alias("chunk_id"),
-            F.size(F.slice(toks, i * 32 + 1, 32)).cast("bigint").alias("n_tokens"),
-            F.element_at(toks, i * 32 + 1).alias("first_token"),
+        F.array(toks),
+        lambda tk: F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(tk) - 1) / 32).cast("int")),
+            lambda i: F.struct(
+                i.cast("bigint").alias("chunk_id"),
+                F.size(F.slice(tk, i * 32 + 1, 32)).cast("bigint").alias("n_tokens"),
+                F.element_at(tk, i * 32 + 1).alias("first_token"),
+            ),
         ),
-    )
+    ).getItem(0)
     return (
         docs.filter(n > 0)
         .select("doc_id", F.explode(chunks).alias("c"))
@@ -4994,14 +5004,18 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " +")
     n = F.size(toks)
+    # let-bound: unbound, the text re-splits once per adjacent pair
     pairs = F.when(
         n >= 2,
         F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            F.array(toks),
+            lambda tk: F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
             ),
-        ),
+        ).getItem(0),
     ).otherwise(F.array().cast("array<string>"))
     counts = (
         docs.select(F.explode(pairs).alias("pair"))
@@ -8882,12 +8896,19 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.col("text")), " +"), lambda x: x != ""
     )
     n = F.size(toks)
-    spans = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n - 7),
-            lambda i: _hash60(F.concat_ws(" ", F.slice(toks, i, 8))),
-        )
-    )
+    # LET-BIND the token array (winnowing discipline): the per-span
+    # lambda slices `toks`, so the raw Column form re-evaluates the
+    # split+filter for EVERY span — O(tokens) per span, O(tokens^2)
+    # per doc (measured 3.6s at sf0.1; let-bound 1.1s, same spans)
+    spans = F.transform(
+        F.array(toks),
+        lambda tk: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 7),
+                lambda i: _hash60(F.concat_ws(" ", F.slice(tk, i, 8))),
+            )
+        ),
+    ).getItem(0)
     ds = (
         docs.filter(n >= 8)
         .select("doc_id", F.explode(spans).alias("span"))
@@ -8953,13 +8974,17 @@ def q_chunk_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
     n = F.size(toks)
+    # let-bound: the per-chunk slice would otherwise re-tokenize per chunk
     chunks = F.transform(
-        F.sequence(F.lit(0), F.floor((n - 1) / 16).cast("int")),
-        lambda i: F.struct(
-            i.cast("bigint").alias("chunk_id"),
-            F.concat_ws(" ", F.slice(toks, i * 16 + 1, 16)).alias("ckey"),
+        F.array(toks),
+        lambda tk: F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(tk) - 1) / 16).cast("int")),
+            lambda i: F.struct(
+                i.cast("bigint").alias("chunk_id"),
+                F.concat_ws(" ", F.slice(tk, i * 16 + 1, 16)).alias("ckey"),
+            ),
         ),
-    )
+    ).getItem(0)
     ch = (
         docs.filter(n > 0)
         .select("doc_id", F.explode(chunks).alias("c"))
