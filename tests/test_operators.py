@@ -1110,3 +1110,26 @@ def test_bmp_roundtrip_bottomup_topdown_and_stride():
     assert bmp_decode(bytes(bad_bpp)) is None
     comp = bytearray(blob); struct.pack_into("<I", comp, 30, 1)
     assert bmp_decode(bytes(comp)) is None
+
+
+def test_oracle_norm_is_dtype_strict():
+    """The local compare must be as dtype-strict as the driver's
+    pandas-hashtable hash: int64-vs-float64 (the r7 cusum red and 7
+    more latent reds found in r8) and decimal-vs-double must MISMATCH
+    even when Python equality says the values are equal; list cells
+    must refuse outright (the r5 token_ids failure mode)."""
+    import decimal
+
+    import numpy as np
+    import pytest as _pytest
+
+    from tests.oracle_util import _norm, rowset
+
+    assert _norm(123) != _norm(123.0)
+    assert _norm(np.int64(5)) == _norm(5)
+    assert _norm(np.float64(5.0)) == _norm(5.0)
+    assert _norm(decimal.Decimal("24851.00")) != _norm(24851.0)
+    assert rowset(["a"], [(1,)]) != rowset(["a"], [(1.0,)])
+    assert rowset(["a", "b"], [(1, 2.5)]) == rowset(["b", "a"], [(2.5, 1)])
+    with _pytest.raises(TypeError):
+        _norm([1, 2, 3])
