@@ -274,6 +274,9 @@ BENCH_QUERIES = [
     # >= 0.5s warm that is not quarantined/subsumed/companion/streaming
     # now benches — see BENCH_EXCLUDED below for the full accounting)
     "xml_roundtrip",
+    "near_dup_threshold_curve",
+    "quality_auc",
+    "tokenizer_oov_rate",
     "cdc_apply",
     "weighted_median",
     "json_malformed_handling",

@@ -16939,6 +16939,205 @@ FROM events GROUP BY user_id
 """
 
 
+def q_near_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD TUNING curve — pair counts per Jaccard tenth
+    (buckets 5..10, i.e. j in [0.5, 0.6) ... [1.0]): the one-pass
+    artifact that tells a pipeline owner what each threshold would
+    remove before committing to one. Buckets are integer-exact
+    ((10*intersection) div union — both engines truncate toward zero),
+    so no pair can flip buckets on a float boundary. The pair source is
+    the same hashed-shingle posting self-join as the exact dedup family
+    (merge hint -> one shingle evaluation), never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd._hash_shingled(docs, "text", "doc_id", 3, "word")
+    posting = sh.select(
+        "_id", F.size("_sh").alias("_n"), F.explode_outer("_sh").alias("_s")
+    )
+    a = posting.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s")
+    b = posting.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_s")
+    inter = (
+        a.join(b.hint("merge"), "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    bucket = F.expr("i * 10 div (n_a + n_b - i)")
+    return (
+        inter.select(bucket.cast("bigint").alias("jaccard_tenth"))
+        .filter(F.col("jaccard_tenth") >= 5)
+        .groupBy("jaccard_tenth")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+SQL_NEAR_DUP_THRESHOLD_CURVE = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL.format(c=NORM_SQL.format(c='text'))} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+), posting AS (
+  SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS i
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(i * 10 // (n_a + n_b - i) AS BIGINT) AS jaccard_tenth,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM inter
+WHERE i * 10 // (n_a + n_b - i) >= 5
+GROUP BY 1
+"""
+
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ROC-AUC of the quality score against a long-doc
+    label (n_chars >= 500) — the evaluation a pipeline runs before
+    trusting a filter model. AUC is the rank-sum statistic, so the
+    whole computation reuses the mann_whitney integer-midrank
+    discipline: 2x midranks keep every quantity a whole number, the
+    rank table is a per-language distinct-score histogram (the window
+    partition holds one language's few distinct quality values), and
+    auc_ppm = (2U * 1e6) div (2 * n_pos * n_neg) with the truncating
+    div both engines share. Languages missing a class fall out."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        F.floor(T.quality_score(F.col("text")) * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("s"),
+        (F.col("n_chars") >= 500).cast("bigint").alias("pos"),
+    )
+    vals = scored.groupBy("lang", "s").agg(
+        F.sum("pos").alias("cpos"),
+        F.sum(1 - F.col("pos")).alias("cneg"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vals.withColumn(
+        "below",
+        F.sum(F.col("cpos") + F.col("cneg")).over(w) - F.col("cpos") - F.col("cneg"),
+    )
+    per = cum.groupBy("lang").agg(
+        F.sum("cpos").alias("n_pos"),
+        F.sum("cneg").alias("n_neg"),
+        F.sum(
+            F.col("cpos") * (2 * F.col("below") + F.col("cpos") + F.col("cneg") + 1)
+        ).alias("r2pos"),
+    )
+    u2 = F.col("r2pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return (
+        per.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "lang",
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("n_neg").cast("bigint").alias("n_neg"),
+            F.expr(
+                "(r2pos - n_pos * (n_pos + 1)) * 1000000 div (2 * n_pos * n_neg)"
+            )
+            .cast("bigint")
+            .alias("auc_ppm"),
+        )
+    )
+
+
+_QUALITY_SCORE_SQL = f"""
+  SELECT lang, n_chars,
+         CAST(FLOOR((CAST(len(toks) BETWEEN 5 AND 5000 AS INTEGER) * 0.4
+             + CAST((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                    * 1.0 / greatest(length(text), 1) < 0.3 AS INTEGER) * 0.3
+             + CAST(len(list_filter(toks, x -> lower(x) IN {_SW}))
+                    * 1.0 / greatest(len(toks), 1) > 0.01
+                AND len(list_filter(toks, x -> lower(x) IN {_SW}))
+                    * 1.0 / greatest(len(toks), 1) < 0.7 AS INTEGER) * 0.3)
+             * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM (SELECT lang, n_chars, text, {TOKS_SQL.format(c='text')} AS toks FROM documents)
+"""
+
+SQL_QUALITY_AUC = f"""
+WITH scored AS ({_QUALITY_SCORE_SQL}),
+vals AS (
+  SELECT lang, s,
+         SUM(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS cpos,
+         SUM(CASE WHEN n_chars >= 500 THEN 0 ELSE 1 END) AS cneg
+  FROM scored GROUP BY 1, 2
+), cum AS (
+  SELECT lang, s, cpos, cneg,
+         SUM(cpos + cneg) OVER (PARTITION BY lang ORDER BY s
+                                ROWS UNBOUNDED PRECEDING) - cpos - cneg AS below
+  FROM vals
+), per AS (
+  SELECT lang, SUM(cpos) AS n_pos, SUM(cneg) AS n_neg,
+         SUM(cpos * (2 * below + cpos + cneg + 1)) AS r2pos
+  FROM cum GROUP BY 1
+)
+SELECT lang, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST((r2pos - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
+            AS BIGINT) AS auc_ppm
+FROM per WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+def q_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV rate under a fixed top-100 corpus vocabulary —
+    the coverage check a tokenizer/vocab choice gets before training:
+    vocabulary = global top-100 tokens by (count desc, token asc)
+    (TakeOrderedAndProject, never a global window), broadcast back as
+    the in-vocab flag; oov_ppm is an integer truncating div. Token
+    traffic shuffles once for the census and once for the per-language
+    rollup — both map-side combinable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(T.whitespace_tokens(F.lower(F.col("text")))).alias("t")
+    )
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    vocab = _global_topk(counts, 100, [F.col("n").desc(), F.col("t")], "rank").select(
+        "t", F.lit(1).alias("_in")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tokens").cast("bigint").alias("oov_ppm"),
+        )
+    )
+
+
+SQL_TOKENIZER_OOV_RATE = f"""
+WITH toks AS (
+  SELECT lang, unnest({TOKS_SQL.format(c='lower(text)')}) AS t FROM documents
+), vocab AS (
+  SELECT t FROM (
+    SELECT t, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rnk
+    FROM toks GROUP BY t
+  ) WHERE rnk <= 100
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS oov_ppm
+FROM toks LEFT JOIN vocab v USING (t)
+GROUP BY lang
+"""
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changefeed apply — reconstruct the current snapshot from an
     ordered insert/upsert/delete event log (the lakehouse MERGE
@@ -17729,6 +17928,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     # ---- round-8 wave ----
     "xml_roundtrip": (q_xml_roundtrip, SQL_XML_ROUNDTRIP),
+    "near_dup_threshold_curve": (
+        q_near_dup_threshold_curve,
+        SQL_NEAR_DUP_THRESHOLD_CURVE,
+    ),
+    "quality_auc": (q_quality_auc, SQL_QUALITY_AUC),
+    "tokenizer_oov_rate": (q_tokenizer_oov_rate, SQL_TOKENIZER_OOV_RATE),
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
     "json_malformed_handling": (q_json_malformed_handling, SQL_JSON_MALFORMED),
@@ -17884,23 +18089,23 @@ _R7_WINDOW: list[str] = [
 
 # r8 window (50 slots), FINAL composition per the standing policy and
 # the r7 verdict's explicit instruction:
-#   1..16:  the 16 NEW/UPGRADED r8 entries in reverse-landing order
-#           (waves 4..1: cdc/median/json-corrupt, label-prop/BMP,
-#           XML/RocksDB/LCA, pipe/collation/MI/moments/seasonal/vocab-
-#           overlap, plus the simhash rows-only -> hash-checked upgrade
-#           and the LSH replay twin) — new code outranks never-checked
-#           unchanged code, and every wave's landing displaced the
-#           then-current window tail,
-#   17..18: cusum_changepoint (r7 driver-red, oracle CAST-fixed) and
+#   1..19:  the 19 NEW/UPGRADED r8 entries in reverse-landing order
+#           (waves 5..1: threshold-curve/AUC/OOV, cdc/median/json-
+#           corrupt, label-prop/BMP, XML/RocksDB/LCA, pipe/collation/
+#           MI/moments/seasonal/vocab-overlap, plus the simhash
+#           rows-only -> hash-checked upgrade and the LSH replay twin)
+#           — new code outranks never-checked unchanged code, and every
+#           wave's landing displaced the then-current window tail,
+#   20..21: cusum_changepoint (r7 driver-red, oracle CAST-fixed) and
 #           token_ids (stale r5 red, fixed r6, never re-checked) — the
 #           only latest-status reds; flipping them makes every
 #           ever-checked row green,
-#   19..50: the never-driver-checked backlog IN QUEUE ORDER (r6
+#   22..50: the never-driver-checked backlog IN QUEUE ORDER (r6
 #           post-window additions from keyword_signature_sim, the
-#           deferred TPC-H stragglers, the 6 deferred streaming
-#           replays, and the DSv2 scan/stream pair).
-# Displaced tail (python_datasource_sink, the sink roundtrips,
-# scd2_asof_lookup, multimodal_tiff_meta/frame_plan,
+#           deferred TPC-H stragglers, 5 deferred streaming replays,
+#           and the CAST-fixed tpch_q11).
+# Displaced tail (events_stream_full_outer_join, the DSv2 trio, the
+# sink roundtrips, scd2_asof_lookup, multimodal_tiff_meta/frame_plan,
 # quantile_bucket_assign, ab_test_ztest, anomaly_mad,
 # event_pattern_match, variant_json_ops, schema_evolution_merge + the
 # older never-checked remainder) queues for r9; all of it passes local
@@ -17912,6 +18117,9 @@ _R8_WINDOW: list[str] = [
     # the standing policy, displaced the last three backlog slots —
     # multimodal_tiff_meta / multimodal_frame_plan /
     # quantile_bucket_assign re-queue for r9)
+    "near_dup_threshold_curve",
+    "quality_auc",
+    "tokenizer_oov_rate",
     "cdc_apply",
     "weighted_median",
     "json_malformed_handling",
@@ -17960,10 +18168,7 @@ _R8_WINDOW: list[str] = [
     "events_stream_late_drop",
     "events_stream_update_mode",
     "events_stream_session_timeout",
-    "events_stream_full_outer_join",
     "tpch_q11_value_concentration",
-    "python_datasource_scan",
-    "python_datasource_stream",
 ]
 
 
