@@ -7,6 +7,7 @@ Reference: /root/reference (read-only); design notes in SURVEY.md.
 """
 
 from labelspark_spark.client import Client, LocalTransport
+from labelspark_spark.http_transport import HttpTransport, TransportError
 from labelspark_spark.connector import (
     add_col,
     get_col_names,
@@ -37,6 +38,8 @@ __version__ = "0.1.0"
 __all__ = [
     "Client",
     "LocalTransport",
+    "HttpTransport",
+    "TransportError",
     "get_spark_session",
     "__version__",
     # reference module-level verb parity (labelspark/__init__.py:1-15)
