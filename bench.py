@@ -277,6 +277,10 @@ BENCH_QUERIES = [
     "near_dup_threshold_curve",
     "quality_auc",
     "tokenizer_oov_rate",
+    "group_split_no_leakage",
+    "multimodal_image_tiles",
+    "pretokenize_gpt2",
+    "drift_psi",
     "cdc_apply",
     "weighted_median",
     "json_malformed_handling",

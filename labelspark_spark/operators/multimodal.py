@@ -2422,3 +2422,68 @@ def decode_resize_features(
                 )
 
     return df.select(id_col, content_col).mapInPandas(_run, out_schema)
+
+
+def decode_tile_sums(
+    df: DataFrame,
+    grid: int = 2,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched decode -> grid-tile EXACT pixel sums (one output
+    row per tile) — the spatial-addressing stage of an image-curation
+    pipeline (per-region stats, crop scoring): the image splits into a
+    ``grid x grid`` tile lattice (image dims must divide evenly, else
+    the refusal row) and each tile reports its integer pixel sum and
+    count across channels. Real end to end for any codec
+    _any_pixel_decode handles (PNG, baseline JPEG, BMP); malformed
+    payloads yield one all-NULL row, never an exception."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("tile_r", IntegerType(), True),
+            StructField("tile_c", IntegerType(), True),
+            StructField("n_px", IntegerType(), True),
+            StructField("px_sum", LongType(), True),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                ids, trs, tcs, nps, sums = [], [], [], [], []
+                for mid, c in zip(chunk[id_col], chunk[content_col]):
+                    dec = _any_pixel_decode(c)
+                    if dec is None or dec[0] % grid or dec[1] % grid:
+                        ids.append(mid)
+                        trs.append(None); tcs.append(None)
+                        nps.append(None); sums.append(None)
+                        continue
+                    w, h, ch, pix = dec
+                    tw, th = w // grid, h // grid
+                    row_bytes = w * ch
+                    for tr in range(grid):
+                        for tc in range(grid):
+                            s = 0
+                            n = 0
+                            for r in range(tr * th, (tr + 1) * th):
+                                base = r * row_bytes + tc * tw * ch
+                                seg = pix[base : base + tw * ch]
+                                s += sum(seg)
+                                n += len(seg)
+                            ids.append(mid)
+                            trs.append(tr); tcs.append(tc)
+                            nps.append(n); sums.append(s)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "tile_r": pd.array(trs, dtype="Int32"),
+                        "tile_c": pd.array(tcs, dtype="Int32"),
+                        "n_px": pd.array(nps, dtype="Int32"),
+                        "px_sum": pd.array(sums, dtype="Int64"),
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_run, out_schema)

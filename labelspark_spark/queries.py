@@ -16939,6 +16939,256 @@ FROM events GROUP BY user_id
 """
 
 
+def q_group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val split — the leakage-safe twin of the
+    row-level `train_val_split`: the split key is the USER (md5-hash
+    80/20), so every event of a user lands on the same side and a model
+    can never see a val user's history in train. Leakage is COMPUTED,
+    not assumed: the leaked-user count (users observed on both sides)
+    rides along as a cross-checked column that any wrong keying would
+    flip. One shuffle on user_id; the split itself is a row-local hash
+    expression."""
+    from labelspark_spark.operators.dedup import _hash60
+
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id",
+        F.when(
+            F.pmod(
+                _hash60(F.concat(F.lit("gsplit:"), F.col("user_id").cast("string"))),
+                F.lit(100),
+            )
+            < 80,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )
+    leak = (
+        tagged.select("user_id", "split")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .agg(
+            F.sum(F.when(F.col("_ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_users")
+        )
+    )
+    per = tagged.groupBy("split").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return per.crossJoin(F.broadcast(leak)).select(
+        "split", "n_users", "n_events", "leaked_users"
+    )
+
+
+SQL_GROUP_SPLIT_NO_LEAKAGE = """
+WITH tagged AS (
+  SELECT user_id,
+         CASE WHEN CAST(('0x' || substring(md5('gsplit:' || CAST(user_id AS VARCHAR)),
+                                           1, 15))::UBIGINT AS BIGINT) % 100 < 80
+              THEN 'train' ELSE 'val' END AS split
+  FROM events
+), leak AS (
+  SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_users
+  FROM (SELECT user_id, COUNT(DISTINCT split) AS ns FROM tagged GROUP BY 1)
+)
+SELECT split, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (SELECT leaked_users FROM leak) AS leaked_users
+FROM tagged GROUP BY split
+"""
+
+
+def q_multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + GRID-TILE statistics, oracle-checked end to end at
+    TILE grain — the spatial-addressing stage (per-region stats, crop
+    scoring) the whole-image mean can't attest: per doc an 8x8 PNG
+    (pixel (r,c) = doc_id % 200 + r + c) decodes through the stdlib
+    codec and each 2x2-grid tile reports its exact integer pixel sum.
+    The oracle recomputes every tile in closed form (quadrant row/col
+    index sums are 6 or 22: sum = 16*base + 4*rs + 4*cs), so a decoder
+    that mis-addresses rows, columns, or strides breaks the hash."""
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _enc(d: int) -> bytes:
+        base = d % 200
+        return mm.png_encode_gray(
+            bytes(base + r + c for r in range(8) for c in range(8)), 8, 8
+        )
+
+    staged = _stage_media(docs, _enc)
+    return mm.decode_tile_sums(staged, grid=2, content_col="content", id_col="doc_id")
+
+
+SQL_MULTIMODAL_IMAGE_TILES = """
+SELECT d.doc_id,
+       CAST(t1.tr AS INTEGER) AS tile_r,
+       CAST(t2.tc AS INTEGER) AS tile_c,
+       CAST(16 AS INTEGER) AS n_px,
+       CAST(16 * (d.doc_id % 200) + 4 * t1.rs + 4 * t2.cs AS BIGINT) AS px_sum
+FROM documents d
+CROSS JOIN (VALUES (0, 6), (1, 22)) t1(tr, rs)
+CROSS JOIN (VALUES (0, 6), (1, 22)) t2(tc, cs)
+"""
+
+
+_GPT2_PRETOK = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\\\p{L}]+| ?[\\\\p{N}]+| ?[^\\\\s\\\\p{L}\\\\p{N}]+|\\\\s+"
+)
+
+
+def q_pretokenize_gpt2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style regex PRE-tokenization census — the byte-level-BPE
+    front end (Radford et al. 2019's pattern, minus the trailing
+    lookahead RE2 cannot express; declared as the lookahead-free
+    variant): contractions / space-prefixed letter runs / digit runs /
+    punctuation runs / whitespace. The alternation scan runs engine-
+    native (regexp_extract_all — probed byte-identical between Spark's
+    Java regex and DuckDB's RE2 on this pattern), tokens classify by
+    anchored priority CASE, and the per-(lang, category) census of
+    token and character counts is the hash-checked contract. Row-local
+    until the tiny census aggregation. The synthetic corpus is pure
+    lowercase words, so a deterministic mixed-content suffix
+    (" <doc_id>. don't!") is appended on BOTH sides — without it the
+    census would only ever exercise the word arm."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_tx",
+        F.concat(
+            F.col("text"), F.lit(" "), F.col("doc_id").cast("string"), F.lit(". don't!")
+        ),
+    )
+    toks = docs.select(
+        "lang",
+        F.explode(F.expr(f'regexp_extract_all(_tx, "{_GPT2_PRETOK}", 0)')).alias("t"),
+    )
+    cat = (
+        F.when(F.col("t").rlike("^'(s|t|re|ve|m|ll|d)$"), "contraction")
+        .when(F.col("t").rlike("^ ?[\\p{L}]+$"), "word")
+        .when(F.col("t").rlike("^ ?[\\p{N}]+$"), "number")
+        .when(F.col("t").rlike("^\\s+$"), "space")
+        .otherwise("punct")
+    )
+    return (
+        toks.select("lang", cat.alias("category"), F.length("t").alias("_len"))
+        .groupBy("lang", "category")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("_len").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+SQL_PRETOKENIZE_GPT2 = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(regexp_extract_all(text || ' ' || CAST(doc_id AS VARCHAR) || '. don''t!',
+             '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+',
+             0)) AS t
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN regexp_matches(t, '^''(s|t|re|ve|m|ll|d)$') THEN 'contraction'
+            WHEN regexp_matches(t, '^ ?[\p{L}]+$') THEN 'word'
+            WHEN regexp_matches(t, '^ ?[\p{N}]+$') THEN 'number'
+            WHEN regexp_matches(t, '^\s+$') THEN 'space'
+            ELSE 'punct' END AS category,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(t)) AS BIGINT) AS n_chars
+FROM toks GROUP BY 1, 2
+"""
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between early-month (day <= 7) and
+    late-month (day >= 22) event-value distributions — the industry
+    drift gate alongside `corpus_drift_kl`'s KL monitor: 10 equal-width
+    value buckets, exact integer bucket counts, and the PSI log-sum
+    evaluated in float64 from those exact integers with the SAME
+    expression shape both sides, ppm-quantized (the entropy_profile
+    precedent). Buckets empty on either side are excluded (standard
+    PSI practice) and the surviving bucket count rides along so a
+    bucketing regression is visible even when psi_ppm is small."""
+    ev = _normalize_ts(_t(spark, sf_dir, "events"))
+    arm = F.when(F.dayofmonth("ts") <= 7, "a").when(F.dayofmonth("ts") >= 22, "b")
+    bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    cells = (
+        ev.select(arm.alias("arm"), bucket.alias("bucket"))
+        .filter(F.col("arm").isNotNull())
+        .groupBy("arm", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wide = (
+        cells.groupBy("bucket")
+        .pivot("arm", ["a", "b"])
+        .agg(F.first("c"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    tot = cells.groupBy("arm").agg(F.sum("c").alias("n"))
+    na = tot.filter(F.col("arm") == "a").select(F.col("n").alias("n_a"))
+    nb = tot.filter(F.col("arm") == "b").select(F.col("n").alias("n_b"))
+    terms = wide.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)).select(
+        "n_a",
+        "n_b",
+        (
+            (
+                F.col("a").cast("double") / F.col("n_a").cast("double")
+                - F.col("b").cast("double") / F.col("n_b").cast("double")
+            )
+            * F.log(
+                F.col("a").cast("double")
+                * F.col("n_b").cast("double")
+                / (F.col("b").cast("double") * F.col("n_a").cast("double"))
+            )
+        ).alias("term"),
+    )
+    return terms.groupBy("n_a", "n_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.floor(F.sum("term") * 1000000.0 + F.lit(0.5)).cast("bigint").alias("psi_ppm"),
+    ).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "n_buckets",
+        "psi_ppm",
+    )
+
+
+SQL_DRIFT_PSI = """
+WITH cells AS (
+  SELECT CASE WHEN dayofmonth(CAST(ts AS DATE)) <= 7 THEN 'a'
+              WHEN dayofmonth(CAST(ts AS DATE)) >= 22 THEN 'b' END AS arm,
+         least(CAST(FLOOR(value / 50) AS INTEGER), 9) AS bucket,
+         COUNT(*) AS c
+  FROM events
+  WHERE dayofmonth(CAST(ts AS DATE)) <= 7 OR dayofmonth(CAST(ts AS DATE)) >= 22
+  GROUP BY 1, 2
+), wide AS (
+  SELECT bucket,
+         MAX(CASE WHEN arm = 'a' THEN c END) AS ca,
+         MAX(CASE WHEN arm = 'b' THEN c END) AS cb
+  FROM cells GROUP BY 1
+), tot AS (
+  SELECT SUM(CASE WHEN arm = 'a' THEN c ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 'b' THEN c ELSE 0 END) AS n_b
+  FROM cells
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(FLOOR(SUM((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                      * ln(CAST(ca AS DOUBLE) * CAST(n_b AS DOUBLE)
+                           / (CAST(cb AS DOUBLE) * CAST(n_a AS DOUBLE))))
+                  * 1000000.0 + 0.5) AS BIGINT) AS psi_ppm
+FROM wide CROSS JOIN tot
+WHERE ca IS NOT NULL AND cb IS NOT NULL
+GROUP BY n_a, n_b
+"""
+
+
 def q_near_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup THRESHOLD TUNING curve — pair counts per Jaccard tenth
     (buckets 5..10, i.e. j in [0.5, 0.6) ... [1.0]): the one-pass
@@ -17928,6 +18178,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     # ---- round-8 wave ----
     "xml_roundtrip": (q_xml_roundtrip, SQL_XML_ROUNDTRIP),
+    "group_split_no_leakage": (q_group_split_no_leakage, SQL_GROUP_SPLIT_NO_LEAKAGE),
+    "multimodal_image_tiles": (q_multimodal_image_tiles, SQL_MULTIMODAL_IMAGE_TILES),
+    "pretokenize_gpt2": (q_pretokenize_gpt2, SQL_PRETOKENIZE_GPT2),
+    "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
     "near_dup_threshold_curve": (
         q_near_dup_threshold_curve,
         SQL_NEAR_DUP_THRESHOLD_CURVE,
@@ -18089,22 +18343,24 @@ _R7_WINDOW: list[str] = [
 
 # r8 window (50 slots), FINAL composition per the standing policy and
 # the r7 verdict's explicit instruction:
-#   1..19:  the 19 NEW/UPGRADED r8 entries in reverse-landing order
-#           (waves 5..1: threshold-curve/AUC/OOV, cdc/median/json-
+#   1..23:  the 23 NEW/UPGRADED r8 entries in reverse-landing order
+#           (waves 6..1: group-split/tiles/pretok/PSI,
+#           threshold-curve/AUC/OOV, cdc/median/json-
 #           corrupt, label-prop/BMP, XML/RocksDB/LCA, pipe/collation/
 #           MI/moments/seasonal/vocab-overlap, plus the simhash
 #           rows-only -> hash-checked upgrade and the LSH replay twin)
 #           — new code outranks never-checked unchanged code, and every
 #           wave's landing displaced the then-current window tail,
-#   20..21: cusum_changepoint (r7 driver-red, oracle CAST-fixed) and
+#   24..25: cusum_changepoint (r7 driver-red, oracle CAST-fixed) and
 #           token_ids (stale r5 red, fixed r6, never re-checked) — the
 #           only latest-status reds; flipping them makes every
 #           ever-checked row green,
-#   22..50: the never-driver-checked backlog IN QUEUE ORDER (r6
+#   26..50: the never-driver-checked backlog IN QUEUE ORDER (r6
 #           post-window additions from keyword_signature_sim, the
-#           deferred TPC-H stragglers, 5 deferred streaming replays,
-#           and the CAST-fixed tpch_q11).
-# Displaced tail (events_stream_full_outer_join, the DSv2 trio, the
+#           deferred TPC-H stragglers, the outer-join streaming
+#           replay, and the CAST-fixed tpch_q11).
+# Displaced tail (4 more streaming replays, events_stream_full_outer_join,
+# the DSv2 trio, the
 # sink roundtrips, scd2_asof_lookup, multimodal_tiff_meta/frame_plan,
 # quantile_bucket_assign, ab_test_ztest, anomaly_mad,
 # event_pattern_match, variant_json_ops, schema_evolution_merge + the
@@ -18117,6 +18373,10 @@ _R8_WINDOW: list[str] = [
     # the standing policy, displaced the last three backlog slots —
     # multimodal_tiff_meta / multimodal_frame_plan /
     # quantile_bucket_assign re-queue for r9)
+    "group_split_no_leakage",
+    "multimodal_image_tiles",
+    "pretokenize_gpt2",
+    "drift_psi",
     "near_dup_threshold_curve",
     "quality_auc",
     "tokenizer_oov_rate",
@@ -18164,10 +18424,6 @@ _R8_WINDOW: list[str] = [
     "tpch_q21_last_shipper",
     "tpch_q22_dormant_customers",
     "events_stream_outer_join",
-    "events_stream_upsert",
-    "events_stream_late_drop",
-    "events_stream_update_mode",
-    "events_stream_session_timeout",
     "tpch_q11_value_concentration",
 ]
 
