@@ -802,3 +802,82 @@ def test_bench_coverage_is_total():
         f"stale: {sorted((benched | excluded) - reg)}"
     )
     assert all(bench.BENCH_EXCLUDED.values()), "empty exclusion reason"
+
+
+def test_pretokenize_gpt2_stays_jvm(spark):
+    """q_pretokenize_gpt2: the regex alternation scan and the category
+    CASE must run engine-native — no Python anywhere; the only wide
+    exchange is the tiny (lang, category) census."""
+    from labelspark_spark.queries import q_pretokenize_gpt2
+
+    plan = explain.formatted_plan(q_pretokenize_gpt2(spark, SF_SMOKE))
+    low = plan.lower()
+    assert "pythonudf" not in low and "mapinpandas" not in low, plan[:600]
+
+
+def test_cdc_apply_single_key_shuffle(spark):
+    """q_cdc_apply: last-wins snapshot reconstruction is ONE window
+    shuffle on the key — no join, no second exchange of event rows."""
+    import re
+
+    from labelspark_spark.queries import q_cdc_apply
+
+    plan = explain.formatted_plan(q_cdc_apply(spark, SF_SMOKE))
+    wide = re.findall(r"^\(\d+\) Exchange$", plan, re.M)
+    assert len(wide) == 1, plan[:1000]
+    assert "Window" in plan, plan[:400]
+
+
+def test_weighted_median_window_sees_histogram_not_rows(spark):
+    """q_weighted_median: the running-weight window must consume the
+    (group, value) HISTOGRAM produced by a partial-agg groupBy — a
+    HashAggregate below the Window — never raw lineitem rows."""
+    import re
+
+    from labelspark_spark.queries import q_weighted_median
+
+    plan = explain.formatted_plan(q_weighted_median(spark, SF_SMOKE))
+    assert "Window" in plan, plan[:400]
+    win_pos = plan.find("Window")
+    below = plan[win_pos:]
+    assert re.search(r"HashAggregate", below), plan[:1200]
+    assert "BroadcastHashJoin" in plan, plan[:800]
+
+
+def test_label_propagation_checkpoint_lineage_discipline(spark):
+    """q_label_propagation: the per-round eager localCheckpoint is the
+    sssp_levels lineage discipline — the returned plan must therefore
+    be a flat checkpoint scan (no re-embedded join/window tower from
+    prior rounds, which is exactly the compounding-lineage failure the
+    discipline exists to prevent), and certainly no cartesian."""
+    from labelspark_spark.queries import q_label_propagation
+
+    plan = explain.formatted_plan(q_label_propagation(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan, plan[:600]
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan[:600]
+
+
+def test_group_split_leakage_column_is_computed(spark):
+    """q_group_split_no_leakage: leaked_users must come from a real
+    aggregation over the tagged users (broadcast back over the per-split
+    census), not a literal 0 — and the result must BE 0."""
+    from labelspark_spark.queries import q_group_split_no_leakage
+
+    df = q_group_split_no_leakage(spark, SF_SMOKE)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:800]
+    rows = df.collect()
+    assert {r.split for r in rows} == {"train", "val"}
+    assert all(r.leaked_users == 0 for r in rows)
+
+
+def test_threshold_curve_posting_join_shape(spark):
+    """q_near_dup_threshold_curve: pair source is the shingle posting
+    equi-join (merge-hinted self-join) — never a cartesian."""
+    from labelspark_spark.queries import q_near_dup_threshold_curve
+
+    plan = explain.formatted_plan(q_near_dup_threshold_curve(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:800]
