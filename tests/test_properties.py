@@ -271,3 +271,78 @@ def test_soundex_duckdb_twin_matches_classic(words):
     )
     got = dict(duckdb.connect().execute(sql).fetchall())
     assert got == {w: _soundex_classic(w) for w in words}
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=10),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_encode_decode_roundtrip_property(w, h, data):
+    """bmp_encode_gray24/bmp_decode round-trip EXACTLY for every
+    width (all four stride paddings) and height: decoded pixels are the
+    encoder's gray values as equal BGR triples in top-down order."""
+    from labelspark_spark.operators.multimodal import bmp_decode, bmp_encode_gray24
+
+    px = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    blob = bmp_encode_gray24(px, w, h)
+    out = bmp_decode(blob)
+    assert out is not None
+    dw, dh, ch, pix = out
+    assert (dw, dh, ch) == (w, h, 3)
+    assert pix[0::3] == px and pix[1::3] == px and pix[2::3] == px
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    ratio=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_resample_identity_ratio_property(n, ratio, data):
+    """Rational resampling at l_up == m_down is the identity: the
+    linear interpolator must hit every input sample exactly (n_out ==
+    n_in, same sum, same order-weighted checksum as the raw signal)."""
+    import struct
+
+    from labelspark_spark.operators import multimodal as mm
+
+    samples = data.draw(
+        st.lists(st.integers(-32768, 32767), min_size=n, max_size=n)
+    )
+    pcm = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    out = mm.wav_resample_linear_feats(wav, ratio, ratio)
+    assert out["n_in"] == n and out["n_out"] == n
+    assert out["sum_out"] == sum(samples)
+    assert out["chk_out"] == sum((j + 1) * v for j, v in enumerate(samples))
+
+
+def test_simhash_explode_form_matches_hof_fold(spark):
+    """The r8 explode+codegen simhash (_simhash_staged) and the
+    original HOF-fold column function (simhash) are two physical forms
+    of one definition — per-doc hashes must be equal on texts covering
+    empty, single-token, duplicate-token, and long-mixed cases."""
+    from pyspark.sql import functions as F
+
+    from labelspark_spark.operators import dedup
+
+    texts = [
+        "", "one", "a a a a", "the quick brown fox jumps over the lazy dog",
+        "x " * 40, "alpha beta gamma delta epsilon zeta eta theta",
+        "repeat repeat repeat unique", "  leading and   inner   spaces  ",
+    ] + [f"doc {i} token{i % 7} filler word{i % 3} end" for i in range(30)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    fold = df.select("doc_id", dedup.simhash(F.col("text")).alias("h_fold"))
+    staged = dedup._simhash_staged(df, "text", "doc_id").withColumnRenamed("_h", "h_staged")
+    joined = fold.join(staged, fold.doc_id == staged._id)
+    bad = joined.filter(F.col("h_fold") != F.col("h_staged")).count()
+    assert bad == 0
