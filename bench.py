@@ -281,6 +281,9 @@ BENCH_QUERIES = [
     "multimodal_image_tiles",
     "pretokenize_gpt2",
     "drift_psi",
+    "multimodal_audio_trim",
+    "ngram_novelty",
+    "dataset_card_stats",
     "cdc_apply",
     "weighted_median",
     "json_malformed_handling",

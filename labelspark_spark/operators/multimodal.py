@@ -2424,6 +2424,74 @@ def decode_resize_features(
     return df.select(id_col, content_col).mapInPandas(_run, out_schema)
 
 
+def wav_trim_silence_feats(content: bytes | None) -> dict:
+    """REAL leading/trailing silence trim over decoded PCM16 mono — the
+    audio-curation step before feature extraction (silence padding
+    inflates sequence length and skews energy stats): exact zero
+    samples are stripped from both ends and the clip reports
+    (n_samples, lead_zeros, trail_zeros, body_sum) so both the trim
+    BOUNDS and the surviving signal are attested. All-zero clips trim
+    to an empty body (trail counts the remainder). Malformed /
+    non-PCM16-mono input returns the all-None refusal dict."""
+    none = {
+        "n_samples": None,
+        "lead_zeros": None,
+        "trail_zeros": None,
+        "body_sum": None,
+    }
+    xs = _wav_pcm16_mono(content)
+    if xs is None:
+        return none
+    n = len(xs)
+    lead = 0
+    while lead < n and xs[lead] == 0:
+        lead += 1
+    trail = 0
+    while trail < n - lead and xs[n - 1 - trail] == 0:
+        trail += 1
+    return {
+        "n_samples": n,
+        "lead_zeros": lead,
+        "trail_zeros": trail,
+        "body_sum": sum(xs[lead : n - trail]),
+    }
+
+
+def decode_trim_silence(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched silence-trim features: one row per clip."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("n_samples", IntegerType(), True),
+            StructField("lead_zeros", IntegerType(), True),
+            StructField("trail_zeros", IntegerType(), True),
+            StructField("body_sum", LongType(), True),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = [wav_trim_silence_feats(c) for c in chunk[content_col]]
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        "n_samples": pd.array([r["n_samples"] for r in rows], dtype="Int32"),
+                        "lead_zeros": pd.array([r["lead_zeros"] for r in rows], dtype="Int32"),
+                        "trail_zeros": pd.array([r["trail_zeros"] for r in rows], dtype="Int32"),
+                        "body_sum": pd.array([r["body_sum"] for r in rows], dtype="Int64"),
+                    }
+                )
+
+    return df.select(id_col, content_col).mapInPandas(_run, out_schema)
+
+
 def decode_tile_sums(
     df: DataFrame,
     grid: int = 2,

@@ -16939,6 +16939,179 @@ FROM events GROUP BY user_id
 """
 
 
+def q_multimodal_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL silence trim, oracle-checked end to end — the padding-
+    removal member of the audio family (PCM16 → G.711 → ADPCM →
+    RESAMPLE → TRIM): per doc a PCM16 WAV with doc_id % 9 leading and
+    doc_id % 7 trailing zero samples around a guaranteed-nonzero body
+    (x_i = 1 + (13·doc_id + 7i) mod 1000, n_body = 40 + doc_id % 16)
+    decodes through the stdlib parser and reports exact trim bounds +
+    surviving-signal sum. The oracle replays the body sum from the
+    closed form with a generated range — no decoding — so a trimmer
+    that's off by one sample on either end breaks the hash."""
+    import struct as _struct
+
+    from labelspark_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _enc(d: int) -> bytes:
+        lead, trail, nb = d % 9, d % 7, 40 + d % 16
+        vals = [0] * lead + [1 + (13 * d + 7 * i) % 1000 for i in range(nb)] + [0] * trail
+        payload = b"".join(_struct.pack("<h", v) for v in vals)
+        return mm.wav_encode_pcm(
+            n_samples=len(vals), sample_rate=16000, channels=1, bits=16, samples=payload
+        )
+
+    staged = _stage_media(docs, _enc)
+    return mm.decode_trim_silence(staged, content_col="content", id_col="doc_id")
+
+
+SQL_MULTIMODAL_AUDIO_TRIM = """
+WITH body AS (
+  -- DuckDB range() rejects correlated bounds; fixed range + filter
+  SELECT d.doc_id, SUM(1 + (13 * d.doc_id + 7 * t.i) % 1000) AS bsum
+  FROM documents d CROSS JOIN range(0, 56) t(i)
+  WHERE t.i < 40 + d.doc_id % 16
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(d.doc_id % 9 + 40 + d.doc_id % 16 + d.doc_id % 7 AS INTEGER) AS n_samples,
+       CAST(d.doc_id % 9 AS INTEGER) AS lead_zeros,
+       CAST(d.doc_id % 7 AS INTEGER) AS trail_zeros,
+       CAST(b.bsum AS BIGINT) AS body_sum
+FROM documents d JOIN body b USING (doc_id)
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY per document — the curriculum/ordering diagnostic
+    (how much genuinely new text does each doc contribute, reading the
+    corpus in doc_id order): a shingle is novel in the doc with the
+    MINIMUM doc_id that contains it, so novelty falls out of one
+    posting aggregation (min doc per shingle) joined back to the
+    per-doc shingle census — both shuffles keyed on the shingle hash,
+    never doc-pairs. novelty_ppm is a truncating integer div."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd._hash_shingled(docs, "text", "doc_id", 3, "word")
+    posting = sh.select("_id", F.explode_outer("_sh").alias("_s"))
+    first = posting.groupBy("_s").agg(F.min("_id").alias("_first"))
+    per = (
+        posting.join(first, "_s")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("_first") == F.col("_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("_id").alias("doc_id"),
+        "n_shingles",
+        "n_novel",
+        F.expr("n_novel * 1000000 div n_shingles").cast("bigint").alias("novelty_ppm"),
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL.format(c=NORM_SQL.format(c='text'))} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+), posting AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), first AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM posting GROUP BY 1
+)
+SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM posting p JOIN first f USING (shingle)
+GROUP BY p.doc_id
+"""
+
+
+def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD one-liner — the summary row a corpus release
+    ships (docs, token volume, language/source spread, exact-dup rate,
+    vocabulary size, mean quality): every constituent is an existing
+    attested primitive (md5 fingerprint dedup, whitespace tokens,
+    quality score) composed into one frame, so the hash pins their
+    composition. Two map-side-combinable aggregations (doc-grain and
+    fingerprint-grain) + one distinct-token census; no joins of
+    row-grain data."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(T.normalize_text(F.col("text"))).alias("_fp"),
+        T.token_count(F.col("text")).cast("bigint").alias("_ntok"),
+        F.floor(T.quality_score(F.col("text")) * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("_q"),
+    )
+    dup = (
+        base.groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_docs")
+        )
+    )
+    vocab = (
+        docs.select(F.explode(T.whitespace_tokens(F.lower(F.col("text")))).alias("t"))
+        .agg(F.countDistinct("t").cast("bigint").alias("vocab_size"))
+    )
+    card = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_ntok").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.expr("sum(_q) div count(1)").cast("bigint").alias("mean_quality_ppm"),
+    )
+    return card.crossJoin(F.broadcast(dup)).crossJoin(F.broadcast(vocab))
+
+
+SQL_DATASET_CARD_STATS = f"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         md5({NORM_SQL.format(c='text')}) AS fp,
+         CAST(len(toks) AS BIGINT) AS ntok,
+         CAST(FLOOR((CAST(len(toks) BETWEEN 5 AND 5000 AS INTEGER) * 0.4
+             + CAST((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                    * 1.0 / greatest(length(text), 1) < 0.3 AS INTEGER) * 0.3
+             + CAST(len(list_filter(toks, x -> lower(x) IN {_SW}))
+                    * 1.0 / greatest(len(toks), 1) > 0.01
+                AND len(list_filter(toks, x -> lower(x) IN {_SW}))
+                    * 1.0 / greatest(len(toks), 1) < 0.7 AS INTEGER) * 0.3)
+             * 1000000.0 + 0.5) AS BIGINT) AS qppm
+  FROM (SELECT doc_id, lang, source, text, {TOKS_SQL.format(c='text')} AS toks
+        FROM documents)
+), dup AS (
+  SELECT CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs
+  FROM (SELECT fp, COUNT(*) AS c FROM base GROUP BY 1)
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest({TOKS_SQL.format(c='lower(text)')}) AS t FROM documents)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(qppm) // COUNT(*) AS BIGINT) AS mean_quality_ppm,
+       (SELECT dup_docs FROM dup) AS dup_docs,
+       (SELECT vocab_size FROM vocab) AS vocab_size
+FROM base
+"""
+
+
 def q_group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP-AWARE train/val split — the leakage-safe twin of the
     row-level `train_val_split`: the split key is the USER (md5-hash
@@ -18178,6 +18351,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     # ---- round-8 wave ----
     "xml_roundtrip": (q_xml_roundtrip, SQL_XML_ROUNDTRIP),
+    "multimodal_audio_trim": (q_multimodal_audio_trim, SQL_MULTIMODAL_AUDIO_TRIM),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "dataset_card_stats": (q_dataset_card_stats, SQL_DATASET_CARD_STATS),
     "group_split_no_leakage": (q_group_split_no_leakage, SQL_GROUP_SPLIT_NO_LEAKAGE),
     "multimodal_image_tiles": (q_multimodal_image_tiles, SQL_MULTIMODAL_IMAGE_TILES),
     "pretokenize_gpt2": (q_pretokenize_gpt2, SQL_PRETOKENIZE_GPT2),
@@ -18343,24 +18519,24 @@ _R7_WINDOW: list[str] = [
 
 # r8 window (50 slots), FINAL composition per the standing policy and
 # the r7 verdict's explicit instruction:
-#   1..23:  the 23 NEW/UPGRADED r8 entries in reverse-landing order
-#           (waves 6..1: group-split/tiles/pretok/PSI,
+#   1..26:  the 26 NEW/UPGRADED r8 entries in reverse-landing order
+#           (waves 7..1: audio-trim/novelty/dataset-card,
+#           group-split/tiles/pretok/PSI,
 #           threshold-curve/AUC/OOV, cdc/median/json-
 #           corrupt, label-prop/BMP, XML/RocksDB/LCA, pipe/collation/
 #           MI/moments/seasonal/vocab-overlap, plus the simhash
 #           rows-only -> hash-checked upgrade and the LSH replay twin)
 #           — new code outranks never-checked unchanged code, and every
 #           wave's landing displaced the then-current window tail,
-#   24..25: cusum_changepoint (r7 driver-red, oracle CAST-fixed) and
+#   27..28: cusum_changepoint (r7 driver-red, oracle CAST-fixed) and
 #           token_ids (stale r5 red, fixed r6, never re-checked) — the
 #           only latest-status reds; flipping them makes every
 #           ever-checked row green,
-#   26..50: the never-driver-checked backlog IN QUEUE ORDER (r6
-#           post-window additions from keyword_signature_sim, the
-#           deferred TPC-H stragglers, the outer-join streaming
-#           replay, and the CAST-fixed tpch_q11).
-# Displaced tail (4 more streaming replays, events_stream_full_outer_join,
-# the DSv2 trio, the
+#   29..50: the never-driver-checked backlog IN QUEUE ORDER (r6
+#           post-window additions from keyword_signature_sim,
+#           TPC-H q16/q19/q20, and the CAST-fixed tpch_q11).
+# Displaced tail (5 streaming replays, tpch_q21/q22,
+# events_stream_full_outer_join, the DSv2 trio, the
 # sink roundtrips, scd2_asof_lookup, multimodal_tiff_meta/frame_plan,
 # quantile_bucket_assign, ab_test_ztest, anomaly_mad,
 # event_pattern_match, variant_json_ops, schema_evolution_merge + the
@@ -18373,6 +18549,9 @@ _R8_WINDOW: list[str] = [
     # the standing policy, displaced the last three backlog slots —
     # multimodal_tiff_meta / multimodal_frame_plan /
     # quantile_bucket_assign re-queue for r9)
+    "multimodal_audio_trim",
+    "ngram_novelty",
+    "dataset_card_stats",
     "group_split_no_leakage",
     "multimodal_image_tiles",
     "pretokenize_gpt2",
@@ -18421,9 +18600,6 @@ _R8_WINDOW: list[str] = [
     "tpch_q16_supplier_counts",
     "tpch_q19_disjunctive_revenue",
     "tpch_q20_dominant_supplier",
-    "tpch_q21_last_shipper",
-    "tpch_q22_dormant_customers",
-    "events_stream_outer_join",
     "tpch_q11_value_concentration",
 ]
 
