@@ -881,3 +881,48 @@ def test_threshold_curve_posting_join_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:800]
+
+
+def test_mutual_information_marginals_broadcast(spark):
+    """q_mutual_information: the contingency marginals must reach the
+    term computation as broadcasts (a PARTITION BY hi window would
+    funnel rows into 2 tasks at scale)."""
+    from labelspark_spark.queries import q_mutual_information
+
+    plan = explain.formatted_plan(q_mutual_information(spark, SF_SMOKE))
+    assert plan.count("BroadcastExchange") >= 2, plan[:800]
+    assert "Window" not in plan, plan[:400]
+
+
+def test_novelty_and_vocab_overlap_posting_shape(spark):
+    """q_ngram_novelty / q_source_vocab_overlap: candidates come only
+    from shingle/token-keyed joins — no cartesian, no nested loop."""
+    from labelspark_spark.queries import q_ngram_novelty, q_source_vocab_overlap
+
+    for fn in (q_ngram_novelty, q_source_vocab_overlap):
+        plan = explain.formatted_plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:1000]
+
+
+def test_audio_trim_python_is_arrow_batched_only(spark):
+    """q_multimodal_audio_trim: the only Python in the plan is the
+    Arrow-batched mapInPandas codec stage — no row-at-a-time UDFs."""
+    from labelspark_spark.queries import q_multimodal_audio_trim
+
+    plan = explain.formatted_plan(q_multimodal_audio_trim(spark, SF_SMOKE))
+    low = plan.lower()
+    assert "mapinpandas" in low, plan[:600]
+    assert "batchevalpython" not in low and "pythonudf" not in low, plan[:800]
+
+
+def test_dataset_card_single_row_no_rowgrain_join(spark):
+    """q_dataset_card_stats: the card composes three aggregates via
+    broadcast cross joins of 1-row frames — row-grain data never joins
+    row-grain data."""
+    from labelspark_spark.queries import q_dataset_card_stats
+
+    df = q_dataset_card_stats(spark, SF_SMOKE)
+    plan = explain.formatted_plan(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:1000]
+    assert df.count() == 1
