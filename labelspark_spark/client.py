@@ -188,6 +188,27 @@ class Client:
         self.transport = transport
         self.spark = spark or SparkSession.builder.getOrCreate()
 
+    @classmethod
+    def from_api_key(
+        cls,
+        api_key: str,
+        endpoint: str,
+        spark: SparkSession | None = None,
+        **transport_kwargs,
+    ) -> "Client":
+        """Reference-signature convenience constructor (the reference's
+        ``Client(lb_api_key, lb_endpoint=...)``, client.py:17-36):
+        builds the live :class:`~labelspark_spark.http_transport.
+        HttpTransport` from the key + endpoint and wires it in. The
+        endpoint is REQUIRED (the reference defaults to its vendor's
+        GraphQL URL; this engine speaks the REST mapping documented in
+        http_transport.py, so an implicit default would mislead).
+        Extra kwargs (max_retries, backoff_base, timeout) pass through
+        to the transport."""
+        from labelspark_spark.http_transport import HttpTransport
+
+        return cls(HttpTransport(endpoint, api_key=api_key, **transport_kwargs), spark=spark)
+
     # -- export path (reference client.py:38-151) ----------------------
     def export_to_table(
         self,

@@ -206,3 +206,21 @@ def test_executor_side_upload_through_live_socket(platform, spark):
     assert sorted(posted) == sorted(f"key-{i}" for i in range(20))
     # partition-parallel: more than one POST batch arrived
     assert len(state["posts"]) >= 4
+
+
+def test_client_from_api_key_end_to_end(platform, spark):
+    """Client.from_api_key — the reference-signature constructor — must
+    wire a working live transport: labels seeded on the mock platform
+    arrive through export_to_table over real TCP."""
+    from labelspark_spark.client import Client
+
+    base, state = platform
+    state["labels"] = [
+        {"ID": "dr1", "Labeled Data": "https://x/1", "Skipped": "false"},
+        {"ID": "dr2", "Labeled Data": "https://x/2", "Skipped": "true"},
+    ]
+    client = Client.from_api_key("sekrit", base, spark=spark, max_retries=2)
+    assert client.transport.api_key == "sekrit"
+    df = client.export_to_table("projX")
+    rows = {r["ID"] for r in df.collect()}
+    assert rows == {"dr1", "dr2"}
