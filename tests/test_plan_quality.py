@@ -926,3 +926,25 @@ def test_dataset_card_single_row_no_rowgrain_join(spark):
     plan = explain.formatted_plan(df)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:1000]
     assert df.count() == 1
+
+
+def test_aqe_coalesces_overpartitioned_shuffle(spark):
+    """The other half of the AQE story (skew split is pinned above):
+    a small aggregate shuffled across the session's full partition
+    count must COALESCE at runtime — the final adaptive plan's
+    AQEShuffleRead shows 'coalesced', so at 100 TB a mis-sized
+    spark.sql.shuffle.partitions self-heals instead of scheduling
+    thousands of empty reducers."""
+    import pyspark.sql.functions as f
+
+    df = (
+        read_table(spark, SF_SMOKE, "nation")
+        .groupBy("n_regionkey")
+        .agg(f.count(f.lit(1)).alias("n"))
+    )
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "AQEShuffleRead" in plan, plan[:800]
+    assert "coalesced" in plan, plan[:800]
