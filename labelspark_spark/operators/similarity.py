@@ -457,8 +457,7 @@ def ivf_probe_batch(
     chunk_rows: int = 512,
 ) -> DataFrame:
     """IVF probe for LARGE query batches — the physical strategy twin of
-    :func:`ivf_probe` (identical semantics: nprobe assignment, cosine
-    rounded to 6, (cos desc, id asc) tie order, multi-assign dedupe).
+    :func:`ivf_probe`, with BIT-IDENTICAL output by construction.
 
     ``ivf_probe``'s broadcast + per-pair HOF fold is the right plan
     when the query set is small; at pseudo-labeling batch sizes (20% of
@@ -466,14 +465,34 @@ def ivf_probe_batch(
     measured ~5s at sf0.1 — the #1 line of knn_ivf_agreement). Here
     each cell's scoring is ONE numpy matmul: the bucketed index cogroups
     with the assigned queries on centroid_id (the index side reads
-    bucket-aligned; queries shuffle on the same key), the per-cell
-    (queries x cell) score matrix is evaluated in Arrow batches chunked
-    to ``chunk_rows`` query rows (bounds the matrix at chunk*|cell|
-    doubles), and only each query's per-cell top-k survives Python.
-    The global re-rank then sees <= nprobe*k rows per query. Measured
+    bucket-aligned; queries shuffle on the same key), evaluated in
+    Arrow batches chunked to ``chunk_rows`` query rows (bounds the
+    matrix at chunk*|cell| doubles).
+
+    The matmul is a PRE-SELECTOR only, never the reported score: per
+    query it keeps every cell row within ``1e-4`` of the cell's k-th
+    best matmul cosine, and the survivors (<= nprobe*(k+ties) rows per
+    query) are re-scored ON THE SPARK SIDE with the exact expression
+    chain :func:`ivf_probe` uses — left-associated HOF fold dot, the
+    index's stored build-time ``_norm``, ``F.round(..., 6)`` HALF_UP —
+    so the two physical strategies cannot diverge at a rounding
+    boundary or across float accumulation orders (numpy matmul is
+    pairwise/SIMD-summed; the fold is sequential; both land within
+    ~1e-15 of the true cosine, so the 1e-4 margin provably covers every
+    ordering flip the 1e-6 quantization could surface). Measured
     5.0s -> ~0.9s at sf0.1 for the knn batch with the same votes."""
+    from labelspark_spark.functions.vectors import cosine_from_parts, l2_norm
+
     spark = queries.sparkSession
-    index = spark.table(table).select("centroid_id", "vec_id", "embedding")
+    raw = spark.table(table)
+    # same norm source as ivf_probe: build-time stored `_norm`, else a
+    # recompute with the identical fold expression
+    nb = (
+        F.col("_norm")
+        if "_norm" in raw.columns
+        else l2_norm(F.col("embedding").cast("array<double>"))
+    )
+    index = raw.select("centroid_id", "vec_id", "embedding", nb.alias("_nb"))
     cent = F.broadcast(
         centroids.select(
             F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")
@@ -485,53 +504,75 @@ def ivf_probe_batch(
         .withColumnRenamed("_cid", "centroid_id")
     )
 
-    def _score_cell(idx_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"query_id": pd.array([], dtype="int64"),
-             "neighbor_id": pd.array([], dtype="int64"),
-             "cos": pd.array([], dtype="float64")}
-        )
+    _EMPTY = {
+        "query_id": pd.array([], dtype="int64"),
+        "neighbor_id": pd.array([], dtype="int64"),
+        "_qv": pd.array([], dtype="object"),
+        "_nbr": pd.array([], dtype="object"),
+        "_nb": pd.array([], dtype="float64"),
+    }
+
+    def _select_cell(idx_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(idx_pdf) == 0 or len(q_pdf) == 0:
-            return empty
-        # sort the cell by id ONCE so a stable argsort on -cos yields the
-        # (cos desc, neighbor_id asc) tie order ivf_probe ranks with
-        order = np.argsort(idx_pdf["vec_id"].to_numpy(), kind="stable")
-        ids = idx_pdf["vec_id"].to_numpy()[order]
-        C = np.vstack(idx_pdf["embedding"].to_numpy()[order]).astype(np.float64)
+            return pd.DataFrame(_EMPTY)
+        ids = idx_pdf["vec_id"].to_numpy()
+        C = np.vstack([np.asarray(v, dtype=np.float64) for v in idx_pdf["embedding"]])
+        nbs = idx_pdf["_nb"].to_numpy(dtype="float64")
         cn = np.sqrt(np.einsum("ij,ij->i", C, C))
         kk = min(k, len(ids))
         outs = []
         qids_all = q_pdf["query_id"].to_numpy()
         qvs_all = q_pdf["_qv"].to_numpy()
         for s in range(0, len(q_pdf), chunk_rows):
-            Qm = np.vstack(qvs_all[s : s + chunk_rows]).astype(np.float64)
+            Qm = np.vstack([np.asarray(v, dtype=np.float64) for v in qvs_all[s : s + chunk_rows]])
             qid = qids_all[s : s + chunk_rows]
             qn = np.sqrt(np.einsum("ij,ij->i", Qm, Qm))
             den = qn[:, None] * cn[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(den == 0, 0.0, (Qm @ C.T) / den)
-            cos = np.round(cos, 6)
-            top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            # keep everything within the margin of the cell's k-th best:
+            # a dropped row is > 1e-4 below kk in-cell rows, so it can
+            # never re-enter the exact global top-k after the <= 1e-6
+            # rounding movement (fp error ~1e-15)
+            kth = np.partition(cos, len(ids) - kk, axis=1)[:, len(ids) - kk]
+            qi, ci = np.nonzero(cos >= (kth[:, None] - 1e-4))
             outs.append(
                 pd.DataFrame(
                     {
-                        "query_id": np.repeat(qid, kk),
-                        "neighbor_id": ids[top].ravel(),
-                        "cos": np.take_along_axis(cos, top, axis=1).ravel(),
+                        "query_id": qid[qi],
+                        "neighbor_id": ids[ci],
+                        "_qv": [Qm[i] for i in qi],
+                        "_nbr": [C[j] for j in ci],
+                        "_nb": nbs[ci],
                     }
                 )
             )
-        return pd.concat(outs, ignore_index=True) if outs else empty
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(_EMPTY)
 
-    scored = (
+    survivors = (
         index.groupBy("centroid_id")
         .cogroup(q.groupBy("centroid_id"))
         .applyInPandas(
-            lambda left, right: _score_cell(left, right),
-            "query_id bigint, neighbor_id bigint, cos double",
+            lambda left, right: _select_cell(left, right),
+            "query_id bigint, neighbor_id bigint, "
+            "_qv array<double>, _nbr array<double>, _nb double",
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # exact rescore: the same expression tree ivf_probe evaluates, on
+    # the same doubles (float->double widening is IEEE-exact both in
+    # numpy and in Spark's cast), so cos is bit-equal across the twins
+    scored = survivors.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_from_parts(
+                dot(F.col("_qv"), F.col("_nbr")),
+                l2_norm(F.col("_qv")),
+                F.col("_nb"),
+            ),
+            6,
+        ).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
     return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")
 
 

@@ -1718,23 +1718,37 @@ def _lsh_replay_sql(dim: int = 64, num_planes: int = 6, seed: int = 42, k: int =
     """DuckDB replay of similarity.lsh_bucket_expr + the bucket-join
     top-k: plane components are repr()-round-tripped float64 literals,
     and each dot product is the SAME left-associated chain Spark's
-    sequential fold evaluates, so the sign bits agree exactly."""
+    sequential fold evaluates, so the sign bits agree exactly.
+
+    The pair COSINE is replayed the same way (r9, ADVICE r8): an
+    explicit `0.0 + qv[1]*v[1] + ...` chain over per-row hoisted
+    `sqrt(0.0 + v[i]*v[i] + ...)` norms — the identical IEEE op order
+    as functions.vectors.cosine's folds — instead of DuckDB's
+    list_cosine_similarity, whose different float64 accumulation shape
+    could land an ULP across a floor(x*1e6+0.5) boundary and produce a
+    hash mismatch by construction."""
     planes = sim._hyperplanes(dim, num_planes, seed)
     bits = []
     for i, p in enumerate(planes):
         dot = " + ".join(f"v[{j + 1}]*{x!r}" for j, x in enumerate(p))
         bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {2**i} ELSE 0 END)")
     bucket = "(" + " + ".join(bits) + ")"
+    sumsq = "0.0 + " + " + ".join(f"v[{j}]*v[{j}]" for j in range(1, dim + 1))
+    pair_dot = "0.0 + " + " + ".join(f"q.qv[{j}]*c.v[{j}]" for j in range(1, dim + 1))
+    cos = (
+        f"(CASE WHEN q.nrm * c.nrm = 0 THEN 0.0 "
+        f"ELSE ({pair_dot}) / (q.nrm * c.nrm) END)"
+    )
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), b AS (
-  SELECT vec_id, v, {bucket} AS bkt FROM e
+  SELECT vec_id, v, {bucket} AS bkt, SQRT({sumsq}) AS nrm FROM e
 ), q AS (
-  SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE vec_id < 5
+  SELECT vec_id AS query_id, v AS qv, bkt, nrm FROM b WHERE vec_id < 5
 ), scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         CAST(FLOOR(list_cosine_similarity(q.qv, c.v) * 1000000.0 + 0.5) AS BIGINT)
+         CAST(FLOOR({cos} * 1000000.0 + 0.5) AS BIGINT)
            AS cos_ppm
   FROM b c JOIN q ON c.bkt = q.bkt
 ), ranked AS (
