@@ -405,6 +405,7 @@ _COMPANION = (
     # quality companions that re-run arms already benched elsewhere
     "dedup_minhash_recall", "similarity_ivf_recall", "similarity_pq_recall",
     "percentiles_approx_error", "hll_error_bound", "knn_label_vote_ivf",
+    "kmeans_ivf_recall",
 )
 
 BENCH_EXCLUDED: dict[str, str] = {

@@ -3751,6 +3751,41 @@ def q_similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
 
 
+def q_kmeans_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked DRIVER companion for `similarity_kmeans_ivf` — the
+    last rows-only entry without one (VERDICT r8 item 3; lifts the
+    computation of tests/test_approx_recall.py::test_kmeans_ivf_recall
+    into the registry, the `knn_ivf_agreement` pattern). Recall of the
+    learned-index ANN (in-engine Lloyd's k-means -> IVF nprobe=2 probe)
+    against the exact broadcast cosine top-5, bounded >= 0.6 in integer
+    math (measured 0.80 at sf0.001 / 0.84 at sf0.01, identical across
+    repeated runs — the whole pipeline is deterministic given the seeded
+    k-means init). The oracle derives exact_pairs in closed form
+    (|queries| x LEAST(5, corpus)) and pins recall_ok TRUE, so a probe
+    or k-means regression breaks the driver value hash."""
+    exact = (
+        q_similarity_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    approx = q_similarity_kmeans_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    ex = exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
+    return ex.crossJoin(F.broadcast(hits)).select(
+        "exact_pairs",
+        (F.col("_hits") * 10 >= F.col("exact_pairs") * 6).alias("recall_ok"),
+    )
+
+
+SQL_KMEANS_IVF_RECALL = """
+SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 5)
+            * LEAST(5, (SELECT COUNT(*) FROM embeddings)) AS BIGINT) AS exact_pairs,
+       TRUE AS recall_ok
+"""
+
+
 SQL_SURFACE_STMT = """
 SELECT o_orderpriority,
        COUNT(*) AS n,
@@ -18148,6 +18183,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "percentiles_approx": (q_percentiles_approx, None),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "similarity_kmeans_ivf": (q_similarity_kmeans_ivf, None),
+    "kmeans_ivf_recall": (q_kmeans_ivf_recall, SQL_KMEANS_IVF_RECALL),
     "scan_project": (q_scan_project, SQL_SCAN_PROJECT),
     "cast_enrich": (q_cast_enrich, SQL_CAST_ENRICH),
     "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
@@ -18618,6 +18654,139 @@ _R8_WINDOW: list[str] = [
 ]
 
 
+# r9 window (50 slots), per VERDICT r8 items 1-3: the round's job is
+# draining the 94 never-driver-checked backlog (all green in the local
+# 347-case parity suite; only a driver CORRECTNESS row is hard signal).
+# Composition:
+#   1:      kmeans_ivf_recall — the ONE new r9 registry entry (VERDICT
+#           item 3: driver-green companion for similarity_kmeans_ivf,
+#           the last rows-only entry without one; new-capability
+#           rationale per VERDICT item 7, not another statistic),
+#   2..24:  the displaced r8 tail IN QUEUE ORDER (tpch_q21/q22, the six
+#           deferred streaming replays, the DSv2 trio — the reference's
+#           REST scan/sink story — the sink roundtrips, and the
+#           third-wave stragglers),
+#   25..50: the older never-checked remainder, verdict-priority first
+#           (knn_ivf_agreement, hll_sketch_rollup, the two remaining
+#           streaming replays, the multimodal stragglers,
+#           observe_metrics/pandas_udaf_gini/grouping_flags), then
+#           registry order.
+# The FROZEN r10 split is _R10_BACKLOG below (VERDICT item 2): 45
+# entries, fitting r10's 50-slot window with room for new r10 code —
+# the backlog provably drains in two rounds. Both lists are pinned by
+# tests/test_bench_accounting-style partition checks in
+# tests/test_driver_window.py.
+_R9_WINDOW: list[str] = [
+    # r9 NEW code
+    "kmeans_ivf_recall",
+    # displaced r8 tail, queue order
+    "tpch_q21_last_shipper",
+    "tpch_q22_dormant_customers",
+    "events_stream_outer_join",
+    "events_stream_upsert",
+    "events_stream_late_drop",
+    "events_stream_update_mode",
+    "events_stream_session_timeout",
+    "events_stream_full_outer_join",
+    "python_datasource_scan",
+    "python_datasource_stream",
+    "python_datasource_sink",
+    "bucketed_join_roundtrip",
+    "orc_roundtrip",
+    "jsonl_roundtrip",
+    "scd2_asof_lookup",
+    "multimodal_tiff_meta",
+    "multimodal_frame_plan",
+    "quantile_bucket_assign",
+    "ab_test_ztest",
+    "anomaly_mad",
+    "event_pattern_match",
+    "variant_json_ops",
+    "schema_evolution_merge",
+    # older never-checked remainder, verdict priority then registry order
+    "knn_ivf_agreement",
+    "hll_sketch_rollup",
+    "events_stream_restart",
+    "events_stream_session",
+    "multimodal_exif",
+    "multimodal_audio_g711",
+    "multimodal_resize",
+    "observe_metrics",
+    "pandas_udaf_gini",
+    "grouping_flags",
+    "embedding_jl_projection",
+    "duration_in_state",
+    "recursive_cte_reachability",
+    "lateral_topn",
+    "sql_scripting_workflow",
+    "approx_topk_tokens",
+    "python_udtf_sentences",
+    "xml_parse",
+    "csv_line_parse",
+    "listagg_groups",
+    "sql_pivot_unpivot",
+    "parameterized_sql",
+    "content_defined_chunks",
+    "corpus_drift_kl",
+    "weighted_sample_topk",
+    "null_safe_join",
+]
+
+# FROZEN r10 window backlog (VERDICT r8 item 2): every registry entry
+# that has never received a driver CORRECTNESS row and is not in
+# _R9_WINDOW. 45 entries — r10's window is these plus any new r10 code
+# at the head. tests/test_driver_window.py pins the partition:
+# _R9_WINDOW ∪ _R10_BACKLOG == never-driver-checked ∪ {r9 new code},
+# disjoint.
+_R10_BACKLOG: list[str] = [
+    "array_exists_forall",
+    "cogroup_asof_pandas",
+    "grouped_map_normalize",
+    "map_in_arrow",
+    "asof_tolerance",
+    "group_sample_k",
+    "sliding_distinct_users",
+    "bloom_prune",
+    "tpch_q2_preferred_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_ship_delay",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "bpe_train_iters",
+    "window_range_interval",
+    "session_funnel",
+    "langid_confusion",
+    "try_functions",
+    "map_hof_funcs",
+    "window_value_funcs",
+    "csv_malformed_handling",
+    "sql_dml_roundtrip",
+    "modern_agg_funcs",
+    "hash_funcs",
+    "array_zip_explode",
+    "sql_subquery_forms",
+    "array_set_funcs",
+    "explode_outer_nulls",
+    "offset_window_bucket",
+    "decimal_agg",
+    "downsample_ltob",
+    "dsir_importance",
+    "epoch_shard",
+    "compaction_plan",
+    "zorder_layout",
+    "bitmap_funnel",
+]
+
+
 def _apply_window(window: list[str]) -> None:
     """Reorder REGISTRY so `window` forms the prefix the driver checks."""
     global REGISTRY
@@ -18628,7 +18797,7 @@ def _apply_window(window: list[str]) -> None:
     REGISTRY = {**head, **rest}
 
 
-_apply_window(_R8_WINDOW)
+_apply_window(_R9_WINDOW)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
