@@ -397,7 +397,8 @@ _QUARANTINED = {
     "dedup_embedding_ivf_recall": "re-runs the exact all-pairs arm (58.3s warm sf0.1)",
     "dedup_char_ngram": "char-5-grams are data-degenerate here: median df ~291/5000 docs -> 10.5M true candidates",
     "keyword_signature_sim": "top-5-tfidf signatures degenerate on the ~35-term synthetic vocabulary (11M pairs = 88% of all doc pairs)",
-    "triangle_count": "two-join triangle enumeration is quadratic in node degree (~40M join rows at sf0.1): a census job, not a headline query",
+    "triangle_count": "two-join triangle enumeration is quadratic in node degree (~40M join rows at sf0.1): a census job, not a headline query; triangle_count_oriented is the declared scale path",
+    "triangle_count_oriented": "exact census twin (hash-checked vs the same oracle): the synthetic graph is uniform-degree/dense (avg deg ~120 -> ~72M wedges inherently, 7.2s warm sf0.1); the degree orientation's O(m^1.5) bound pays off on skewed real graphs, not here",
     "cogroup_asof_pandas": "cogrouped-applyInPandas API floor ~10s at sf0.1; the native union+window asof_join is the benched scale path",
 }
 

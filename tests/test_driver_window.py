@@ -21,7 +21,7 @@ from labelspark_spark import queries as Q
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # registry entries added in round 9 (never checkable before this round)
-R9_NEW = {"kmeans_ivf_recall"}
+R9_NEW = {"kmeans_ivf_recall", "triangle_count_oriented"}
 
 
 def _ever_driver_checked() -> set[str]:
