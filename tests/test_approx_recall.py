@@ -424,12 +424,12 @@ def test_jl_projection_distance_concentration(spark):
 
 
 def test_ivf_probe_batch_matches_broadcast_probe(spark):
-    """ivf_probe_batch (cogrouped Arrow matmul) must produce the same
-    (query, neighbor) top-k sets as the broadcast+HOF ivf_probe on the
-    same persisted index — two physical strategies, one operator
-    semantics. Compared as sets per query (equal-cos rank flips between
-    float64 fold orders are absorbed by the 6-decimal quantization the
-    tie order keys on)."""
+    """ivf_probe_batch must produce the same (query, neighbor, cos)
+    sets as the broadcast+HOF ivf_probe on the same persisted index —
+    two physical strategies, one operator. Since r9 this equality is
+    EXACT by construction: the batch path's matmul only pre-selects
+    (with a 1e-4 margin), and survivors are re-scored Spark-side with
+    the identical fold/stored-norm/round chain ivf_probe evaluates."""
     import shutil
     from urllib.parse import urlparse
 
@@ -450,4 +450,40 @@ def test_ivf_probe_batch_matches_broadcast_probe(spark):
     b = similarity.ivf_probe_batch(queries, centroids, table=table, k=5, nprobe=2)
     sa = {(r.query_id, r.neighbor_id, r.cos) for r in a.collect()}
     sb = {(r.query_id, r.neighbor_id, r.cos) for r in b.collect()}
+    assert sa == sb, f"only-broadcast={sorted(sa-sb)[:5]} only-batch={sorted(sb-sa)[:5]}"
+
+
+def test_ivf_probe_batch_exact_under_duplicate_vector_ties(spark):
+    """Adversarial tie case for the r9 pre-select+rescore design: a
+    corpus where MANY vectors are exact duplicates of each other, so
+    the k-th boundary of every cell is a wall of identical cosines
+    (the configuration where the old rounded-matmul selection could
+    diverge from the fold path by one ULP). The margin keeps every
+    tied row, the Spark-side rescore reproduces ivf_probe's doubles
+    bit-for-bit, and the (cos desc, id asc) rank picks identical
+    rows."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    base = _emb(spark).filter(F.col("vec_id") < 12).select("vec_id", "embedding")
+    # 4 copies of each of 12 vectors -> every neighborhood is tie-packed
+    dup = base
+    for i in (1, 2, 3):
+        dup = dup.unionAll(
+            base.select((F.col("vec_id") + 1000 * i).alias("vec_id"), "embedding")
+        )
+    centroids = similarity.kmeans_fit(dup, k=2, dim=64, max_iters=2)
+    table = "ivf_probe_batch_ties"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme in ("", "file"):
+        shutil.rmtree(f"{wh.path}/{table}", ignore_errors=True)
+    similarity.ivf_build(dup, centroids, table=table, num_buckets=2, assign=2)
+    queries = base.select(F.col("vec_id").alias("query_id"), "embedding")
+    a = similarity.ivf_probe(queries, centroids, table=table, k=5, nprobe=2)
+    b = similarity.ivf_probe_batch(queries, centroids, table=table, k=5, nprobe=2)
+    sa = {(r.query_id, r.neighbor_id, r.cos, r.rank) for r in a.collect()}
+    sb = {(r.query_id, r.neighbor_id, r.cos, r.rank) for r in b.collect()}
     assert sa == sb, f"only-broadcast={sorted(sa-sb)[:5]} only-batch={sorted(sb-sa)[:5]}"

@@ -766,6 +766,20 @@ def test_simhash_pairs_band_join_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
 
 
+def test_triangle_oriented_all_equi_joins(spark):
+    """q_triangle_count_oriented (the census scale path): the wedge
+    build and the closing check are equi-joins only (wedge join keyed
+    on the oriented source, close as a left-semi on (y,z) ids); the
+    only nested-loop rows are the 1-row count crossJoins. No Python in
+    the plan — orientation is a codegen comparison on one bigint."""
+    from labelspark_spark.queries import q_triangle_count_oriented
+
+    plan = explain.formatted_plan(q_triangle_count_oriented(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "pythonudf" not in plan.lower()
+    assert "LeftSemi" in plan, plan[:1200]
+
+
 def test_lsh_replay_bucket_join_shape(spark):
     """q_similarity_lsh_replay: scoring pairs come from the bucket
     equi-join with broadcast queries; no cartesian, no Python."""
