@@ -9753,6 +9753,14 @@ def q_triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
         .distinct()
     )
+    return count_triangles_oriented(edges)
+
+
+def count_triangles_oriented(edges: DataFrame) -> DataFrame:
+    """Degree-oriented exact triangle census over a deduped undirected
+    edge list (columns a < b): returns one row (n_nodes, n_edges,
+    n_triangles). Property-tested against a Python brute force on
+    random graphs (tests/test_properties.py)."""
     deg = (
         edges.select(F.col("a").alias("p"))
         .unionAll(edges.select(F.col("b").alias("p")))

@@ -326,6 +326,46 @@ def test_resample_identity_ratio_property(n, ratio, data):
     assert out["chk_out"] == sum((j + 1) * v for j, v in enumerate(samples))
 
 
+def test_triangle_orientation_matches_brute_force_on_random_graphs(spark):
+    """count_triangles_oriented (the census scale path, r9): on random
+    graphs — including hub-skewed ones, where the degree orientation
+    actually matters — the (n_nodes, n_edges, n_triangles) row must
+    equal a Python brute force over all id-ordered triples. Seeded
+    LCG graphs, no hypothesis: each example is a Spark job."""
+    from itertools import combinations
+
+    from labelspark_spark.queries import count_triangles_oriented
+
+    def lcg(seed):
+        s = seed
+        while True:
+            s = (s * 1103515245 + 12345) % (2**31)
+            yield s
+
+    for seed, n, density in ((1, 12, 0.5), (2, 20, 0.25), (3, 25, 0.12), (4, 8, 0.9)):
+        g = lcg(seed)
+        edges = sorted(
+            {(a, b) for a, b in combinations(range(n), 2) if next(g) % 1000 < density * 1000}
+        )
+        # hub-skew variant: wire node 0 to everything
+        edges = sorted(set(edges) | {(0, v) for v in range(1, n)})
+        adj = {v: set() for v in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        expected_tri = sum(
+            1 for a, b, c in combinations(range(n), 3) if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        expected_nodes = len({v for e in edges for v in e})
+        df = spark.createDataFrame(edges, "a bigint, b bigint")
+        row = count_triangles_oriented(df).collect()[0]
+        assert (row.n_nodes, row.n_edges, row.n_triangles) == (
+            expected_nodes,
+            len(edges),
+            expected_tri,
+        ), f"seed={seed}: got {row}, want ({expected_nodes},{len(edges)},{expected_tri})"
+
+
 def test_simhash_explode_form_matches_hof_fold(spark):
     """The r8 explode+codegen simhash (_simhash_staged) and the
     original HOF-fold column function (simhash) are two physical forms
