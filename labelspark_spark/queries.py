@@ -5143,14 +5143,23 @@ def q_bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(False),
                 ),
             )
+            # island start = leftmost matched idx of the current run.
+            # Expressed as a RUNNING last-non-null over the SAME
+            # (doc_id, idx) window as every other step — the r6 form's
+            # min() over (doc_id, _grp) forced one extra exchange+sort
+            # per iteration for the only differently-partitioned window
+            # in the loop (r9: 3 iterations x ~0.3s of pure stage
+            # latency at sf0.1; identical values where _is_m holds,
+            # and _sel is False elsewhere regardless)
             .withColumn(
-                "_grp",
-                F.col("idx") - F.sum(F.col("_is_m").cast("long")).over(wdoc),
+                "_start",
+                F.col("_is_m")
+                & ~F.coalesce(F.lag("_is_m").over(wdoc), F.lit(False)),
             )
             .withColumn(
                 "_isl0",
-                F.min(F.when(F.col("_is_m"), F.col("idx"))).over(
-                    Window.partitionBy("doc_id", "_grp")
+                F.last(F.when(F.col("_start"), F.col("idx")), ignorenulls=True).over(
+                    wdoc.rowsBetween(Window.unboundedPreceding, 0)
                 ),
             )
             .withColumn(
@@ -16352,7 +16361,13 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.where(
         F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")) >= 6
     ).select("doc_id", F.expr(WINNOW_SEL_EXPR).alias("sel"))
-    post = d.select("doc_id", F.explode("sel").alias("fp"))
+    # materialize the postings ONCE: they feed the df census AND both
+    # sides of the blocked self-join, and the winnow-selection
+    # expression upstream is the query's dominant pass (~1.25s of the
+    # 3.05s at sf0.1) — without the checkpoint each consumer re-derives
+    # it (measured 3.05s -> 1.80s, identical pairs; the localCheckpoint
+    # lineage discipline of connected_components/bpe_train_iters)
+    post = d.select("doc_id", F.explode("sel").alias("fp")).localCheckpoint()
     df_counts = post.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     kept = post.join(
         df_counts.filter((F.col("df") >= 2) & (F.col("df") <= 10)), "fp"
