@@ -437,6 +437,12 @@ def ngram_jaccard_pairs(
     if strategy != "prefix":
         raise ValueError(f"strategy must be 'auto', 'count' or 'prefix', got {strategy!r}")
 
+    # NB (r9): checkpointing the shingle stage here was tried and
+    # reverted — the bench showed it a wash (the shingle pass is ~0.1s
+    # at sf0.1 and ReusedExchange already covers the symmetric sides),
+    # while the eager materialization is a real cost at scale. The
+    # winnowing postings case IS worth it because there the re-derived
+    # pass dominates (queries.q_dedup_winnowing).
     doc_freq = posting.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     # rank each doc's shingles rarest-first; keep the prefix any
     # qualifying pair is guaranteed to collide in
