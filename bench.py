@@ -16,6 +16,15 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Provenance tag written into the output (VERDICT r9 item 2): the round
+# driver's verify run overwrites BENCH_FULL.json in the working tree,
+# and its environment has a measured ~1.16x uniform load shift vs the
+# builder's close runs — the file must say which context produced it.
+# The builder exports SPARK_GRAFT_RUN_CONTEXT=builder-close for close
+# runs; anything else (the driver invokes bench.py with a bare env)
+# self-describes as driver-verify.
+RUN_CONTEXT = os.environ.get("SPARK_GRAFT_RUN_CONTEXT", "driver-verify")
+
 # Flagship set: relational core + north-star ops, heaviest first.
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -158,6 +167,9 @@ BENCH_QUERIES = [
     # probe — the heaviest ANN entry by design)
     "multimodal_audio_g711",
     "knn_ivf_agreement",
+    # round-10: the AQE runtime skew-split attestation (a real SMJ +
+    # per-bucket aggregate at sf0.1; executes inside its scoped conf)
+    "aqe_skew_join",
     # round-6 Spark-4 SQL surfaces
     "recursive_cte_reachability",
     "lateral_topn",
@@ -406,7 +418,7 @@ _COMPANION = (
     # quality companions that re-run arms already benched elsewhere
     "dedup_minhash_recall", "similarity_ivf_recall", "similarity_pq_recall",
     "percentiles_approx_error", "hll_error_bound", "knn_label_vote_ivf",
-    "kmeans_ivf_recall",
+    "kmeans_ivf_recall", "ivf_probe_twin_equality",
 )
 
 BENCH_EXCLUDED: dict[str, str] = {
@@ -468,6 +480,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
+        "run_context": RUN_CONTEXT,
         "cold_total_sec": round(sum(cold.values()), 3),
         "cold_queries": cold,
     }
@@ -486,6 +499,7 @@ def main() -> None:
             "queries": slowest,
             "sf": full["sf"],
             "n_queries": len(timings),
+            "run_context": RUN_CONTEXT,
             "cold_total_sec": full["cold_total_sec"],
             "full": "BENCH_FULL.json",
         }

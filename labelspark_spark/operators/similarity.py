@@ -26,6 +26,25 @@ from pyspark.sql import functions as F
 from labelspark_spark.functions.vectors import cosine, dot
 
 
+def exact_cosine_rescore(qv, nv, nq, nb):
+    """The ONE scoring expression both IVF probe strategies report.
+
+    ``ivf_probe`` (broadcast + per-pair HOF fold) and
+    ``ivf_probe_batch`` (Arrow cogroup matmul pre-selector) are
+    bit-identical BY CONSTRUCTION: the batch matmul only pre-selects
+    candidates, and every reported ``cos`` comes from this expression —
+    left-associated HOF fold dot product, the precomputed query/index
+    norms, ``F.round(..., 6)`` HALF_UP. Keeping it in one helper makes
+    the guarantee structural: an edit here changes both physical
+    strategies identically, so they cannot drift at a rounding boundary
+    (the r8 ADVICE failure mode). All four args are double-typed
+    Columns: query vector, neighbor vector, query norm, neighbor norm.
+    """
+    from labelspark_spark.functions.vectors import cosine_from_parts
+
+    return F.round(cosine_from_parts(dot(qv, nv), nq, nb), 6)
+
+
 def _rank_topk(
     scored: DataFrame,
     query_id: str,
@@ -393,7 +412,7 @@ def ivf_probe(
     (measured 15.6s — the opposite of the small-expression sites where
     flat wins). Bit-equal results: cosine_from_parts documents the
     identical IEEE op order."""
-    from labelspark_spark.functions.vectors import cosine_from_parts, l2_norm
+    from labelspark_spark.functions.vectors import l2_norm
 
     spark = queries.sparkSession
     raw = spark.table(table)
@@ -426,16 +445,11 @@ def ivf_probe(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                cosine_from_parts(
-                    dot(
-                        F.col("_qv").cast("array<double>"),
-                        F.col("embedding").cast("array<double>"),
-                    ),
-                    F.col("_nq"),
-                    F.col("_nb"),
-                ),
-                6,
+            exact_cosine_rescore(
+                F.col("_qv").cast("array<double>"),
+                F.col("embedding").cast("array<double>"),
+                F.col("_nq"),
+                F.col("_nb"),
             ).alias("cos"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -481,7 +495,7 @@ def ivf_probe_batch(
     ~1e-15 of the true cosine, so the 1e-4 margin provably covers every
     ordering flip the 1e-6 quantization could surface). Measured
     5.0s -> ~0.9s at sf0.1 for the knn batch with the same votes."""
-    from labelspark_spark.functions.vectors import cosine_from_parts, l2_norm
+    from labelspark_spark.functions.vectors import l2_norm
 
     spark = queries.sparkSession
     raw = spark.table(table)
@@ -558,19 +572,18 @@ def ivf_probe_batch(
             "_qv array<double>, _nbr array<double>, _nb double",
         )
     )
-    # exact rescore: the same expression tree ivf_probe evaluates, on
-    # the same doubles (float->double widening is IEEE-exact both in
-    # numpy and in Spark's cast), so cos is bit-equal across the twins
+    # exact rescore: the SAME shared expression tree ivf_probe
+    # evaluates (exact_cosine_rescore), on the same doubles
+    # (float->double widening is IEEE-exact both in numpy and in
+    # Spark's cast), so cos is bit-equal across the twins
     scored = survivors.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            cosine_from_parts(
-                dot(F.col("_qv"), F.col("_nbr")),
-                l2_norm(F.col("_qv")),
-                F.col("_nb"),
-            ),
-            6,
+        exact_cosine_rescore(
+            F.col("_qv"),
+            F.col("_nbr"),
+            l2_norm(F.col("_qv")),
+            F.col("_nb"),
         ).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     return _rank_topk(scored, "query_id", k).select("query_id", "neighbor_id", "cos", "rank")

@@ -143,9 +143,9 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     parquet only when the Delta runtime jar is absent (this test env);
     all other Delta errors propagate.
 
-    Jar probe log (per-round, VERDICT r8 item 5): r9 2026-08-15 — no
+    Jar probe log (per-round, VERDICT r8 item 5): r10 2026-08-15 — no
     `delta` pip package, no io.delta jar in the ivy cache or among
-    pyspark's 287 bundled jars; gating stays. First round the jar
+    pyspark's 286 bundled jars (r9 probe: same); gating stays. First round the jar
     resolves, attest a real S5/S7 write->read->time-travel roundtrip
     (tests/test_operators.py::test_delta_fallback_is_narrow and
     tests/test_client.py::test_delta_verb_roundtrip are the ready-made

@@ -1,15 +1,20 @@
-"""Pin the r9/r10 driver-window plan (VERDICT r8 items 1-2).
+"""Pin the r10 driver-window plan (VERDICT r9 item 1).
 
-The driver hash-checks the FIRST 50 registry entries each round; the
-round-9 job is draining the never-driver-checked backlog in two
-provable windows. These tests freeze that contract in code:
+The driver hash-checks the FIRST 50 registry entries each round; r8-r10
+drain the never-driver-checked backlog in provable windows. r10 is the
+LAST drain round: its window is this round's four new/changed entries
+(one genuinely new query + three re-attestations of changed code paths)
+followed by all 46 frozen `_R10_BACKLOG` entries — after it runs, every
+declared registry query has a driver CORRECTNESS row. These tests
+freeze that contract in code:
 
-- _R9_WINDOW is exactly 50 names, forms the registry prefix, and its
-  only non-backlog entry is the round's one new query.
-- _R9_WINDOW and _R10_BACKLOG partition the full never-driver-checked
-  set (union of every CORRECTNESS_r*.json on disk vs the registry) —
-  no name dropped, none double-queued, so after r9+r10 every declared
-  query has a driver row.
+- _R10_WINDOW is exactly 50 names, forms the registry prefix, and is
+  exactly R10_HEAD + _R10_BACKLOG in declared order.
+- The backlog covers the whole never-driver-checked set (union of every
+  CORRECTNESS_r*.json on disk vs the registry) — no name dropped, so
+  after r10 the ever-checked set equals the registry.
+- Every window slot carries an oracle (all 50 are hash-checkable; the
+  rows-only approximate entries were all driver-checked in r1-r9).
 """
 
 import glob
@@ -20,39 +25,51 @@ from labelspark_spark import queries as Q
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# registry entries added in round 9 (never checkable before this round)
-R9_NEW = {"kmeans_ivf_recall", "triangle_count_oriented"}
+# r10 window head: the new probe-twin bit-identity and AQE skew-split
+# attestations, plus re-attestations of the two queries whose code
+# paths changed this round (struct-ordered triangle orientation; the
+# shared exact_cosine_rescore helper behind both IVF probe strategies)
+R10_NEW = ["ivf_probe_twin_equality", "aqe_skew_join"]
+R10_REATTEST = [
+    "triangle_count_oriented",
+    "knn_ivf_agreement",
+]
 
 
 def _ever_driver_checked() -> set[str]:
     names: set[str] = set()
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r0[1-8].json")):
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r0[1-9].json")):
         names.update(json.load(open(path)).keys())
     return names
 
 
-def test_r9_window_is_the_driver_prefix():
-    assert len(Q._R9_WINDOW) == 50
-    assert len(set(Q._R9_WINDOW)) == 50
-    assert list(Q.REGISTRY)[:50] == Q._R9_WINDOW
+def test_r10_window_is_the_driver_prefix():
+    assert len(Q._R10_WINDOW) == 50
+    assert len(set(Q._R10_WINDOW)) == 50
+    assert list(Q.REGISTRY)[:50] == Q._R10_WINDOW
 
 
-def test_r9_r10_partition_the_never_checked_backlog():
+def test_r10_window_is_head_plus_frozen_backlog():
+    assert Q._R10_WINDOW == R10_NEW + R10_REATTEST + Q._R10_BACKLOG
+
+
+def test_r10_drains_the_backlog_to_zero():
     checked = _ever_driver_checked()
     assert checked, "driver CORRECTNESS files missing"
     never = {n for n in Q.REGISTRY if n not in checked}
-    window, backlog = set(Q._R9_WINDOW), set(Q._R10_BACKLOG)
-    assert not (window & backlog), sorted(window & backlog)
-    assert window | backlog == never, {
-        "queued_but_not_backlog": sorted((window | backlog) - never),
-        "backlog_but_not_queued": sorted(never - (window | backlog)),
-    }
-    # every window entry beyond the new code is a first attestation
-    assert window - never == set(), sorted(window - never)
-    assert R9_NEW <= window
+    window = set(Q._R10_WINDOW)
+    # every never-checked name is in this window: after r10 the
+    # ever-checked set covers the registry
+    assert never <= window, sorted(never - window)
+    # the window's non-backlog head is exactly the new + re-attested
+    # entries; re-attested names are by definition already checked
+    assert never - set(Q._R10_BACKLOG) == set(R10_NEW), sorted(
+        never - set(Q._R10_BACKLOG)
+    )
+    assert set(R10_REATTEST) <= checked, sorted(set(R10_REATTEST) - checked)
 
 
-def test_r9_window_names_have_oracles_or_are_declared():
-    # every r9 window slot must produce a hash row: all 50 carry oracles
-    missing = [n for n in Q._R9_WINDOW if Q.REGISTRY[n][1] is None]
+def test_r10_window_names_all_carry_oracles():
+    # every r10 window slot must produce a hash row: all 50 carry oracles
+    missing = [n for n in Q._R10_WINDOW if Q.REGISTRY[n][1] is None]
     assert missing == [], missing

@@ -342,15 +342,36 @@ def test_triangle_orientation_matches_brute_force_on_random_graphs(spark):
             s = (s * 1103515245 + 12345) % (2**31)
             yield s
 
-    for seed, n, density in ((1, 12, 0.5), (2, 20, 0.25), (3, 25, 0.12), (4, 8, 0.9)):
+    # big_ids=True remaps node ids past 2^32 AND negative — the ranges
+    # that silently corrupted the r9 packed degree*2^32+id ordering
+    # (r9 ADVICE); the struct-ordered orientation must stay exact there.
+    for seed, n, density, big_ids in (
+        (1, 12, 0.5, False),
+        (2, 20, 0.25, False),
+        (3, 25, 0.12, False),
+        (4, 8, 0.9, False),
+        (2, 20, 0.25, True),
+    ):
         g = lcg(seed)
         edges = sorted(
             {(a, b) for a, b in combinations(range(n), 2) if next(g) % 1000 < density * 1000}
         )
         # hub-skew variant: wire node 0 to everything
         edges = sorted(set(edges) | {(0, v) for v in range(1, n)})
+        if big_ids:
+            remap = lambda v: (v - n // 2) * (2**33 + 7)  # noqa: E731
+            edges = sorted((min(remap(a), remap(b)), max(remap(a), remap(b))) for a, b in edges)
+            n_ids = sorted({v for e in edges for v in e})
+            adjmap = {v: i for i, v in enumerate(n_ids)}
+            # brute force below runs on range(n); rebuild edges in both
+            # spaces: remapped for Spark, dense for the brute force
+            dense_edges = sorted(
+                (min(adjmap[a], adjmap[b]), max(adjmap[a], adjmap[b])) for a, b in edges
+            )
+        else:
+            dense_edges = edges
         adj = {v: set() for v in range(n)}
-        for a, b in edges:
+        for a, b in dense_edges:
             adj[a].add(b)
             adj[b].add(a)
         expected_tri = sum(

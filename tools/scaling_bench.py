@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""Empirical scaling curves for the heavy query families (VERDICT r9
+item 5): measure t(10x)/t(1x) on a synthetic 10x dataset and record the
+observed scaling exponent, so the 100 TB claims rest on measurement,
+not only plan shape.
+
+The 10x dataset is TEN DISJOINT SHARDS of the sf0.1 tables — the honest
+model of "10x more data at the same distribution" (what adding shards
+to a 100 TB corpus does). Keys are offset per shard; content columns
+that drive candidate generation (document text tokens, part names,
+embedding vectors) are shard-TAGGED so cross-shard rows neither collide
+nor become exact duplicates: plain replication would hand every doc 9
+exact twins (quadratic candidate blow-up that says nothing about
+scaling), while key-offset-only replication would multiply every
+posting/block list by 10 (same problem). Shard tagging keeps per-shard
+structure identical to sf0.1, which is exactly the TPC-style scale
+model the sf dirs themselves use. NEVER writes to /root/testdata —
+scaled data lands in a temp dir (or --out).
+
+Usage:
+  python tools/scaling_bench.py build  [--out DIR] [--factor 10]
+  python tools/scaling_bench.py run    [--out DIR] [--queries a,b,c]
+  python tools/scaling_bench.py triangles   # oriented-vs-census on a
+                                            # skewed synthetic graph
+
+Outputs one JSON line per mode on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_OUT = "/tmp/spark_graft_scale10x"
+OFF = 10_000_000  # per-shard key offset
+
+# The slowest audited bench lines whose 100 TB posture VERDICT r9 asks
+# to back with measurement, mapped to the tables the scaled dir needs.
+TARGETS = [
+    "bpe_train_iters",
+    "dedup_jaccard_prefix",
+    "dedup_embedding_ivf",
+    "dedup_canonicalize",
+    "dedup_simhash",
+    "dedup_winnowing",
+    "knn_ivf_agreement",
+    "er_score_pairs",
+    "market_basket",
+    "item_cooccur_cosine",
+    "sssp_levels",
+    "similarity_pq",
+]
+TABLES = ("documents", "embeddings", "lineitem", "part")
+
+
+def _tag_words(text: str, tag: str) -> str:
+    # suffix every token: per-shard vocabularies are disjoint, so
+    # posting lists / BPE pair tables keep their sf0.1 lengths and the
+    # shard contributes new rows, not wider lists
+    return " ".join(w + tag for w in text.split(" "))
+
+
+def build(out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        src = pq.read_table(f"{SF_DIR}/{name}.parquet")
+        parts = [src]
+        for i in range(1, factor):
+            d = src.to_pandas()
+            if name == "documents":
+                d["doc_id"] = d["doc_id"] + i * OFF
+                d["text"] = d["text"].map(lambda t, i=i: _tag_words(t, f"~{i}"))
+                d["n_chars"] = d["text"].str.len()
+            elif name == "embeddings":
+                d["vec_id"] = d["vec_id"] + i * OFF
+                # cyclic rotation: norm-preserving, shard vectors are
+                # distinct but identically distributed
+                d["embedding"] = d["embedding"].map(
+                    lambda v, i=i: np.roll(np.asarray(v, dtype=np.float32), i).tolist()
+                )
+            elif name == "lineitem":
+                for k in ("l_orderkey", "l_partkey", "l_suppkey"):
+                    d[k] = d[k] + i * OFF
+            elif name == "part":
+                d["p_partkey"] = d["p_partkey"] + i * OFF
+                # tag the FIRST name token (the ER block key): blocks
+                # stay sf0.1-sized, there are just 10x more of them
+                d["p_name"] = d["p_name"].map(
+                    lambda s, i=i: (lambda w: (w[0] + f"x{i}" + (" " + w[1] if len(w) > 1 else "")))(
+                        s.split(" ", 1)
+                    )
+                )
+            parts.append(pa.Table.from_pandas(d, schema=src.schema, preserve_index=False))
+        pq.write_table(pa.concat_tables(parts), f"{out_dir}/{name}.parquet")
+    print(json.dumps({"built": out_dir, "factor": factor, "tables": list(TABLES)}))
+
+
+def _session():
+    from labelspark_spark import get_spark_session
+
+    return get_spark_session(app_name="labelspark-scaling-bench")
+
+
+def _time_query(spark, name: str, sf_dir: str, passes: int = 2) -> float:
+    from labelspark_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY[name]
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def run(out_dir: str, queries: list[str]) -> None:
+    spark = _session()
+    spark.range(1).count()
+    results = {}
+    for name in queries:
+        t1 = _time_query(spark, name, SF_DIR)
+        t10 = _time_query(spark, name, out_dir)
+        results[name] = {
+            "t_1x_sec": t1,
+            "t_10x_sec": t10,
+            "ratio": round(t10 / t1, 2),
+            # observed exponent: t ~ n^e  =>  e = log10(t10/t1)
+            "exponent": round(float(np.log10(t10 / t1)), 2),
+        }
+        print(f"# {name}: 1x={t1}s 10x={t10}s ratio={results[name]['ratio']}", file=sys.stderr)
+    print(json.dumps({"mode": "scaling", "sf_1x": SF_DIR, "dir_10x": out_dir, "results": results}))
+    spark.stop()
+
+
+def _zipf_edges(n_nodes: int, n_edges: int, seed: int) -> "np.ndarray":
+    """Skewed (Zipf-endpoint) undirected edge list, deduped, a<b."""
+    rng = np.random.default_rng(seed)
+    a = rng.zipf(1.8, size=int(n_edges * 1.6)) % n_nodes
+    b = rng.integers(0, n_nodes, size=a.size)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo != hi
+    e = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+    return e[:n_edges] if len(e) > n_edges else e
+
+
+def triangles() -> None:
+    """Oriented-vs-census triangle runtime on a HUB-SKEWED graph — the
+    regime where the O(m^1.5) degree-orientation bound actually pays
+    (the sf0.1 co-purchase graph is uniform-degree, so the bench shows
+    census ~= oriented there; VERDICT r9 item 5 asks for the skewed
+    demonstration). Census = the id-ordered two-join enumeration of
+    q_triangle_count (queries.py); oriented = count_triangles_oriented.
+    Also reports the closed-form wedge counts (the joins' intermediate
+    row counts) for both orientations, which explain the gap."""
+    from pyspark.sql import functions as F
+
+    from labelspark_spark.queries import count_triangles_oriented
+
+    spark = _session()
+    spark.range(1).count()
+    out = {"mode": "triangles", "graphs": {}}
+    for label, n_nodes, n_edges in (("small", 20_000, 100_000), ("10x", 200_000, 1_000_000)):
+        e = _zipf_edges(n_nodes, n_edges, seed=7)
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in e], "a bigint, b bigint"
+        ).repartition(32).localCheckpoint()
+        # wedge counts: sum over nodes of C(outdeg, 2) under each orientation
+        deg = (
+            df.select(F.col("a").alias("p")).unionAll(df.select(F.col("b").alias("p")))
+            .groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+        )
+        id_out = df.groupBy("a").agg(F.count(F.lit(1)).alias("o"))
+        wedges_id = id_out.select(F.sum(F.col("o") * (F.col("o") - 1) / 2).alias("w")).collect()[0].w
+        ori = (
+            df.join(deg.select(F.col("p").alias("a"), F.col("d").alias("da")), "a")
+            .join(deg.select(F.col("p").alias("b"), F.col("d").alias("db")), "b")
+            .select(
+                F.when(
+                    (F.col("da") < F.col("db"))
+                    | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                    F.col("a"),
+                ).otherwise(F.col("b")).alias("src")
+            )
+            .groupBy("src").agg(F.count(F.lit(1)).alias("o"))
+        )
+        wedges_deg = ori.select(F.sum(F.col("o") * (F.col("o") - 1) / 2).alias("w")).collect()[0].w
+
+        def census(edges):
+            e1, e2 = edges.alias("e1"), edges.alias("e2")
+            e3 = edges.alias("e3")
+            tri = (
+                e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+                .join(
+                    e3,
+                    (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+                    "left_semi",
+                )
+            )
+            return tri.agg(F.count(F.lit(1)).alias("n")).collect()[0].n
+
+        t0 = time.perf_counter()
+        n_census = census(df)
+        t_census = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_oriented = count_triangles_oriented(df).collect()[0].n_triangles
+        t_oriented = round(time.perf_counter() - t0, 2)
+        assert n_census == n_oriented, (n_census, n_oriented)
+        out["graphs"][label] = {
+            "n_nodes": int(n_nodes),
+            "n_edges": int(df.count()),
+            "triangles": int(n_census),
+            "wedges_id_ordered": int(wedges_id),
+            "wedges_degree_oriented": int(wedges_deg),
+            "t_census_sec": t_census,
+            "t_oriented_sec": t_oriented,
+        }
+        print(f"# {label}: census={t_census}s oriented={t_oriented}s "
+              f"wedges id={wedges_id:.0f} deg={wedges_deg:.0f}", file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["build", "run", "triangles"])
+    ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--queries", default=",".join(TARGETS))
+    args = ap.parse_args()
+    if args.mode == "build":
+        build(args.out, args.factor)
+    elif args.mode == "run":
+        run(args.out, [q for q in args.queries.split(",") if q])
+    else:
+        triangles()
+
+
+if __name__ == "__main__":
+    main()
