@@ -19059,6 +19059,14 @@ _R10_BACKLOG: list[str] = [
 # 4 + 46 = 50 slots exactly; after this round every declared registry
 # query has a driver CORRECTNESS row — the backlog program that
 # started in r8 drains to zero.
+#
+# r11+ WINDOW POLICY (the backlog is gone): [new/changed code,
+# reverse-landing order] + the FRESHNESS QUEUE — oldest driver
+# attestation first, derived deterministically from the
+# CORRECTNESS_r*.json files by tools/freshness.py (sort by
+# (latest_green_round ASC, name ASC), excluding the current window).
+# At r10 close the oldest cohort is 26 r2-vintage rows (q1/q3, the
+# outer-join family, scan_project...), then 46 r3, 45 r4, 49 r5.
 _R10_WINDOW: list[str] = [
     "ivf_probe_twin_equality",
     "aqe_skew_join",
