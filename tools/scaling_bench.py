@@ -246,13 +246,19 @@ def triangles() -> None:
 
 
 def main() -> None:
+    global TABLES
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["build", "run", "triangles"])
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--queries", default=",".join(TARGETS))
+    ap.add_argument("--tables", default=",".join(TABLES),
+                    help="subset of tables to build (100x lineitem would "
+                         "need ~11GB of driver pandas; build only what the "
+                         "measured queries read)")
     args = ap.parse_args()
     if args.mode == "build":
+        TABLES = tuple(t for t in args.tables.split(",") if t)
         build(args.out, args.factor)
     elif args.mode == "run":
         run(args.out, [q for q in args.queries.split(",") if q])
