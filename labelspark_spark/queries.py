@@ -52,6 +52,22 @@ from labelspark_spark.operators import uploads as up
 from labelspark_spark.sources.readers import read_table as _t  # noqa: E402
 
 
+def _drop_managed_table(spark: SparkSession, *tables: str) -> None:
+    """DROP each managed table AND clear any stale warehouse directory
+    a previous SESSION left behind while this session's in-memory
+    catalog forgot the table — the managed-table create refuses a
+    non-empty location. File-scheme warehouses only; remote schemes
+    leave cleanup to the catalog."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    for table in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(f"{wh.path}/{table}", ignore_errors=True)
+
+
 def _money(col) -> F.Column:
     """Deterministic money sum: floor(x*100 + 0.5) cents (pure IEEE ops,
     bit-identical across engines — NOT round(), whose half-up-on-shortest-
@@ -2715,14 +2731,8 @@ def q_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends the high-priority tier — the read-back aggregate proves
     INSERT is append-semantics and both cohorts landed exactly once.
     Same stale-warehouse guard as the bucketed tables."""
-    import shutil
-    from urllib.parse import urlparse
-
     table = "dml_orders"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    if wh.scheme in ("", "file"):
-        shutil.rmtree(f"{wh.path}/{table}", ignore_errors=True)
+    _drop_managed_table(spark, table)
     _t(spark, sf_dir, "orders").createOrReplaceTempView("dml_src_orders")
     spark.sql(
         f"CREATE TABLE {table} "
@@ -3999,16 +4009,7 @@ def q_similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     centroids = sim.kmeans_fit(emb, k=4, dim=64, max_iters=3)
     table = "ivf_index_declared"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a previous SESSION may have left the warehouse directory behind
-    # while the in-memory catalog forgot the table — clear the stale
-    # location or the managed-table create refuses the non-empty dir
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    if wh.scheme in ("", "file"):
-        shutil.rmtree(f"{wh.path}/{table}", ignore_errors=True)
+    _drop_managed_table(spark, table)
     sim.ivf_build(emb, centroids, table=table, num_buckets=8)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -4038,13 +4039,7 @@ def q_ivf_probe_twin_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     centroids = sim.kmeans_fit(emb, k=4, dim=64, max_iters=3)
     table = "ivf_index_twin_eq"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    if wh.scheme in ("", "file"):
-        shutil.rmtree(f"{wh.path}/{table}", ignore_errors=True)
+    _drop_managed_table(spark, table)
     sim.ivf_build(emb, centroids, table=table, num_buckets=4, assign=2)
     queries = emb.filter(F.col("vec_id") < 40).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -5775,18 +5770,12 @@ def q_knn_label_vote_ivf(
     companion hand in an already-persisted (batch, corpus) pair so the
     k-means iterations / index build / label join don't re-scan the
     parquet it also needs for the exact arm."""
-    import shutil
-    from urllib.parse import urlparse
-
     batch, corpus = (
         _split if _split is not None else _knn_batch_corpus(spark, sf_dir)
     )
     centroids = sim.kmeans_fit(corpus, k=8, dim=64, max_iters=3)
     table = "ivf_index_knn"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    if wh.scheme in ("", "file"):
-        shutil.rmtree(f"{wh.path}/{table}", ignore_errors=True)
+    _drop_managed_table(spark, table)
     sim.ivf_build(corpus, centroids, table=table, num_buckets=8, assign=2)
     probes = batch.select(F.col("vec_id").alias("query_id"), "embedding")
     # assign=2 multi-assignment (each corpus vector indexed in its 2
@@ -8945,23 +8934,13 @@ def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority aggregate). The merge hint pins SMJ so the attestation
     doesn't silently degrade to a broadcast join on small test data.
     Same revenue-by-priority answer as the plain join, hash-checked."""
-    import shutil
-    from urllib.parse import urlparse
-
     from labelspark_spark.sources.writers import write_bucketed
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    # a previous SESSION may have left the warehouse directories behind
-    # while this session's catalog forgot the tables — clear the stale
-    # locations or the managed-table create refuses the non-empty dir
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    for table in ("bj_lineitem", "bj_orders"):
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        if wh.scheme in ("", "file"):
-            shutil.rmtree(f"{wh.path}/{table}", ignore_errors=True)
+    _drop_managed_table(spark, "bj_lineitem", "bj_orders")
     write_bucketed(
         li, "bj_lineitem", ["l_orderkey"], num_buckets=16, sort_cols=["l_orderkey"]
     )
@@ -13538,17 +13517,10 @@ def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         dl.agg((F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
     )
 
-    import shutil
-    from urllib.parse import urlparse
-
     from labelspark_spark.sources.writers import write_bucketed
 
     p_table, s_table = "bm25_postings_declared", "bm25_stats_declared"
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    for t in (p_table, s_table):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        if wh.scheme in ("", "file"):
-            shutil.rmtree(f"{wh.path}/{t}", ignore_errors=True)
+    _drop_managed_table(spark, p_table, s_table)
     write_bucketed(postings, p_table, bucket_cols=["tok"], num_buckets=8)
     stats.write.saveAsTable(s_table)
 

@@ -57,5 +57,10 @@ def freshness_queue(exclude: set[str] | None = None) -> list[tuple[str, int]]:
 
 
 if __name__ == "__main__":
+    from labelspark_spark.queries import REGISTRY
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    print(json.dumps(freshness_queue()[:n]))
+    # exclude the CURRENT window (the registry prefix): its entries are
+    # being re-attested this round, so even if their on-disk rows are
+    # old they must not be double-queued into the next window
+    print(json.dumps(freshness_queue(exclude=set(list(REGISTRY)[:50]))[:n]))

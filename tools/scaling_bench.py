@@ -74,14 +74,24 @@ def build(out_dir: str, factor: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
         src = pq.read_table(f"{SF_DIR}/{name}.parquet")
+        base = src.to_pandas()
         parts = [src]
         for i in range(1, factor):
-            d = src.to_pandas()
+            d = base.copy()
             if name == "documents":
                 d["doc_id"] = d["doc_id"] + i * OFF
                 d["text"] = d["text"].map(lambda t, i=i: _tag_words(t, f"~{i}"))
                 d["n_chars"] = d["text"].str.len()
             elif name == "embeddings":
+                # the rotation is the IDENTITY at shift % 64 == 0 and
+                # repeats every 63 shards for shift = 1 + (i-1) % 63 —
+                # beyond 64 shards the "distinct vectors" invariant
+                # breaks silently, so refuse rather than mismeasure
+                assert factor <= 64, (
+                    "embeddings shard tagging (cyclic roll) only yields "
+                    "distinct vectors up to factor 64; build embeddings "
+                    "at <= 64 or add a second norm-preserving transform"
+                )
                 d["vec_id"] = d["vec_id"] + i * OFF
                 # cyclic rotation: norm-preserving, shard vectors are
                 # distinct but identically distributed
@@ -123,22 +133,25 @@ def _time_query(spark, name: str, sf_dir: str, passes: int = 2) -> float:
     return round(best, 3)
 
 
-def run(out_dir: str, queries: list[str]) -> None:
+def run(out_dir: str, queries: list[str], factor: int) -> None:
     spark = _session()
     spark.range(1).count()
     results = {}
     for name in queries:
         t1 = _time_query(spark, name, SF_DIR)
-        t10 = _time_query(spark, name, out_dir)
+        tn = _time_query(spark, name, out_dir)
         results[name] = {
             "t_1x_sec": t1,
-            "t_10x_sec": t10,
-            "ratio": round(t10 / t1, 2),
-            # observed exponent: t ~ n^e  =>  e = log10(t10/t1)
-            "exponent": round(float(np.log10(t10 / t1)), 2),
+            f"t_{factor}x_sec": tn,
+            "ratio": round(tn / t1, 2),
+            # observed exponent: t ~ n^e  =>  e = log_factor(ratio),
+            # so the same family reports the same exponent whether
+            # measured against a 10x or a 100x dir
+            "exponent": round(float(np.log(tn / t1) / np.log(factor)), 2),
         }
-        print(f"# {name}: 1x={t1}s 10x={t10}s ratio={results[name]['ratio']}", file=sys.stderr)
-    print(json.dumps({"mode": "scaling", "sf_1x": SF_DIR, "dir_10x": out_dir, "results": results}))
+        print(f"# {name}: 1x={t1}s {factor}x={tn}s ratio={results[name]['ratio']}", file=sys.stderr)
+    print(json.dumps({"mode": "scaling", "factor": factor, "sf_1x": SF_DIR,
+                      "dir_scaled": out_dir, "results": results}))
     spark.stop()
 
 
@@ -261,7 +274,7 @@ def main() -> None:
         TABLES = tuple(t for t in args.tables.split(",") if t)
         build(args.out, args.factor)
     elif args.mode == "run":
-        run(args.out, [q for q in args.queries.split(",") if q])
+        run(args.out, [q for q in args.queries.split(",") if q], args.factor)
     else:
         triangles()
 
