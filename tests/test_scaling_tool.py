@@ -1,0 +1,113 @@
+"""Pin the scaling harness's shard-tagging invariants (r10).
+
+The SURVEY §6 scaling exponents are only meaningful if the synthetic
+N x dataset really is N disjoint same-shape shards: exact duplicates
+across shards would measure duplication blow-up, key collisions would
+merge shards. These tests build a tiny factor-3 dataset from sf0.001
+with pyarrow/pandas only (no Spark session) and check the invariants
+the tool's docstring claims.
+"""
+
+import importlib
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("scale3x"))
+    os.environ["SPARK_GRAFT_SF_DIR"] = SF
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import scaling_bench
+
+    importlib.reload(scaling_bench)  # re-read SF_DIR from the env
+    scaling_bench.build(out, 3)
+    yield out
+    os.environ.pop("SPARK_GRAFT_SF_DIR", None)
+    importlib.reload(scaling_bench)
+
+
+def test_row_counts_scale_exactly(built):
+    for name in ("documents", "embeddings", "lineitem", "part"):
+        src = pq.read_table(f"{SF}/{name}.parquet")
+        out = pq.read_table(f"{built}/{name}.parquet")
+        assert out.num_rows == 3 * src.num_rows, name
+        assert out.schema == src.schema, name
+
+
+def test_keys_never_collide_across_shards(built):
+    for name, key in (("documents", "doc_id"), ("embeddings", "vec_id"),
+                      ("part", "p_partkey")):
+        col = pq.read_table(f"{built}/{name}.parquet").column(key).to_pylist()
+        assert len(set(col)) == len(col), f"{name}.{key} collides"
+
+
+def test_document_texts_distinct_across_shards(built):
+    d = pq.read_table(f"{built}/documents.parquet").to_pandas()
+    # no exact duplicate text anywhere (plain replication would hand
+    # every doc factor-1 exact twins and poison the dedup measurements)
+    assert not d["text"].duplicated().any()
+    # n_chars stays consistent with the tagged text
+    assert (d["n_chars"] == d["text"].str.len()).all()
+
+
+def test_embeddings_distinct_and_norm_preserving(built):
+    d = pq.read_table(f"{built}/embeddings.parquet").to_pandas()
+    vecs = [tuple(np.asarray(v, dtype=np.float32)) for v in d["embedding"]]
+    assert len(set(vecs)) == len(vecs), "exact duplicate vectors across shards"
+    base = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    n = len(base)
+    for i in (1, 2):
+        a = np.vstack([np.asarray(v, np.float64) for v in base["embedding"]])
+        b = np.vstack([np.asarray(v, np.float64) for v in d["embedding"][i * n:(i + 1) * n]])
+        assert np.allclose(
+            np.einsum("ij,ij->i", a, a), np.einsum("ij,ij->i", b, b), rtol=1e-6
+        ), "rotation must preserve norms"
+
+
+def test_part_block_keys_are_shard_disjoint(built):
+    d = pq.read_table(f"{built}/part.parquet").to_pandas()
+    n = len(d) // 3
+    first_tok = d["p_name"].str.split(" ").str[0]
+    shards = [set(first_tok[i * n:(i + 1) * n]) for i in range(3)]
+    assert not (shards[0] & shards[1]) and not (shards[0] & shards[2]) and not (
+        shards[1] & shards[2]
+    ), "ER block keys shared across shards would grow blocks instead of adding them"
+
+
+def test_build_refuses_embedding_factor_past_rotation_period(tmp_path):
+    os.environ["SPARK_GRAFT_SF_DIR"] = SF
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import scaling_bench
+
+    importlib.reload(scaling_bench)
+    scaling_bench.TABLES = ("embeddings",)
+    try:
+        with pytest.raises(AssertionError, match="factor 64"):
+            scaling_bench.build(str(tmp_path / "never"), 65)
+    finally:
+        os.environ.pop("SPARK_GRAFT_SF_DIR", None)
+        importlib.reload(scaling_bench)
+
+
+def test_freshness_queue_is_total_and_oldest_first():
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import freshness
+
+    q = freshness.freshness_queue()
+    rounds = [r for _, r in q]
+    assert rounds == sorted(rounds), "queue must be oldest-first"
+    from labelspark_spark import queries as Q
+
+    # attested ∪ current-window == registry (nothing orphaned)
+    names = {n for n, _ in q} | set(list(Q.REGISTRY)[:50])
+    assert names == set(Q.REGISTRY)
+    json.dumps(q)  # the CLI contract: serializable
