@@ -83,7 +83,7 @@ def test_part_block_keys_are_shard_disjoint(built):
     ), "ER block keys shared across shards would grow blocks instead of adding them"
 
 
-def test_build_refuses_embedding_factor_past_rotation_period(tmp_path):
+def test_build_refuses_embedding_factor_past_both_periods(tmp_path):
     os.environ["SPARK_GRAFT_SF_DIR"] = SF
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import scaling_bench
@@ -91,11 +91,39 @@ def test_build_refuses_embedding_factor_past_rotation_period(tmp_path):
     importlib.reload(scaling_bench)
     scaling_bench.TABLES = ("embeddings",)
     try:
-        with pytest.raises(AssertionError, match="factor 64"):
-            scaling_bench.build(str(tmp_path / "never"), 65)
+        with pytest.raises(AssertionError, match="factor 128"):
+            scaling_bench.build(str(tmp_path / "never"), 129)
     finally:
         os.environ.pop("SPARK_GRAFT_SF_DIR", None)
         importlib.reload(scaling_bench)
+
+
+def test_embeddings_negation_period_distinct_and_norm_preserving(tmp_path):
+    # factor 66 spans the roll->negation boundary: shard 64 re-uses
+    # roll shift 0 and shard 65 re-uses shift 1, both distinct from
+    # shards 0/1 only through the global negation
+    os.environ["SPARK_GRAFT_SF_DIR"] = SF
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import scaling_bench
+
+    importlib.reload(scaling_bench)
+    scaling_bench.TABLES = ("embeddings",)
+    out = str(tmp_path / "scale66x")
+    try:
+        scaling_bench.build(out, 66)  # build's own uniqueness assert runs
+    finally:
+        os.environ.pop("SPARK_GRAFT_SF_DIR", None)
+        importlib.reload(scaling_bench)
+    d = pq.read_table(f"{out}/embeddings.parquet").to_pandas()
+    base = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    n = len(base)
+    assert len(d) == 66 * n
+    a = np.vstack([np.asarray(v, np.float32) for v in base["embedding"]])
+    s64 = np.vstack([np.asarray(v, np.float32) for v in d["embedding"][64 * n:65 * n]])
+    # shard 64 = global negation of the base (roll shift 64 % 64 == 0)
+    assert np.array_equal(s64, -a)
+    vecs = {np.asarray(v, np.float32).tobytes() for v in d["embedding"]}
+    assert len(vecs) == 66 * n
 
 
 def test_freshness_queue_is_total_and_oldest_first():

@@ -83,20 +83,29 @@ def build(out_dir: str, factor: int) -> None:
                 d["text"] = d["text"].map(lambda t, i=i: _tag_words(t, f"~{i}"))
                 d["n_chars"] = d["text"].str.len()
             elif name == "embeddings":
-                # the rotation is the IDENTITY at shift % 64 == 0 and
-                # repeats every 63 shards for shift = 1 + (i-1) % 63 —
-                # beyond 64 shards the "distinct vectors" invariant
-                # breaks silently, so refuse rather than mismeasure
-                assert factor <= 64, (
-                    "embeddings shard tagging (cyclic roll) only yields "
-                    "distinct vectors up to factor 64; build embeddings "
-                    "at <= 64 or add a second norm-preserving transform"
+                # two composed norm-preserving devices: cyclic roll
+                # (period 64 — the roll is the IDENTITY at shift % 64
+                # == 0) x global negation for the second period. Past
+                # 128 both are exhausted -> refuse rather than
+                # mismeasure; the post-build uniqueness assert below
+                # backs the structural argument with a measurement.
+                assert factor <= 128, (
+                    "embeddings shard tagging (cyclic roll x negation) "
+                    "only yields distinct vectors up to factor 128; "
+                    "build embeddings at <= 128 or add a third "
+                    "norm-preserving transform"
                 )
                 d["vec_id"] = d["vec_id"] + i * OFF
-                # cyclic rotation: norm-preserving, shard vectors are
-                # distinct but identically distributed
+                # cyclic rotation (+ negation for shards 64..127):
+                # norm-preserving, shard vectors are distinct but
+                # identically distributed (negation flips every cosine's
+                # sign against non-negated shards — fine for near-dup
+                # measurement, which only blocks on high-cos pairs)
+                sgn = np.float32(-1.0 if i >= 64 else 1.0)
                 d["embedding"] = d["embedding"].map(
-                    lambda v, i=i: np.roll(np.asarray(v, dtype=np.float32), i).tolist()
+                    lambda v, i=i, s=sgn: (
+                        np.roll(np.asarray(v, dtype=np.float32), i % 64) * s
+                    ).tolist()
                 )
             elif name == "lineitem":
                 for k in ("l_orderkey", "l_partkey", "l_suppkey"):
@@ -111,7 +120,18 @@ def build(out_dir: str, factor: int) -> None:
                     )
                 )
             parts.append(pa.Table.from_pandas(d, schema=src.schema, preserve_index=False))
-        pq.write_table(pa.concat_tables(parts), f"{out_dir}/{name}.parquet")
+        full = pa.concat_tables(parts)
+        if name == "embeddings":
+            # measured (not just structural) distinctness: a roll- or
+            # negation-invariant base vector would silently hand shards
+            # exact twins and poison the dedup measurements
+            mat = np.array(full.column("embedding").to_pylist(), dtype=np.float32)
+            n_uniq = len({row.tobytes() for row in mat})
+            assert n_uniq == full.num_rows, (
+                f"shard tagging produced {full.num_rows - n_uniq} exact "
+                "duplicate embedding vectors"
+            )
+        pq.write_table(full, f"{out_dir}/{name}.parquet")
     print(json.dumps({"built": out_dir, "factor": factor, "tables": list(TABLES)}))
 
 
@@ -121,10 +141,38 @@ def _session():
     return get_spark_session(app_name="labelspark-scaling-bench")
 
 
-def _time_query(spark, name: str, sf_dir: str, passes: int = 2) -> float:
+def _ivf_kpropn(spark, sf_dir: str, k: int):
+    """dedup_embedding_ivf under the SURVEY §6 deployment rule k ∝ n
+    (bounded cell size). The registry query pins k=16 — correct at
+    sf0.1, quadratic if shipped unchanged to a 10x/100x corpus because
+    every k-means cell grows with the corpus and the in-cell verify is
+    quadratic in cell size BY DESIGN (that is what blocking means).
+    This variant is the same operator call with k scaled to the built
+    factor, so the rule is measured, not asserted."""
+    from labelspark_spark.operators import dedup as dd
+    from labelspark_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dd.embedding_dup_pairs_ivf(
+        emb, "embedding", "vec_id", threshold=0.4, k=k, nprobe=4
+    )
+
+
+def _resolve(name: str, factor: int):
+    """(fn_1x, fn_scaled) for a query name; kpropn pseudo-queries scale
+    a parameter with the factor instead of re-using the registry fn."""
+    if name == "dedup_embedding_ivf_kpropn":
+        return (
+            lambda spark, d: _ivf_kpropn(spark, d, k=16),
+            lambda spark, d: _ivf_kpropn(spark, d, k=16 * factor),
+        )
     from labelspark_spark.queries import REGISTRY
 
     fn, _ = REGISTRY[name]
+    return fn, fn
+
+
+def _time_query(spark, fn, sf_dir: str, passes: int = 2) -> float:
     best = float("inf")
     for _ in range(passes):
         t0 = time.perf_counter()
@@ -133,13 +181,14 @@ def _time_query(spark, name: str, sf_dir: str, passes: int = 2) -> float:
     return round(best, 3)
 
 
-def run(out_dir: str, queries: list[str], factor: int) -> None:
+def run(out_dir: str, queries: list[str], factor: int, passes: int = 2) -> None:
     spark = _session()
     spark.range(1).count()
     results = {}
     for name in queries:
-        t1 = _time_query(spark, name, SF_DIR)
-        tn = _time_query(spark, name, out_dir)
+        fn_1x, fn_nx = _resolve(name, factor)
+        t1 = _time_query(spark, fn_1x, SF_DIR, passes)
+        tn = _time_query(spark, fn_nx, out_dir, passes)
         results[name] = {
             "t_1x_sec": t1,
             f"t_{factor}x_sec": tn,
@@ -269,12 +318,16 @@ def main() -> None:
                     help="subset of tables to build (100x lineitem would "
                          "need ~11GB of driver pandas; build only what the "
                          "measured queries read)")
+    ap.add_argument("--passes", type=int, default=2,
+                    help="warm passes per measurement (min is reported); "
+                         "1 for the multi-minute 100x points")
     args = ap.parse_args()
     if args.mode == "build":
         TABLES = tuple(t for t in args.tables.split(",") if t)
         build(args.out, args.factor)
     elif args.mode == "run":
-        run(args.out, [q for q in args.queries.split(",") if q], args.factor)
+        run(args.out, [q for q in args.queries.split(",") if q], args.factor,
+            args.passes)
     else:
         triangles()
 
