@@ -205,7 +205,18 @@ def kmeans_fit(
     k*dim partials). Only the k centroids ever reach the driver, never
     the data. Init is the k rows with the smallest ``xxhash64(id, seed)``
     — a deterministic pseudo-random sample.
+
+    For ``k`` past :data:`_FLAT_K_MAX` the flat loop's O(n*k*d)
+    per-iteration matmul is replaced by the two-level fit
+    (:func:`_kmeans_fit_hierarchical`) — O(n*sqrt(k)*d) per pass —
+    which is what the IVF deployment rule k ∝ n (SURVEY §6) needs to
+    stay sub-quadratic at 100 TB. Every registry query pins k <= 64,
+    so all attested plans stay on the flat path bit-for-bit.
     """
+    if k > _FLAT_K_MAX:
+        return _kmeans_fit_hierarchical(
+            df, k, dim, max_iters, vec_col, id_col, seed
+        )
     spark = df.sparkSession
     init = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -270,6 +281,112 @@ def kmeans_fit(
     return spark.createDataFrame(
         [(i, v) for i, v in enumerate(centroids)],
         "centroid_id int, centroid array<double>",
+    )
+
+
+# k above which kmeans_fit switches to the two-level strategy. Every
+# registry query pins k <= 64 (flat path, attested plans unchanged);
+# only the k ∝ n scale configurations cross it.
+_FLAT_K_MAX = 64
+
+
+def _kmeans_fit_hierarchical(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    max_iters: int,
+    vec_col: str,
+    id_col: str,
+    seed: int,
+) -> DataFrame:
+    """Two-level (coarse, then per-cell local) k-means for large ``k``.
+
+    Motivation (measured, SURVEY §6): under the IVF deployment rule
+    k ∝ n (bounded cell size), the flat Lloyd's fit is O(n*k*d) =
+    O(n^2*d / cell_size) — the fit, not the candidate verify, becomes
+    the quadratic piece of the near-dup pipeline (the 100x k∝n point's
+    super-linear step is entirely fit growth). This is the same answer
+    production ANN systems give (FAISS's coarse quantizer hierarchy):
+
+    1. fit ``k1 = ceil(sqrt(k))`` COARSE centroids with the flat loop —
+       O(n*sqrt(k)*d) per iteration;
+    2. assign every row to its nearest coarse cell (one Arrow matmul
+       pass);
+    3. fit ``k2 = ceil(k/k1)`` LOCAL centroids inside each coarse cell
+       with ``groupBy().applyInPandas`` — cells fit independently and
+       in parallel, total O(n*sqrt(k)*d) per iteration.
+
+    Total fit work is O(n*sqrt(k)*d) — O(n^1.5) under k ∝ n — and the
+    result is still "~k centroids whose cells are corpus-size/k" (what
+    the blocking join needs; cells smaller than k2 emit one centroid
+    per row, so the count can land under k on degenerate splits).
+
+    Determinism discipline matches the flat path: group rows are
+    re-ordered by a seeded md5 of their id before any float touches
+    them (applyInPandas group order is shuffle-dependent; float sums
+    are order-sensitive), init is the first k2 rows in that hash
+    order, assignment uses the quantized argmax with stable ties, and
+    empty clusters keep their previous centroid.
+    """
+    import hashlib
+
+    k1 = max(2, int(np.ceil(np.sqrt(k))))
+    k2 = int(np.ceil(k / k1))
+    coarse = kmeans_fit(
+        df, k=k1, dim=dim, max_iters=max_iters,
+        vec_col=vec_col, id_col=id_col, seed=seed,
+    )
+    cent = F.broadcast(
+        coarse.select(
+            F.col("centroid_id").alias("_cid"), F.col("centroid").alias("_cvec")
+        )
+    )
+    assigned = _assign_to_centroids(
+        df.select(id_col, vec_col), cent, id_col, vec_col, 1, "_id", dim
+    )
+
+    def _local(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = np.array(
+            [
+                hashlib.md5(f"{v}#s{seed}".encode()).hexdigest()
+                for v in pdf["_id"].astype(str).to_numpy()
+            ]
+        )
+        order = np.argsort(keys, kind="stable")
+        mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)[order]
+        kk = min(k2, len(pdf))
+        cents = mat[:kk].copy()
+        vnorm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        for _ in range(max_iters):
+            cnorm = np.sqrt(np.einsum("ij,ij->i", cents, cents))
+            den = vnorm[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0, 0.0, (mat @ cents.T) / den)
+            cid = np.argsort(-np.round(cos, 9), axis=1, kind="stable")[:, 0]
+            new = cents.copy()
+            for i in range(kk):
+                sel = cid == i
+                if sel.any():
+                    new[i] = mat[sel].mean(axis=0)
+            if np.array_equal(new, cents):
+                break
+            cents = new
+        return pd.DataFrame(
+            {
+                "_ccid": np.full(kk, int(pdf["_cid"].iloc[0]), dtype=np.int64),
+                "_lidx": np.arange(kk, dtype=np.int32),
+                "centroid": list(cents),
+            }
+        )
+
+    locals_df = assigned.groupBy("_cid").applyInPandas(
+        _local, "_ccid bigint, _lidx int, centroid array<double>"
+    )
+    # global ids: one window over ~k rows (never the data)
+    w = Window.orderBy("_ccid", "_lidx")
+    return locals_df.select(
+        (F.row_number().over(w) - 1).cast("int").alias("centroid_id"),
+        "centroid",
     )
 
 

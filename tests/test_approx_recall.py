@@ -243,6 +243,49 @@ def test_embedding_ivf_dedup_recall_and_precision(spark):
     assert approx <= exact
 
 
+def test_kmeans_fit_hierarchical_contract(spark):
+    # k > _FLAT_K_MAX routes to the two-level (coarse -> per-cell
+    # applyInPandas) fit — the O(n*sqrt(k)) path the k ∝ n deployment
+    # rule needs (SURVEY §6). Contract: sequential ids, <= k centroids
+    # of the right dim, deterministic across invocations (group rows
+    # are hash-reordered before any float op, so shuffle order can't
+    # leak into the centroids).
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    assert 81 > similarity._FLAT_K_MAX
+    c1 = similarity.kmeans_fit(emb, k=81, dim=64, max_iters=2).collect()
+    c2 = similarity.kmeans_fit(emb, k=81, dim=64, max_iters=2).collect()
+    ids = sorted(r.centroid_id for r in c1)
+    assert ids == list(range(len(ids))) and len(ids) <= 81
+    assert all(len(r.centroid) == 64 for r in c1)
+    key = lambda r: r.centroid_id  # noqa: E731
+    assert [(r.centroid_id, tuple(r.centroid)) for r in sorted(c1, key=key)] == [
+        (r.centroid_id, tuple(r.centroid)) for r in sorted(c2, key=key)
+    ]
+
+
+def test_embedding_ivf_dedup_recall_through_hierarchical_fit(spark):
+    # the k ∝ n scale configuration crosses _FLAT_K_MAX: the recall
+    # bound must hold through the two-level fit too (measured 0.932
+    # exactly — the pipeline is deterministic — with zero false
+    # positives; 200 vectors / k=72 is much finer cell geometry than
+    # the ~500-vector cells the rule produces at scale, so this is the
+    # conservative side)
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dup_pairs_ivf(
+            emb, "embedding", "vec_id", threshold=0.4, k=72, nprobe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / max(len(exact), 1)
+    assert recall >= 0.9, f"hierarchical-fit IVF dedup recall too low: {recall}"
+    assert approx <= exact
+
+
 def test_embedding_ivf_dedup_plan_has_no_cartesian(spark):
     # the kmeans FIT iterates broadcast cross joins (k*dim floats — fine);
     # the pair-generation plan itself must be a cell-keyed equi-join with
