@@ -20,6 +20,9 @@ scaled data lands in a temp dir (or --out).
 Usage:
   python tools/scaling_bench.py build  [--out DIR] [--factor 10]
   python tools/scaling_bench.py run    [--out DIR] [--queries a,b,c]
+  python tools/scaling_bench.py probe  [--out DIR] [--factor 100]
+                                            # persisted-index probe
+                                            # latency: flat vs corpus
   python tools/scaling_bench.py triangles   # oriented-vs-census on a
                                             # skewed synthetic graph
 
@@ -204,6 +207,60 @@ def run(out_dir: str, queries: list[str], factor: int, passes: int = 2) -> None:
     spark.stop()
 
 
+def probe_flat(out_dir: str, factor: int, passes: int) -> None:
+    """The SERVING-side IVF scale claim, measured: with the deployment
+    rule applied to the index (cells k ∝ n, storage buckets ∝ n — both
+    keep their per-unit size constant), the latency of PROBING a
+    persisted index for a fixed query batch must stay ~flat as the
+    corpus grows, because a probe touches nprobe cells of constant
+    size, never the corpus. ivf_build cost (one corpus pass + one
+    bucketed write) is reported separately — it's the amortized side.
+    The registry's similarity_ivf_probe line re-BUILDS per call (the
+    honest per-query cost at sf0.1), so the bench number can't show
+    probe flatness; this mode exists for exactly that."""
+    from pyspark.sql import functions as F
+
+    from labelspark_spark.operators import similarity as sim
+    from labelspark_spark.queries import _drop_managed_table
+    from labelspark_spark.sources.readers import read_table
+
+    spark = _session()
+    spark.range(1).count()
+    results = {}
+    for label, d, fct in (("1x", SF_DIR, 1), (f"{factor}x", out_dir, factor)):
+        emb = read_table(spark, d, "embeddings")
+        t0 = time.perf_counter()
+        cents = sim.kmeans_fit(emb, k=16 * fct, dim=64, max_iters=3)
+        table = f"ivf_probe_flat_{label}"
+        _drop_managed_table(spark, table)
+        sim.ivf_build(emb, cents, table=table, num_buckets=32 * fct)
+        t_build = round(time.perf_counter() - t0, 3)
+        queries = emb.filter(F.col("vec_id") < 40).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        best, cold = float("inf"), None
+        for _ in range(passes + 1):
+            t0 = time.perf_counter()
+            sim.ivf_probe(queries, cents, table=table, k=10, nprobe=4).count()
+            dt = time.perf_counter() - t0
+            cold = dt if cold is None else cold
+            best = min(best, dt)
+        results[label] = {
+            "t_build_sec": t_build,
+            "t_probe_cold_sec": round(cold, 3),
+            "t_probe_warm_sec": round(best, 3),
+        }
+        print(f"# {label}: build={t_build}s probe cold={cold:.3f}s "
+              f"warm={best:.3f}s", file=sys.stderr)
+    ratio = round(
+        results[f"{factor}x"]["t_probe_warm_sec"] / results["1x"]["t_probe_warm_sec"], 2
+    )
+    print(json.dumps({"mode": "probe_flat", "factor": factor, "sf_1x": SF_DIR,
+                      "dir_scaled": out_dir, "probe_warm_ratio": ratio,
+                      "results": results}))
+    spark.stop()
+
+
 def _zipf_edges(n_nodes: int, n_edges: int, seed: int) -> "np.ndarray":
     """Skewed (Zipf-endpoint) undirected edge list, deduped, a<b.
 
@@ -310,7 +367,7 @@ def triangles() -> None:
 def main() -> None:
     global TABLES
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["build", "run", "triangles"])
+    ap.add_argument("mode", choices=["build", "run", "probe", "triangles"])
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--queries", default=",".join(TARGETS))
@@ -328,6 +385,8 @@ def main() -> None:
     elif args.mode == "run":
         run(args.out, [q for q in args.queries.split(",") if q], args.factor,
             args.passes)
+    elif args.mode == "probe":
+        probe_flat(args.out, args.factor, args.passes)
     else:
         triangles()
 
