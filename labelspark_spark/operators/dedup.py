@@ -1000,6 +1000,10 @@ def embedding_dup_pairs_ivf(
 
     Verify cost ~ sum of squared cell sizes ~ (nprobe * n)^2 / k: pick
     k ~ n / target_cell_size and the work scales linearly with data.
+    Under that rule the k-means FIT is the next quadratic piece
+    (O(n*k*d) per iteration = O(n^2*d/cell_size)); kmeans_fit switches
+    to a two-level coarse->local fit past k=64 so the fit stays
+    O(n*sqrt(k)*d) — measured two-decade curve in SURVEY §6.
     :func:`embedding_dup_pairs` (brute force) stays the recall oracle
     (tests/test_approx_recall.py).
     """
