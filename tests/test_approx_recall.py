@@ -286,6 +286,32 @@ def test_embedding_ivf_dedup_recall_through_hierarchical_fit(spark):
     assert approx <= exact
 
 
+def test_kmeans_fit_hierarchical_plan_and_tie_discipline(spark):
+    # plan shape: the local fits run as ONE grouped-map Arrow stage over
+    # the coarse assignment (FlatMapGroupsInPandas), with no
+    # corpus-x-corpus nested loop anywhere in the centroid plan
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = similarity.kmeans_fit(emb, k=72, dim=64, max_iters=2)
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+    # tie discipline: a corpus where every vector appears twice (the r9
+    # duplicate-vector adversarial case) must still fit
+    # deterministically — duplicate rows collapse to identical hash
+    # keys only if ids collide, which the +10000 offset prevents
+    dup = emb.unionByName(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    )
+    c1 = similarity.kmeans_fit(dup, k=72, dim=64, max_iters=2).collect()
+    c2 = similarity.kmeans_fit(dup, k=72, dim=64, max_iters=2).collect()
+    key = lambda r: r.centroid_id  # noqa: E731
+    assert [(r.centroid_id, tuple(r.centroid)) for r in sorted(c1, key=key)] == [
+        (r.centroid_id, tuple(r.centroid)) for r in sorted(c2, key=key)
+    ]
+    assert len(c1) <= 72
+
+
 def test_embedding_ivf_dedup_plan_has_no_cartesian(spark):
     # the kmeans FIT iterates broadcast cross joins (k*dim floats — fine);
     # the pair-generation plan itself must be a cell-keyed equi-join with
