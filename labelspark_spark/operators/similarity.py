@@ -312,26 +312,31 @@ def _kmeans_fit_hierarchical(
        O(n*sqrt(k)*d) per iteration;
     2. assign every row to its nearest coarse cell (one Arrow matmul
        pass);
-    3. fit ``k2 = ceil(k/k1)`` LOCAL centroids inside each coarse cell
-       with ``groupBy().applyInPandas`` — cells fit independently and
+    3. fit each coarse cell's budget of LOCAL centroids (k // k1, +1
+       for the first k % k1 cells — budgets sum to exactly k) with
+       ``groupBy().applyInPandas`` — cells fit independently and
        in parallel, total O(n*sqrt(k)*d) per iteration.
 
     Total fit work is O(n*sqrt(k)*d) — O(n^1.5) under k ∝ n — and the
     result is still "~k centroids whose cells are corpus-size/k" (what
-    the blocking join needs; cells smaller than k2 emit one centroid
-    per row, so the count can land under k on degenerate splits).
+    the blocking join needs). Per-cell budgets sum to exactly k
+    (k // k1 each, +1 for the first k % k1 cells), so the count NEVER
+    exceeds k; cells smaller than their budget emit one centroid per
+    row, so it can land under k on degenerate splits. Like the flat
+    path, the returned DataFrame is a materialized local relation —
+    only the ~k centroids ever reach the driver, and downstream
+    actions never re-execute the fit.
 
     Determinism discipline matches the flat path: group rows are
     re-ordered by a seeded md5 of their id before any float touches
     them (applyInPandas group order is shuffle-dependent; float sums
-    are order-sensitive), init is the first k2 rows in that hash
+    are order-sensitive), init is the first budget rows in that hash
     order, assignment uses the quantized argmax with stable ties, and
     empty clusters keep their previous centroid.
     """
     import hashlib
 
     k1 = max(2, int(np.ceil(np.sqrt(k))))
-    k2 = int(np.ceil(k / k1))
     coarse = kmeans_fit(
         df, k=k1, dim=dim, max_iters=max_iters,
         vec_col=vec_col, id_col=id_col, seed=seed,
@@ -345,6 +350,8 @@ def _kmeans_fit_hierarchical(
         df.select(id_col, vec_col), cent, id_col, vec_col, 1, "_id", dim
     )
 
+    base, extra = k // k1, k % k1
+
     def _local(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = np.array(
             [
@@ -354,7 +361,9 @@ def _kmeans_fit_hierarchical(
         )
         order = np.argsort(keys, kind="stable")
         mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)[order]
-        kk = min(k2, len(pdf))
+        cid0 = int(pdf["_cid"].iloc[0])
+        budget = base + (1 if cid0 < extra else 0)
+        kk = min(budget, len(pdf))
         cents = mat[:kk].copy()
         vnorm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
         for _ in range(max_iters):
@@ -373,7 +382,7 @@ def _kmeans_fit_hierarchical(
             cents = new
         return pd.DataFrame(
             {
-                "_ccid": np.full(kk, int(pdf["_cid"].iloc[0]), dtype=np.int64),
+                "_ccid": np.full(kk, cid0, dtype=np.int64),
                 "_lidx": np.arange(kk, dtype=np.int32),
                 "centroid": list(cents),
             }
@@ -382,11 +391,17 @@ def _kmeans_fit_hierarchical(
     locals_df = assigned.groupBy("_cid").applyInPandas(
         _local, "_ccid bigint, _lidx int, centroid array<double>"
     )
-    # global ids: one window over ~k rows (never the data)
-    w = Window.orderBy("_ccid", "_lidx")
-    return locals_df.select(
-        (F.row_number().over(w) - 1).cast("int").alias("centroid_id"),
-        "centroid",
+    # materialize ONCE (<= k rows — the same driver-bounded collect the
+    # flat path ends in): returning the lazy plan would re-execute the
+    # corpus assignment + every local fit on EACH downstream action
+    # (e.g. per probe pass), and the global ids come from a plain sort
+    # of the collected rows instead of a window
+    rows = sorted(
+        locals_df.collect(), key=lambda r: (r._ccid, r._lidx)
+    )
+    return df.sparkSession.createDataFrame(
+        [(i, list(r.centroid)) for i, r in enumerate(rows)],
+        "centroid_id int, centroid array<double>",
     )
 
 

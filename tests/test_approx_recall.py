@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 from labelspark_spark.operators import dedup, similarity
 from labelspark_spark.sources import read_table
 
-from .conftest import SF_SMOKE
+from .conftest import SF_CORRECT, SF_SMOKE
 
 
 def _docs(spark):
@@ -250,7 +250,7 @@ def test_kmeans_fit_hierarchical_contract(spark):
     # of the right dim, deterministic across invocations (group rows
     # are hash-reordered before any float op, so shuffle order can't
     # leak into the centroids).
-    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = read_table(spark, SF_CORRECT, "embeddings")
     assert 81 > similarity._FLAT_K_MAX
     c1 = similarity.kmeans_fit(emb, k=81, dim=64, max_iters=2).collect()
     c2 = similarity.kmeans_fit(emb, k=81, dim=64, max_iters=2).collect()
@@ -270,30 +270,34 @@ def test_embedding_ivf_dedup_recall_through_hierarchical_fit(spark):
     # positives; 200 vectors / k=72 is much finer cell geometry than
     # the ~500-vector cells the rule produces at scale, so this is the
     # conservative side)
-    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = read_table(spark, SF_CORRECT, "embeddings")
     exact = {
         (r.id_a, r.id_b)
         for r in dedup.embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.4).collect()
     }
-    approx = {
-        (r.id_a, r.id_b)
-        for r in dedup.embedding_dup_pairs_ivf(
-            emb, "embedding", "vec_id", threshold=0.4, k=72, nprobe=4
-        ).collect()
-    }
+    pairs_df = dedup.embedding_dup_pairs_ivf(
+        emb, "embedding", "vec_id", threshold=0.4, k=72, nprobe=4
+    )
+    # the pair-generation plan through the hierarchical fit stays a
+    # cell-keyed equi-join — no corpus-x-corpus nested loop
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    approx = {(r.id_a, r.id_b) for r in pairs_df.collect()}
     recall = len(exact & approx) / max(len(exact), 1)
     assert recall >= 0.9, f"hierarchical-fit IVF dedup recall too low: {recall}"
     assert approx <= exact
 
 
 def test_kmeans_fit_hierarchical_plan_and_tie_discipline(spark):
-    # plan shape: the local fits run as ONE grouped-map Arrow stage over
-    # the coarse assignment (FlatMapGroupsInPandas), with no
-    # corpus-x-corpus nested loop anywhere in the centroid plan
-    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    # plan shape: like the flat path, the returned centroids are a
+    # MATERIALIZED local relation (<= k rows collected once) — a lazy
+    # plan here would re-execute the corpus assignment + every local
+    # fit on each downstream action (e.g. per probe pass)
+    emb = read_table(spark, SF_CORRECT, "embeddings")
     cents = similarity.kmeans_fit(emb, k=72, dim=64, max_iters=2)
     plan = cents._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # fit already ran
     assert "CartesianProduct" not in plan
 
     # tie discipline: a corpus where every vector appears twice (the r9

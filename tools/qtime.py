@@ -16,17 +16,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    passes = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--passes="):
-            passes = int(a.split("=", 1)[1])
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--passes", type=int, default=3)
+    args = ap.parse_args()
+    passes = max(1, args.passes)
     from labelspark_spark import get_spark_session
     from labelspark_spark.queries import REGISTRY
 
     spark = get_spark_session(app_name="qtime")
     spark.range(1).count()
-    for name in names:
+    for name in args.names:
         fn, _ = REGISTRY[name]
         t0 = time.perf_counter()
         n = fn(spark, SF_DIR).count()

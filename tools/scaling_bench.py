@@ -79,6 +79,15 @@ def build(out_dir: str, factor: int) -> None:
         src = pq.read_table(f"{SF_DIR}/{name}.parquet")
         base = src.to_pandas()
         parts = [src]
+        if name == "embeddings":
+            base_mat = np.vstack(
+                [np.asarray(v, dtype=np.float32) for v in base["embedding"]]
+            )
+            # canonicalize -0.0 -> +0.0 before hashing (negated shards
+            # can flip a zero's sign without changing the vector) and
+            # accumulate per shard — never materialize the scaled
+            # corpus as python floats just to check uniqueness
+            seen = {row.tobytes() for row in base_mat + np.float32(0.0)}
         for i in range(1, factor):
             d = base.copy()
             if name == "documents":
@@ -105,11 +114,10 @@ def build(out_dir: str, factor: int) -> None:
                 # sign against non-negated shards — fine for near-dup
                 # measurement, which only blocks on high-cos pairs)
                 sgn = np.float32(-1.0 if i >= 64 else 1.0)
-                d["embedding"] = d["embedding"].map(
-                    lambda v, i=i, s=sgn: (
-                        np.roll(np.asarray(v, dtype=np.float32), i % 64) * s
-                    ).tolist()
-                )
+                mat = np.roll(base_mat, i % 64, axis=1) * sgn
+                for row in mat + np.float32(0.0):
+                    seen.add(row.tobytes())
+                d["embedding"] = mat.tolist()
             elif name == "lineitem":
                 for k in ("l_orderkey", "l_partkey", "l_suppkey"):
                     d[k] = d[k] + i * OFF
@@ -128,10 +136,8 @@ def build(out_dir: str, factor: int) -> None:
             # measured (not just structural) distinctness: a roll- or
             # negation-invariant base vector would silently hand shards
             # exact twins and poison the dedup measurements
-            mat = np.array(full.column("embedding").to_pylist(), dtype=np.float32)
-            n_uniq = len({row.tobytes() for row in mat})
-            assert n_uniq == full.num_rows, (
-                f"shard tagging produced {full.num_rows - n_uniq} exact "
+            assert len(seen) == full.num_rows, (
+                f"shard tagging produced {full.num_rows - len(seen)} exact "
                 "duplicate embedding vectors"
             )
         pq.write_table(full, f"{out_dir}/{name}.parquet")
