@@ -331,8 +331,18 @@ def _kmeans_fit_hierarchical(
     re-ordered by a seeded md5 of their id before any float touches
     them (applyInPandas group order is shuffle-dependent; float sums
     are order-sensitive), init is the first budget rows in that hash
-    order, assignment uses the quantized argmax with stable ties, and
+    order, assignment uses the quantized argmax with stable ties
+    (coarse assignment passes decimals=9 so its quantization matches
+    the flat fit's per-iteration argmax, not the probe paths' 6), and
     empty clusters keep their previous centroid.
+
+    Memory contract: step 3's ``groupBy().applyInPandas`` loads ONE
+    coarse cell per executor pandas frame, so each cell must fit in
+    executor memory — ~n/k1 rows * dim doubles for a balanced coarse
+    fit. A degenerate coarse fit (e.g. a near-identical corpus) can
+    dump most rows into one cell and OOM that executor; if the corpus
+    may degenerate, cap cell size upstream (salt oversized cells on a
+    hash of the id) before fitting.
     """
     import hashlib
 
@@ -347,7 +357,8 @@ def _kmeans_fit_hierarchical(
         )
     )
     assigned = _assign_to_centroids(
-        df.select(id_col, vec_col), cent, id_col, vec_col, 1, "_id", dim
+        df.select(id_col, vec_col), cent, id_col, vec_col, 1, "_id", dim,
+        decimals=9,
     )
 
     base, extra = k // k1, k % k1
@@ -443,15 +454,21 @@ def _assign_to_centroids(
     n: int,
     out_id: str,
     dim: int = 64,
+    decimals: int = 6,
 ) -> DataFrame:
     """Nearest-``n`` centroid assignment. The centroid side is k*dim
     floats BY DESIGN (kmeans_fit only ever materializes that much), so
     it collects to a numpy matrix and the assignment is a vectorized
-    Pandas-UDF matmul over the (never-collected) vector side."""
+    Pandas-UDF matmul over the (never-collected) vector side.
+
+    ``decimals`` sets the tie-quantization of the argmax: the PROBE
+    paths keep the default 6 (bit-for-bit parity with the SQL oracles'
+    ``round(cos, 6)``); the hierarchical FIT path passes 9 to match the
+    flat fit's per-iteration argmax quantization exactly."""
     rows = cent.select("_cid", "_cvec").collect()
     cids = np.array([r._cid for r in rows], dtype=np.int64)
     cents = np.array([list(r._cvec) for r in rows], dtype=np.float64)
-    near = _nearest_cells_udf(cids, cents, n, 6)
+    near = _nearest_cells_udf(cids, cents, n, decimals)
     return (
         df.select(F.col(idc).alias(out_id), F.col(vecc).alias("_v"))
         .withColumn("_cid", F.explode(near(F.col("_v"))))
