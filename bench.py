@@ -337,6 +337,11 @@ BENCH_QUERIES = [
     "agg_correlation",
     "domain_filter",
     "set_except_all",
+    # round-11: the two-level k-means attestation — benched (not
+    # companion-excluded) because its PRIMARY arm, the k>_FLAT_K_MAX
+    # hierarchical fit, appears in no other bench row; this is the
+    # shipped large-k deployment path's only per-round timing signal
+    "kmeans_twolevel_recall",
 ]
 
 # --------------------------------------------------------------------------

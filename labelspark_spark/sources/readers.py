@@ -143,11 +143,10 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     parquet only when the Delta runtime jar is absent (this test env);
     all other Delta errors propagate.
 
-    Jar probe log (per-round, VERDICT r8 item 5): r10 2026-08-15 — no
+    Jar probe log (per-round, VERDICT r8 item 5): r11 2026-08-16 — no
     `delta` pip package, no io.delta jar in the ivy cache or among
-    pyspark's bundled jars (r10 glob counts 286 jars where the r9 note
-    said 287 — one of the two counts was off by one, but both probes
-    agree on the fact that matters: zero of them are delta). First round the jar
+    pyspark's 286 bundled jars (same count as r10; the r9 note's 287
+    was the off-by-one). First round the jar
     resolves, attest a real S5/S7 write->read->time-travel roundtrip
     (tests/test_operators.py::test_delta_fallback_is_narrow and
     tests/test_client.py::test_delta_verb_roundtrip are the ready-made

@@ -560,3 +560,16 @@ def test_ivf_probe_batch_exact_under_duplicate_vector_ties(spark):
     sa = {(r.query_id, r.neighbor_id, r.cos, r.rank) for r in a.collect()}
     sb = {(r.query_id, r.neighbor_id, r.cos, r.rank) for r in b.collect()}
     assert sa == sb, f"only-broadcast={sorted(sa-sb)[:5]} only-batch={sorted(sb-sa)[:5]}"
+
+
+def test_kmeans_twolevel_recall_query(spark):
+    # the r11 driver-contract companion for the HIERARCHICAL fit
+    # (queries.q_kmeans_twolevel_recall): k=72 > _FLAT_K_MAX routes
+    # through the two-level path, and the declared integer-math bound
+    # (recall >= 0.6 vs exact top-5) must hold at the smoke SF exactly
+    # as the oracle pins it at sf0.01
+    from labelspark_spark.queries import q_kmeans_twolevel_recall
+
+    row = q_kmeans_twolevel_recall(spark, SF_SMOKE).collect()[0]
+    assert row.exact_pairs == 25
+    assert row.recall_ok is True

@@ -1,75 +1,113 @@
-"""Pin the r10 driver-window plan (VERDICT r9 item 1).
+"""Pin the r11 driver-window plan — the FIRST FRESHNESS ROTATION
+(VERDICT r10 item 1).
 
-The driver hash-checks the FIRST 50 registry entries each round; r8-r10
-drain the never-driver-checked backlog in provable windows. r10 is the
-LAST drain round: its window is this round's four new/changed entries
-(one genuinely new query + three re-attestations of changed code paths)
-followed by all 46 frozen `_R10_BACKLOG` entries — after it runs, every
-declared registry query has a driver CORRECTNESS row. These tests
-freeze that contract in code:
+The driver hash-checks the FIRST 50 registry entries each round. The
+r8-r10 windows drained the never-driver-checked backlog to zero; from
+r11 on the window policy is:
 
-- _R10_WINDOW is exactly 50 names, forms the registry prefix, and is
-  exactly R10_HEAD + _R10_BACKLOG in declared order.
-- The backlog covers the whole never-driver-checked set (union of every
-  CORRECTNESS_r*.json on disk vs the registry) — no name dropped, so
-  after r10 the ever-checked set equals the registry.
-- Every window slot carries an oracle (all 50 are hash-checkable; the
-  rows-only approximate entries were all driver-checked in r1-r9).
+    [this round's new/changed code, reverse-landing order]
+    + the FRESHNESS QUEUE: oldest driver attestation first, derived
+      deterministically from the CORRECTNESS_r*.json files on disk by
+      tools/freshness.py (sort by (latest_green_round ASC, name ASC)).
+
+These tests freeze the ROTATION INVARIANTS in code (not one round's
+literal list alone):
+
+- _R11_WINDOW is exactly 50 names, distinct, and forms the registry
+  prefix the driver checks.
+- Its head is exactly the never-attested entries (nothing new is ever
+  dropped from a window), its tail is exactly the first 49 names of
+  the freshness queue RE-DERIVED here from the same files.
+- The rotation horizon moves: the window covers the COMPLETE oldest
+  cohort, so after the round runs the stalest attestation age strictly
+  decreases.
+- Window entries without an oracle are confined to the frozen
+  declared-approximate set (driver records a weaker rows-only check
+  for those; each has a hash-checked companion elsewhere).
 """
 
 import glob
 import json
 import os
+import re
 
 from labelspark_spark import queries as Q
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# r10 window head: the new probe-twin bit-identity and AQE skew-split
-# attestations, plus re-attestations of the two queries whose code
-# paths changed this round (struct-ordered triangle orientation; the
-# shared exact_cosine_rescore helper behind both IVF probe strategies)
-R10_NEW = ["ivf_probe_twin_equality", "aqe_skew_join"]
-R10_REATTEST = [
-    "triangle_count_oriented",
-    "knn_ivf_agreement",
-]
+# r11 window head: the hierarchical (two-level) k-means fit attestation
+# — the only r11 change to a driver-checked code path
+R11_NEW = ["kmeans_twolevel_recall"]
+
+# the frozen declared-approximate set (VERDICT r10: 12 rows-only
+# entries, every one carrying a driver-green hash-checked companion)
+ROWS_ONLY = {
+    "knn_label_vote_ivf", "similarity_pq", "hll_distinct",
+    "percentiles_approx", "similarity_kmeans_ivf", "dedup_embedding_ivf",
+    "dedup_embedding_lsh", "similarity_ivf_probe", "approx_distinct",
+    "dedup_minhash_lsh", "similarity_lsh", "similarity_ivf",
+}
 
 
-def _ever_driver_checked() -> set[str]:
-    names: set[str] = set()
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r0[1-9].json")):
-        names.update(json.load(open(path)).keys())
-    return names
+def _latest_attestation_rounds() -> dict[str, int]:
+    """Each query's latest CORRECTNESS round, from the files on disk
+    (same derivation as tools/freshness.py, kept inline so the test
+    can't drift from what it pins)."""
+    latest: dict[str, int] = {}
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json", p).group(1)),
+    ):
+        rnd = int(re.search(r"_r(\d+)\.json", path).group(1))
+        for name in json.load(open(path)):
+            latest[name] = rnd
+    return latest
 
 
-def test_r10_window_is_the_driver_prefix():
-    assert len(Q._R10_WINDOW) == 50
-    assert len(set(Q._R10_WINDOW)) == 50
-    assert list(Q.REGISTRY)[:50] == Q._R10_WINDOW
+def test_r11_window_is_the_driver_prefix():
+    assert len(Q._R11_WINDOW) == 50
+    assert len(set(Q._R11_WINDOW)) == 50
+    assert list(Q.REGISTRY)[:50] == Q._R11_WINDOW
 
 
-def test_r10_window_is_head_plus_frozen_backlog():
-    assert Q._R10_WINDOW == R10_NEW + R10_REATTEST + Q._R10_BACKLOG
+def test_r11_head_is_exactly_the_never_attested_set():
+    # nothing is ever dropped: every registry entry with NO driver row
+    # (as of this round's open) must sit in the window head, and the
+    # head must contain nothing else
+    latest = _latest_attestation_rounds()
+    assert latest, "driver CORRECTNESS files missing"
+    never = sorted(n for n in Q.REGISTRY if n not in latest)
+    assert never == sorted(R11_NEW), never
+    assert Q._R11_WINDOW[: len(R11_NEW)] == R11_NEW
 
 
-def test_r10_drains_the_backlog_to_zero():
-    checked = _ever_driver_checked()
-    assert checked, "driver CORRECTNESS files missing"
-    never = {n for n in Q.REGISTRY if n not in checked}
-    window = set(Q._R10_WINDOW)
-    # every never-checked name is in this window: after r10 the
-    # ever-checked set covers the registry
-    assert never <= window, sorted(never - window)
-    # the window's non-backlog head is exactly the new + re-attested
-    # entries; re-attested names are by definition already checked
-    assert never - set(Q._R10_BACKLOG) == set(R10_NEW), sorted(
-        never - set(Q._R10_BACKLOG)
+def test_r11_tail_is_the_freshness_queue_prefix():
+    # re-derive the queue from the CORRECTNESS files (latest round ASC,
+    # name ASC — the tools/freshness.py order) and pin the tail to its
+    # first 49 names. Entries attested in the newest round on disk sort
+    # last, so excluding the previous window is a no-op by construction.
+    latest = _latest_attestation_rounds()
+    queue = sorted(
+        (n for n in Q.REGISTRY if n in latest), key=lambda n: (latest[n], n)
     )
-    assert set(R10_REATTEST) <= checked, sorted(set(R10_REATTEST) - checked)
+    assert Q._R11_WINDOW[len(R11_NEW):] == queue[: 50 - len(R11_NEW)]
 
 
-def test_r10_window_names_all_carry_oracles():
-    # every r10 window slot must produce a hash row: all 50 carry oracles
-    missing = [n for n in Q._R10_WINDOW if Q.REGISTRY[n][1] is None]
-    assert missing == [], missing
+def test_r11_rotation_horizon_strictly_advances():
+    # the window must swallow the ENTIRE oldest cohort: once this
+    # round's driver rows land, no attestation of that vintage remains,
+    # so the stalest age strictly decreases every rotation
+    latest = _latest_attestation_rounds()
+    oldest = min(latest[n] for n in Q.REGISTRY if n in latest)
+    cohort = {n for n in Q.REGISTRY if latest.get(n) == oldest}
+    assert cohort <= set(Q._R11_WINDOW), sorted(cohort - set(Q._R11_WINDOW))
+
+
+def test_r11_no_oracle_slots_are_declared_approximate():
+    no_oracle = {n for n in Q._R11_WINDOW if Q.REGISTRY[n][1] is None}
+    assert no_oracle <= ROWS_ONLY, sorted(no_oracle - ROWS_ONLY)
+    # and the frozen approximate set itself hasn't silently grown
+    registry_no_oracle = {n for n, (f, s) in Q.REGISTRY.items() if s is None}
+    assert registry_no_oracle == ROWS_ONLY, sorted(
+        registry_no_oracle ^ ROWS_ONLY
+    )
