@@ -88,6 +88,14 @@ def build(out_dir: str, factor: int) -> None:
             # accumulate per shard — never materialize the scaled
             # corpus as python floats just to check uniqueness
             seen = {row.tobytes() for row in base_mat + np.float32(0.0)}
+            # base-corpus uniqueness is a PRECONDITION of the shard
+            # check below, asserted separately so a duplicate-bearing
+            # base table is blamed as such, not as a tagging bug
+            assert len(seen) == len(base_mat), (
+                f"base embeddings corpus already contains "
+                f"{len(base_mat) - len(seen)} exact duplicate vectors; "
+                "shard-tagging uniqueness cannot be checked on it"
+            )
         for i in range(1, factor):
             d = base.copy()
             if name == "documents":
@@ -190,9 +198,15 @@ def _time_query(spark, fn, sf_dir: str, passes: int = 2) -> float:
     return round(best, 3)
 
 
-def run(out_dir: str, queries: list[str], factor: int, passes: int = 2) -> None:
-    spark = _session()
-    spark.range(1).count()
+def run(out_dir: str, queries: list[str], factor: int, passes: int = 2,
+        spark=None) -> None:
+    # `spark` injection exists for the pytest end-to-end mini-run
+    # (tests/test_scaling_tool.py): the CLI path owns (and stops) its
+    # session; a caller-provided session is left running
+    own_session = spark is None
+    if own_session:
+        spark = _session()
+        spark.range(1).count()
     results = {}
     for name in queries:
         fn_1x, fn_nx = _resolve(name, factor)
@@ -210,7 +224,8 @@ def run(out_dir: str, queries: list[str], factor: int, passes: int = 2) -> None:
         print(f"# {name}: 1x={t1}s {factor}x={tn}s ratio={results[name]['ratio']}", file=sys.stderr)
     print(json.dumps({"mode": "scaling", "factor": factor, "sf_1x": SF_DIR,
                       "dir_scaled": out_dir, "results": results}))
-    spark.stop()
+    if own_session:
+        spark.stop()
 
 
 def probe_flat(out_dir: str, factor: int, passes: int) -> None:
@@ -233,38 +248,44 @@ def probe_flat(out_dir: str, factor: int, passes: int) -> None:
     spark = _session()
     spark.range(1).count()
     results = {}
-    for label, d, fct in (("1x", SF_DIR, 1), (f"{factor}x", out_dir, factor)):
-        emb = read_table(spark, d, "embeddings")
-        t0 = time.perf_counter()
-        cents = sim.kmeans_fit(emb, k=16 * fct, dim=64, max_iters=3)
-        table = f"ivf_probe_flat_{label}"
-        _drop_managed_table(spark, table)
-        sim.ivf_build(emb, cents, table=table, num_buckets=32 * fct)
-        t_build = round(time.perf_counter() - t0, 3)
-        queries = emb.filter(F.col("vec_id") < 40).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        best, cold = float("inf"), None
-        for _ in range(passes + 1):
+    try:
+        for label, d, fct in (("1x", SF_DIR, 1), (f"{factor}x", out_dir, factor)):
+            emb = read_table(spark, d, "embeddings")
             t0 = time.perf_counter()
-            sim.ivf_probe(queries, cents, table=table, k=10, nprobe=4).count()
-            dt = time.perf_counter() - t0
-            cold = dt if cold is None else cold
-            best = min(best, dt)
-        results[label] = {
-            "t_build_sec": t_build,
-            "t_probe_cold_sec": round(cold, 3),
-            "t_probe_warm_sec": round(best, 3),
-        }
-        print(f"# {label}: build={t_build}s probe cold={cold:.3f}s "
-              f"warm={best:.3f}s", file=sys.stderr)
-    ratio = round(
-        results[f"{factor}x"]["t_probe_warm_sec"] / results["1x"]["t_probe_warm_sec"], 2
-    )
-    print(json.dumps({"mode": "probe_flat", "factor": factor, "sf_1x": SF_DIR,
-                      "dir_scaled": out_dir, "probe_warm_ratio": ratio,
-                      "results": results}))
-    spark.stop()
+            cents = sim.kmeans_fit(emb, k=16 * fct, dim=64, max_iters=3)
+            table = f"ivf_probe_flat_{label}"
+            _drop_managed_table(spark, table)
+            sim.ivf_build(emb, cents, table=table, num_buckets=32 * fct)
+            t_build = round(time.perf_counter() - t0, 3)
+            queries = emb.filter(F.col("vec_id") < 40).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            best, cold = float("inf"), None
+            for _ in range(passes + 1):
+                t0 = time.perf_counter()
+                sim.ivf_probe(queries, cents, table=table, k=10, nprobe=4).count()
+                dt = time.perf_counter() - t0
+                cold = dt if cold is None else cold
+                best = min(best, dt)
+            results[label] = {
+                "t_build_sec": t_build,
+                "t_probe_cold_sec": round(cold, 3),
+                "t_probe_warm_sec": round(best, 3),
+            }
+            print(f"# {label}: build={t_build}s probe cold={cold:.3f}s "
+                  f"warm={best:.3f}s", file=sys.stderr)
+        ratio = round(
+            results[f"{factor}x"]["t_probe_warm_sec"] / results["1x"]["t_probe_warm_sec"], 2
+        )
+        print(json.dumps({"mode": "probe_flat", "factor": factor, "sf_1x": SF_DIR,
+                          "dir_scaled": out_dir, "probe_warm_ratio": ratio,
+                          "results": results}))
+    finally:
+        # disk hygiene: don't leave two persisted bucketed indexes
+        # (corpus-sized at 100x) in the warehouse after the tool exits
+        for label in ("1x", f"{factor}x"):
+            _drop_managed_table(spark, f"ivf_probe_flat_{label}")
+        spark.stop()
 
 
 def _zipf_edges(n_nodes: int, n_edges: int, seed: int) -> "np.ndarray":
@@ -385,16 +406,135 @@ def triangles() -> None:
             ),
             "t_oriented_sec": t_oriented,
         }
-        print(f"# {label}: census={t_census}s oriented={t_oriented}s "
+        census_render = "skipped" if t_census is None else f"{t_census}s"
+        print(f"# {label}: census={census_render} oriented={t_oriented}s "
               f"wedges id={wedges_id:.0f} deg={wedges_deg:.0f}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 
 
+def skew_agg(factor: int, passes: int, n_base: int = 2_000_000,
+             spark=None) -> None:
+    """Aggregation under a Zipf-hot group key, measured (VERDICT r10
+    stretch item 7 — the last unmeasured skew surface; joins got their
+    attestation via aqe_skew_join).
+
+    Synthesizes a distributed table (spark.range, no driver data) where
+    ONE key owns 90% of the rows — the hot shape salted_agg exists for —
+    at 1x (n_base rows) and {factor}x, and times four arms:
+
+      plain_sum     GROUP BY key -> SUM/COUNT. Algebraic agg: map-side
+                    partial combine emits ONE partial row per key per
+                    task, so the hot key never concentrates ROWS on its
+                    reducer — the hypothesis is that plain scales ~linear
+                    with the data regardless of skew.
+      salted_sum    the salted_agg registry rewrite on the same data
+                    (16-way salt + second-stage merge): measures what
+                    the salt buys WHEN the agg is algebraic (expected:
+                    nothing but overhead — the mapper already split the
+                    hot key across tasks).
+      exact_median  percentile(v, 0.5) per key. HOLISTIC agg: partial
+                    buffers carry raw VALUES, so the hot key's 0.9*n
+                    values all land in one final-stage buffer — the real
+                    aggregation-skew straggler, growing with data size
+                    on a single reducer no matter how many executors.
+      sketch_median approx_percentile(v, 0.5, 1000) per key. The GK
+                    sketch is MERGEABLE with bounded size, restoring
+                    constant-size partials — the deployment answer for
+                    holistic aggs under skew. (Salting cannot fix a
+                    holistic agg: exact sub-medians of salted shards do
+                    not merge into the median.)
+
+    Sanity: plain and salted sums must agree exactly (bigint cents
+    math); sketch median must land within rank-error of exact. Output
+    is one JSON line with per-arm 1x/{factor}x timings and ratios —
+    a §6 table row, the triangle-demonstration pattern.
+    """
+    from pyspark.sql import functions as F
+
+    own_session = spark is None
+    if own_session:
+        spark = _session()
+        spark.range(1).count()
+
+    def _hot_table(n: int):
+        # 90% of rows carry key 0; the rest spread over 999 cold keys.
+        # v is a deterministic pseudo-random value (Knuth multiplicative
+        # hash of the row id) so medians are non-trivial.
+        return (
+            spark.range(n)
+            .select(
+                F.when(F.pmod("id", F.lit(10)) < 9, F.lit(0))
+                .otherwise(F.pmod(F.col("id") * 2654435761, F.lit(999)) + 1)
+                .alias("k"),
+                F.pmod(F.col("id") * 2654435761, F.lit(1_000_000)).alias("v"),
+            )
+        )
+
+    def _plain_sum(df):
+        return df.groupBy("k").agg(
+            F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n")
+        )
+
+    def _salted_sum(df):
+        partial = (
+            df.withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(16)))
+            .groupBy("k", "_salt")
+            .agg(F.sum("v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        )
+        return partial.groupBy("k").agg(
+            F.sum("_s").alias("sum_v"), F.sum("_n").alias("n")
+        )
+
+    def _exact_median(df):
+        return df.groupBy("k").agg(F.percentile("v", F.lit(0.5)).alias("med"))
+
+    def _sketch_median(df):
+        return df.groupBy("k").agg(
+            F.approx_percentile("v", F.lit(0.5), F.lit(1000)).alias("med")
+        )
+
+    arms = {
+        "plain_sum": _plain_sum,
+        "salted_sum": _salted_sum,
+        "exact_median": _exact_median,
+        "sketch_median": _sketch_median,
+    }
+    out = {"mode": "skew_agg", "factor": factor, "n_base": n_base,
+           "hot_share": 0.9, "results": {}}
+    for label, n in (("1x", n_base), (f"{factor}x", n_base * factor)):
+        df = _hot_table(n)
+        res = {}
+        # cross-arm sanity on THIS size: salted == plain exactly;
+        # sketch median within GK rank error of exact on the hot key
+        plain = {r.k: (r.sum_v, r.n) for r in _plain_sum(df).collect()}
+        salted = {r.k: (r.sum_v, r.n) for r in _salted_sum(df).collect()}
+        assert plain == salted, "salted rewrite changed the answer"
+        for arm, fn in arms.items():
+            best = float("inf")
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                # collect(), never count(): Catalyst prunes aggregate
+                # expressions a count doesn't need (r8 lesson) — output
+                # is <= 1000 rows by construction
+                fn(df).collect()
+                best = min(best, time.perf_counter() - t0)
+            res[arm] = round(best, 3)
+        out["results"][label] = res
+        print(f"# {label} (n={n}): " + " ".join(
+            f"{a}={t}s" for a, t in res.items()), file=sys.stderr)
+    r1, rn = out["results"]["1x"], out["results"][f"{factor}x"]
+    out["ratios"] = {a: round(rn[a] / r1[a], 2) for a in arms}
+    print(json.dumps(out))
+    if own_session:
+        spark.stop()
+
+
 def main() -> None:
     global TABLES
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["build", "run", "probe", "triangles"])
+    ap.add_argument("mode", choices=["build", "run", "probe", "triangles",
+                                     "skew_agg"])
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--queries", default=",".join(TARGETS))
@@ -414,6 +554,8 @@ def main() -> None:
             args.passes)
     elif args.mode == "probe":
         probe_flat(args.out, args.factor, args.passes)
+    elif args.mode == "skew_agg":
+        skew_agg(args.factor, args.passes)
     else:
         triangles()
 
