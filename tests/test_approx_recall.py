@@ -265,11 +265,12 @@ def test_kmeans_fit_hierarchical_contract(spark):
 
 def test_embedding_ivf_dedup_recall_through_hierarchical_fit(spark):
     # the k ∝ n scale configuration crosses _FLAT_K_MAX: the recall
-    # bound must hold through the two-level fit too (measured 0.932
-    # exactly — the pipeline is deterministic — with zero false
-    # positives; 200 vectors / k=72 is much finer cell geometry than
-    # the ~500-vector cells the rule produces at scale, so this is the
-    # conservative side)
+    # bound must hold through the two-level fit too (measured 0.932 =
+    # 55/59 exactly — the pipeline is deterministic — with zero false
+    # positives; re-measured identical after the r11 decimals=9 coarse-
+    # assignment fix. 500 vectors / k=72 is much finer cell geometry
+    # than the ~500-vector cells the rule produces at scale, so this is
+    # the conservative side)
     emb = read_table(spark, SF_CORRECT, "embeddings")
     exact = {
         (r.id_a, r.id_b)
