@@ -6817,7 +6817,14 @@ def q_events_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     query only when protobuf is importable; the v1
     applyInPandasWithState replays (events_stream_stateful /
     session_timeout) carry the custom-stateful driver signal
-    everywhere."""
+    everywhere.
+
+    Probe log (per-round, VERDICT r10 item 3): r11 2026-08-16 —
+    find_spec('google.protobuf') still raises ModuleNotFoundError (the
+    'google' namespace parent is absent entirely); query stays gated.
+    First round protobuf appears, register unconditionally and put
+    this name at the HEAD of the round's window — it is the only
+    registry-capable query that has never earned a driver row."""
     if not _has_protobuf():
         raise NotImplementedError(
             "transformWithStateInPandas needs google.protobuf (the state-v2 "
