@@ -35,9 +35,14 @@ from labelspark_spark import queries as Q
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# r11 window head: the hierarchical (two-level) k-means fit attestation
-# — the only r11 change to a driver-checked code path
+# r11 window head, per the rotation policy (new/changed code first):
+# the hierarchical (two-level) k-means fit attestation is NEW; the
+# flat-path companion is CHANGED (r11 code-review extraction of the
+# shared _kmeans_recall_bound scaffold), so it re-attests in the head
+# instead of waiting out its natural rotation slot (last attested r9)
 R11_NEW = ["kmeans_twolevel_recall"]
+R11_CHANGED = ["kmeans_ivf_recall"]
+R11_HEAD = R11_NEW + R11_CHANGED
 
 # the frozen declared-approximate set (VERDICT r10: 12 rows-only
 # entries, every one carrying a driver-green hash-checked companion)
@@ -49,16 +54,29 @@ ROWS_ONLY = {
 }
 
 
+# The round whose window this file pins. The derivation below must see
+# exactly the CORRECTNESS files that existed at THIS round's open —
+# including the in-flight round's own file (written by the driver while
+# the round runs) would make the never-attested set empty and reshuffle
+# the re-derived queue, going red the moment the pinned window succeeds
+# (the r10 analog guarded this with a r0[1-9] glob; caught again by r11
+# code review).
+PINNED_ROUND = 11
+
+
 def _latest_attestation_rounds() -> dict[str, int]:
-    """Each query's latest CORRECTNESS round, from the files on disk
-    (same derivation as tools/freshness.py, kept inline so the test
-    can't drift from what it pins)."""
+    """Each query's latest CORRECTNESS round among rounds BEFORE the
+    pinned one, from the files on disk (same derivation as
+    tools/freshness.py, kept inline so the test can't drift from what
+    it pins)."""
     latest: dict[str, int] = {}
     for path in sorted(
         glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)\.json", p).group(1)),
     ):
         rnd = int(re.search(r"_r(\d+)\.json", path).group(1))
+        if rnd >= PINNED_ROUND:
+            continue
         for name in json.load(open(path)):
             latest[name] = rnd
     return latest
@@ -70,27 +88,32 @@ def test_r11_window_is_the_driver_prefix():
     assert list(Q.REGISTRY)[:50] == Q._R11_WINDOW
 
 
-def test_r11_head_is_exactly_the_never_attested_set():
+def test_r11_head_is_exactly_the_new_and_changed_set():
     # nothing is ever dropped: every registry entry with NO driver row
-    # (as of this round's open) must sit in the window head, and the
-    # head must contain nothing else
+    # (as of this round's open) must sit first in the window head;
+    # changed-but-previously-attested code follows it; the head holds
+    # nothing else
     latest = _latest_attestation_rounds()
     assert latest, "driver CORRECTNESS files missing"
     never = sorted(n for n in Q.REGISTRY if n not in latest)
     assert never == sorted(R11_NEW), never
-    assert Q._R11_WINDOW[: len(R11_NEW)] == R11_NEW
+    # changed entries must already have a driver row (else they'd be NEW)
+    assert all(n in latest for n in R11_CHANGED)
+    assert Q._R11_WINDOW[: len(R11_HEAD)] == R11_HEAD
 
 
 def test_r11_tail_is_the_freshness_queue_prefix():
     # re-derive the queue from the CORRECTNESS files (latest round ASC,
-    # name ASC — the tools/freshness.py order) and pin the tail to its
-    # first 49 names. Entries attested in the newest round on disk sort
-    # last, so excluding the previous window is a no-op by construction.
+    # name ASC — the tools/freshness.py order), drop head names, and
+    # pin the tail to its first 48 names. Entries attested in the
+    # newest round on disk sort last, so excluding the previous window
+    # is a no-op by construction.
     latest = _latest_attestation_rounds()
     queue = sorted(
-        (n for n in Q.REGISTRY if n in latest), key=lambda n: (latest[n], n)
+        (n for n in Q.REGISTRY if n in latest and n not in R11_HEAD),
+        key=lambda n: (latest[n], n),
     )
-    assert Q._R11_WINDOW[len(R11_NEW):] == queue[: 50 - len(R11_NEW)]
+    assert Q._R11_WINDOW[len(R11_HEAD):] == queue[: 50 - len(R11_HEAD)]
 
 
 def test_r11_rotation_horizon_strictly_advances():

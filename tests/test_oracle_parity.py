@@ -36,12 +36,23 @@ def test_rows_only_queries_run(spark, name, fn):
     assert len(df.schema.fields) > 0
 
 
-def test_driver_window_has_no_rows_only_slots():
-    """The driver hash-checks only the FIRST 50 registry entries per
-    round; a rows-only (no-oracle) query in a window slot burns a
-    hard-signal slot on a weak check. Every window entry must carry
-    an oracle; rows-only queries (declared-approximate ANN/sketches)
-    live below the line with their recall-companion attestations."""
+def test_driver_window_rows_only_slots_are_declared_approximate():
+    """r11 policy update: during the backlog era (r8-r10) the window
+    held hash-checkable entries only — a rows-only query in a slot
+    burned a hard signal on a weak check while never-attested queries
+    queued. With the backlog drained, the window is a FRESHNESS
+    ROTATION (VERDICT r10 item 1) over the whole registry, and the
+    oldest cohorts legitimately contain the declared-approximate
+    (no-oracle) entries, which also must not age past the rotation
+    horizon. The invariant that remains: any no-oracle window slot
+    must belong to the frozen declared-approximate set — each of
+    which carries a hash-checked recall/error companion elsewhere.
+    (tests/test_driver_window.py pins the same set registry-wide.)"""
+    from test_driver_window import ROWS_ONLY
+
     window = list(REGISTRY.items())[:50]
-    rows_only = [name for name, (_, sql) in window if sql is None]
-    assert not rows_only, f"rows-only queries occupy window slots: {rows_only}"
+    rows_only = {name for name, (_, sql) in window if sql is None}
+    assert rows_only <= ROWS_ONLY, (
+        f"undeclared rows-only queries occupy window slots: "
+        f"{sorted(rows_only - ROWS_ONLY)}"
+    )

@@ -150,15 +150,30 @@ def test_run_mode_end_to_end_mini(built, spark, capsys):
     # dedup (hash-groupBy), banded simhash (posting join), broadcast
     # exact top-k (embeddings). passes=1: this guards breakage, not
     # the exponents — the real measurements stay in tools/ runs.
+    #
+    # Re-pin the module's SF_DIR to the base the factor-3 dir was
+    # built from: earlier tests in this file pop SPARK_GRAFT_SF_DIR
+    # and reload scaling_bench in their cleanup, which resets SF_DIR
+    # to the sf0.1 default — running after them, the 1x leg would
+    # silently time a 33x-bigger base against the tiny 3x build
+    # (order-dependent and meaningless; caught by r11 code review).
+    os.environ["SPARK_GRAFT_SF_DIR"] = SF
+    sys.path.insert(0, os.path.join(REPO, "tools"))
     import scaling_bench
 
-    scaling_bench.run(
-        built, ["dedup_exact", "dedup_simhash", "similarity_topk"],
-        factor=3, passes=1, spark=spark,
-    )
+    importlib.reload(scaling_bench)
+    try:
+        scaling_bench.run(
+            built, ["dedup_exact", "dedup_simhash", "similarity_topk"],
+            factor=3, passes=1, spark=spark,
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_SF_DIR", None)
+        importlib.reload(scaling_bench)
     out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     payload = json.loads(out[-1])
     assert payload["mode"] == "scaling" and payload["factor"] == 3
+    assert payload["sf_1x"] == SF, "1x leg must time the build's own base"
     for name in ("dedup_exact", "dedup_simhash", "similarity_topk"):
         r = payload["results"][name]
         assert r["t_1x_sec"] > 0 and r["t_3x_sec"] > 0

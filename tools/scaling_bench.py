@@ -510,6 +510,20 @@ def skew_agg(factor: int, passes: int, n_base: int = 2_000_000,
         plain = {r.k: (r.sum_v, r.n) for r in _plain_sum(df).collect()}
         salted = {r.k: (r.sum_v, r.n) for r in _salted_sum(df).collect()}
         assert plain == salted, "salted rewrite changed the answer"
+        # approx_percentile(accuracy=1000) guarantees rank error
+        # <= 1/accuracy, so the sketch's hot-key median must fall
+        # between the exact (0.5 - eps) and (0.5 + eps) quantiles
+        eps = 1.0 / 1000
+        hot = df.filter(F.col("k") == 0)
+        b = hot.agg(
+            F.percentile("v", F.lit(0.5 - eps)).alias("lo"),
+            F.percentile("v", F.lit(0.5 + eps)).alias("hi"),
+        ).collect()[0]
+        sketch_med = {r.k: r.med for r in _sketch_median(df).collect()}[0]
+        assert b.lo <= sketch_med <= b.hi, (
+            f"sketch hot-key median {sketch_med} outside the exact "
+            f"rank-error band [{b.lo}, {b.hi}] at eps={eps}"
+        )
         for arm, fn in arms.items():
             best = float("inf")
             for _ in range(passes):
