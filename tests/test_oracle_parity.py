@@ -48,7 +48,7 @@ def test_driver_window_rows_only_slots_are_declared_approximate():
     must belong to the frozen declared-approximate set — each of
     which carries a hash-checked recall/error companion elsewhere.
     (tests/test_driver_window.py pins the same set registry-wide.)"""
-    from test_driver_window import ROWS_ONLY
+    from tests.test_driver_window import ROWS_ONLY
 
     window = list(REGISTRY.items())[:50]
     rows_only = {name for name, (_, sql) in window if sql is None}
