@@ -445,10 +445,28 @@ def skew_agg(factor: int, passes: int, n_base: int = 2_000_000,
                     holistic agg: exact sub-medians of salted shards do
                     not merge into the median.)
 
+    The two *_dv arms (r11 follow-up) repeat the median pair on a
+    DISTINCT-VALUED metric (v = id): the bounded 1M-value domain above
+    lets Spark's exact `percentile` buffer — a value->count map —
+    SATURATE at 1M entries per task, so its measured growth there is
+    parallel map-update work, not buffer growth. A real double-valued
+    metric is ~all-distinct, where the hot key's map degenerates to
+    raw-value storage ∝ its row count — the true holistic-straggler
+    shape (one final merge buffer of 0.9*n entries no executor count
+    can shrink). The sketch arm is domain-shape-immune by construction.
+
+      exact_median_dv / sketch_median_dv: same aggregates, v = id.
+
+    Second-decade note: the dv exact arm measured 17.2x for 10x data
+    (2M->20M base); at 200M rows its hot-key buffer is ~180M raw
+    values in ONE merge+sort — extrapolated minutes-to-OOM, so the
+    second decade is documented by closed form (buffer ∝ 0.9·n) rather
+    than timed. Raise --factor/n_base deliberately if you mean to.
+
     Sanity: plain and salted sums must agree exactly (bigint cents
-    math); sketch median must land within rank-error of exact. Output
-    is one JSON line with per-arm 1x/{factor}x timings and ratios —
-    a §6 table row, the triangle-demonstration pattern.
+    math); each sketch median must land within rank-error of its exact
+    twin. Output is one JSON line with per-arm 1x/{factor}x timings
+    and ratios — a §6 table row, the triangle-demonstration pattern.
     """
     from pyspark.sql import functions as F
 
@@ -457,17 +475,22 @@ def skew_agg(factor: int, passes: int, n_base: int = 2_000_000,
         spark = _session()
         spark.range(1).count()
 
-    def _hot_table(n: int):
+    def _hot_table(n: int, distinct_vals: bool = False):
         # 90% of rows carry key 0; the rest spread over 999 cold keys.
-        # v is a deterministic pseudo-random value (Knuth multiplicative
-        # hash of the row id) so medians are non-trivial.
+        # Bounded shape: v is a deterministic pseudo-random value
+        # (Knuth multiplicative hash of the row id) over a 1M domain so
+        # medians are non-trivial. Distinct shape: v = id, every value
+        # unique — the exact-percentile buffer cannot saturate.
+        v = F.col("id") if distinct_vals else F.pmod(
+            F.col("id") * 2654435761, F.lit(1_000_000)
+        )
         return (
             spark.range(n)
             .select(
                 F.when(F.pmod("id", F.lit(10)) < 9, F.lit(0))
                 .otherwise(F.pmod(F.col("id") * 2654435761, F.lit(999)) + 1)
                 .alias("k"),
-                F.pmod(F.col("id") * 2654435761, F.lit(1_000_000)).alias("v"),
+                v.alias("v"),
             )
         )
 
@@ -494,22 +517,7 @@ def skew_agg(factor: int, passes: int, n_base: int = 2_000_000,
             F.approx_percentile("v", F.lit(0.5), F.lit(1000)).alias("med")
         )
 
-    arms = {
-        "plain_sum": _plain_sum,
-        "salted_sum": _salted_sum,
-        "exact_median": _exact_median,
-        "sketch_median": _sketch_median,
-    }
-    out = {"mode": "skew_agg", "factor": factor, "n_base": n_base,
-           "hot_share": 0.9, "results": {}}
-    for label, n in (("1x", n_base), (f"{factor}x", n_base * factor)):
-        df = _hot_table(n)
-        res = {}
-        # cross-arm sanity on THIS size: salted == plain exactly;
-        # sketch median within GK rank error of exact on the hot key
-        plain = {r.k: (r.sum_v, r.n) for r in _plain_sum(df).collect()}
-        salted = {r.k: (r.sum_v, r.n) for r in _salted_sum(df).collect()}
-        assert plain == salted, "salted rewrite changed the answer"
+    def _sketch_rank_error_check(df):
         # approx_percentile(accuracy=1000) guarantees rank error
         # <= 1/accuracy, so the sketch's hot-key median must fall
         # between the exact (0.5 - eps) and (0.5 + eps) quantiles
@@ -524,21 +532,46 @@ def skew_agg(factor: int, passes: int, n_base: int = 2_000_000,
             f"sketch hot-key median {sketch_med} outside the exact "
             f"rank-error band [{b.lo}, {b.hi}] at eps={eps}"
         )
-        for arm, fn in arms.items():
+
+    # (arm name, aggregate, which table shape)
+    arms = [
+        ("plain_sum", _plain_sum, "bounded"),
+        ("salted_sum", _salted_sum, "bounded"),
+        ("exact_median", _exact_median, "bounded"),
+        ("sketch_median", _sketch_median, "bounded"),
+        ("exact_median_dv", _exact_median, "distinct"),
+        ("sketch_median_dv", _sketch_median, "distinct"),
+    ]
+    out = {"mode": "skew_agg", "factor": factor, "n_base": n_base,
+           "hot_share": 0.9, "results": {}}
+    for label, n in (("1x", n_base), (f"{factor}x", n_base * factor)):
+        shapes = {
+            "bounded": _hot_table(n),
+            "distinct": _hot_table(n, distinct_vals=True),
+        }
+        res = {}
+        # cross-arm sanity on THIS size: salted == plain exactly;
+        # each sketch median within GK rank error of its exact twin
+        plain = {r.k: (r.sum_v, r.n) for r in _plain_sum(shapes["bounded"]).collect()}
+        salted = {r.k: (r.sum_v, r.n) for r in _salted_sum(shapes["bounded"]).collect()}
+        assert plain == salted, "salted rewrite changed the answer"
+        for shape in ("bounded", "distinct"):
+            _sketch_rank_error_check(shapes[shape])
+        for arm, fn, shape in arms:
             best = float("inf")
             for _ in range(passes):
                 t0 = time.perf_counter()
                 # collect(), never count(): Catalyst prunes aggregate
                 # expressions a count doesn't need (r8 lesson) — output
                 # is <= 1000 rows by construction
-                fn(df).collect()
+                fn(shapes[shape]).collect()
                 best = min(best, time.perf_counter() - t0)
             res[arm] = round(best, 3)
         out["results"][label] = res
         print(f"# {label} (n={n}): " + " ".join(
             f"{a}={t}s" for a, t in res.items()), file=sys.stderr)
     r1, rn = out["results"]["1x"], out["results"][f"{factor}x"]
-    out["ratios"] = {a: round(rn[a] / r1[a], 2) for a in arms}
+    out["ratios"] = {a: round(rn[a] / r1[a], 2) for a, _, _ in arms}
     print(json.dumps(out))
     if own_session:
         spark.stop()
