@@ -180,3 +180,31 @@ def test_run_mode_end_to_end_mini(built, spark, capsys):
         assert "exponent" in r and "ratio" in r
     # the injected session must survive (run() only stops its own)
     assert spark.range(1).count() == 1
+
+
+def test_stream_scale_mode_end_to_end_mini(spark, capsys):
+    # stream_scale's four state-count hypotheses (keyed state grows
+    # with KEYS and only keys; window state is row-volume-immune and
+    # watermark-evicted over a long horizon) are asserted INSIDE the
+    # tool; this guards the measurement path itself (two-shape dir
+    # build -> multi-batch file-source replay -> statestore read-back
+    # -> JSON) at a toy factor, same pattern as the run-mode mini-run.
+    os.environ["SPARK_GRAFT_SF_DIR"] = SF
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import scaling_bench
+
+    importlib.reload(scaling_bench)
+    try:
+        scaling_bench.stream_scale(2, 1, spark=spark)
+    finally:
+        os.environ.pop("SPARK_GRAFT_SF_DIR", None)
+        importlib.reload(scaling_bench)
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    payload = json.loads(out[-1])
+    assert payload["mode"] == "stream_scale" and payload["factor"] == 2
+    s = payload["results"]["sessions"]
+    assert s["2x_keys"]["state_rows"] == 2 * s["1x"]["state_rows"]
+    assert s["2x_depth"]["state_rows"] == s["1x"]["state_rows"]
+    assert payload["results"]["window_agg"]["1x"]["state_rows"] > 0
+    # the injected session must survive (the tool only stops its own)
+    assert spark.range(1).count() == 1

@@ -577,11 +577,159 @@ def skew_agg(factor: int, passes: int, n_base: int = 2_000_000,
         spark.stop()
 
 
+def stream_scale(factor: int, passes: int, spark=None) -> None:
+    """Structured-Streaming state scaling, measured (the one §6 family
+    with no empirical row): replay the events table through the two
+    stateful surfaces at 1x and {factor}x and read the state store back
+    (format('statestore')) so the 100 TB state claims are counted, not
+    asserted.
+
+    The {factor}x stream is built two ways — the skew_agg two-shape
+    pattern — because 'more data' means different things to state:
+
+      keys   shard i offsets user_id (and event_id): {factor}x rows AND
+             {factor}x distinct users, same time horizon. Hypothesis:
+             per-user session state (applyInPandasWithState, NoTimeout)
+             grows exactly with KEYS (1500 -> 1500*factor rows in the
+             store), while the windowed agg's state (windows x types)
+             is UNCHANGED — row volume alone never grows it.
+      depth  shard i shifts ts by one horizon-span: {factor}x rows and
+             a {factor}x time horizon, same 1500 users. Hypothesis:
+             session state stays EXACTLY 1500 rows under {factor}x
+             rows; the windowed agg creates {factor}x windows over the
+             replay but the WATERMARK evicts closed ones between
+             micro-batches, so the final store holds far fewer than
+             windows-created (bounded by the eviction horizon, not by
+             stream length).
+
+    Each dir replays as a REAL multi-batch stream (file source,
+    maxFilesPerTrigger=1 -> one micro-batch per shard file, state
+    carried across commits; the 1x dir is 1 batch). Timing is the
+    min over {passes} full replays with fresh checkpoints. All four
+    state-count hypotheses are ASSERTED in-tool; timings + state rows
+    go to the JSON line. Temp dirs are removed in a finally.
+
+    At 100 TB the reading is: keyed state capacity plans on distinct
+    keys (RocksDB spill per partition), window state on
+    horizon/watermark — neither on row count. Stream replays here reuse
+    queries._replay_conf (4 shuffle partitions -> 4 state stores;
+    production sizes this to the cluster)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from labelspark_spark.queries import _replay_conf
+    from labelspark_spark.streaming import events as se
+    from labelspark_spark.streaming import stateful as st
+
+    own_session = spark is None
+    if own_session:
+        spark = _session()
+        spark.range(1).count()
+
+    base = os.path.join(SF_DIR, "events.parquet")
+    d = pq.read_table(base).to_pandas()
+    span = (d["ts"].max() - d["ts"].min()) + pd.Timedelta(hours=1)
+    tmp: list[str] = []
+
+    def _mkdir(prefix: str) -> str:
+        p = tempfile.mkdtemp(prefix=prefix)
+        tmp.append(p)
+        return p
+
+    def _build_dir(shape: str, n_shards: int) -> str:
+        out = _mkdir(f"stream_{n_shards}x_{shape}_")
+        for i in range(n_shards):
+            s = d.copy()
+            s["event_id"] = s["event_id"] + i * OFF
+            if shape == "keys":
+                s["user_id"] = s["user_id"] + i * OFF
+            else:
+                s["ts"] = s["ts"] + i * span
+            pq.write_table(
+                pa.Table.from_pandas(s, preserve_index=False),
+                f"{out}/part-{i:03d}.parquet",
+            )
+        return out
+
+    def _replay(build_stream, src_dir: str, tag: str):
+        """One full fresh-checkpoint replay; returns (seconds,
+        final state-store row count)."""
+        ckpt = _mkdir(f"ck_{tag}_")
+        stream = se.read_events_stream(spark, src_dir)
+        out = build_stream(stream)
+        with _replay_conf(spark):
+            t0 = time.perf_counter()
+            q = (
+                out.writeStream.format("memory")
+                .queryName(f"stream_scale_{tag}")
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            dt = time.perf_counter() - t0
+        state_rows = spark.read.format("statestore").load(ckpt).count()
+        return dt, state_rows
+
+    arms = {
+        "sessions": st.user_session_stats,  # NoTimeout bounded replay
+        "window_agg": se.tumbling_counts,   # 1h windows, 2h watermark
+    }
+    try:
+        dirs = {("1x", None): _build_dir("keys", 1)}
+        for shape in ("keys", "depth"):
+            dirs[(f"{factor}x", shape)] = _build_dir(shape, factor)
+        out = {"mode": "stream_scale", "factor": factor,
+               "base_rows": len(d), "base_users": int(d["user_id"].nunique()),
+               "results": {}}
+        for arm, builder in arms.items():
+            res = {}
+            for (label, shape), src in dirs.items():
+                key = label if shape is None else f"{label}_{shape}"
+                best, state = float("inf"), None
+                for p in range(passes):
+                    dt, state = _replay(builder, src, f"{arm}_{key}_{p}")
+                    best = min(best, dt)
+                res[key] = {"sec": round(best, 3), "state_rows": state}
+                print(f"# {arm} {key}: {res[key]}", file=sys.stderr)
+            out["results"][arm] = res
+        # the four state hypotheses, asserted
+        users = out["base_users"]
+        s = out["results"]["sessions"]
+        w = out["results"]["window_agg"]
+        assert s["1x"]["state_rows"] == users
+        assert s[f"{factor}x_keys"]["state_rows"] == users * factor, (
+            "keyed state must grow exactly with distinct keys"
+        )
+        assert s[f"{factor}x_depth"]["state_rows"] == users, (
+            "keyed state must NOT grow with rows at fixed keys"
+        )
+        assert w[f"{factor}x_keys"]["state_rows"] == w["1x"]["state_rows"], (
+            "window state must not grow with row volume at a fixed horizon"
+        )
+        created = w["1x"]["state_rows"] * factor  # ~windows x types created
+        assert w[f"{factor}x_depth"]["state_rows"] < created, (
+            "watermark must evict closed windows: final store must hold "
+            "fewer rows than windows created over the long horizon"
+        )
+        print(json.dumps(out))
+    finally:
+        for p in tmp:
+            shutil.rmtree(p, ignore_errors=True)
+        if own_session:
+            spark.stop()
+
+
 def main() -> None:
     global TABLES
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["build", "run", "probe", "triangles",
-                                     "skew_agg"])
+                                     "skew_agg", "stream_scale"])
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--queries", default=",".join(TARGETS))
@@ -603,6 +751,8 @@ def main() -> None:
         probe_flat(args.out, args.factor, args.passes)
     elif args.mode == "skew_agg":
         skew_agg(args.factor, args.passes)
+    elif args.mode == "stream_scale":
+        stream_scale(args.factor, args.passes)
     else:
         triangles()
 
