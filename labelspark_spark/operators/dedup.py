@@ -83,13 +83,23 @@ def minhash_signature(
     params = _perm_params(num_hashes, seed)
     hashes = F.transform(shingles, lambda s: base_hash32(s))
 
-    def perm_min(a: int, b: int) -> Column:
-        # single-parameter lambda: PySpark dispatches HOF lambdas on arity
-        return F.array_min(
-            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+    def sig_from(hs: Column) -> Column:
+        # single-parameter lambdas: PySpark dispatches HOF lambdas on arity
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+                )
+                for a, b in params
+            ]
         )
 
-    return F.array(*[perm_min(a, b) for a, b in params])
+    # LET-BIND the base-hash array (transform(array(x), v -> ...)[0] —
+    # the winnowing discipline this same file applies in _hash_shingled):
+    # every permutation's array_min references it, so CollapseProject
+    # would otherwise inline the md5 chain into all num_hashes copies
+    # and evaluate it 64x per shingle instead of once (r11 review).
+    return F.transform(F.array(hashes), lambda hs: sig_from(hs))[0]
 
 
 def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -201,7 +211,14 @@ def _hash_shingled(
     toks = df.select(
         F.col(id_col).alias("_id"), whitespace_tokens(F.col(text_col)).alias("_tk")
     )
-    elems = ", ".join(f"element_at(tk, i + {j + 1})" for j in range(n))
+    # try_element_at, NOT element_at: the session runs ANSI mode, where
+    # element_at RAISES INVALID_ARRAY_INDEX_IN_ELEMENT_AT on any doc
+    # with fewer than n tokens (confirmed: a 1-token doc aborted every
+    # caller). try_element_at returns NULL past the end, and xxhash64
+    # skips NULL args, so a short doc degrades to one shingle hashing
+    # its actual tokens — deterministic, and identical output on all
+    # docs with >= n tokens (the non-crashing domain of the old form).
+    elems = ", ".join(f"try_element_at(tk, i + {j + 1})" for j in range(n))
     return toks.select(
         "_id",
         F.expr(
@@ -446,11 +463,20 @@ def ngram_jaccard_pairs(
     doc_freq = posting.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     # rank each doc's shingles rarest-first; keep the prefix any
     # qualifying pair is guaranteed to collide in
+    # Both prune predicates carry a 1e-9 slack: threshold * n in doubles
+    # can overshoot the exact rational by an ulp at integer boundaries
+    # (e.g. 0.07 * 100 = 7.000000000000001), which would shorten the
+    # prefix / drop a boundary-qualifying pair that the count strategy
+    # returns — the two exact strategies must agree. Pruning may only
+    # LOOSEN: the exact Jaccard verify below still decides every pair.
     w = Window.partitionBy("_id").orderBy("_df", "_s")
     prefix = (
         posting.join(doc_freq, "_s")
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .filter(
+            F.col("_rn")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
+        )
         .select("_id", "_n", "_s")
     )
     a = prefix.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s")
@@ -460,7 +486,7 @@ def ngram_jaccard_pairs(
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (
-                F.greatest("n_a", "n_b").cast("double") * F.lit(threshold)
+                F.greatest("n_a", "n_b").cast("double") * F.lit(threshold) - F.lit(1e-9)
                 <= F.least("n_a", "n_b").cast("double")
             )
         )
@@ -807,7 +833,13 @@ def _verify_pairs_cosine(
     float64 accumulation order differs from the sequential SQL fold by
     ~1 ulp; a candidate at |cos - threshold| ~ 1e-15 could flip — the
     exact-verify-subset invariant is probabilistic at that epsilon, as
-    with any float reduction reorder.
+    with any float reduction reorder. Rounding is floor(x*1e6 + 0.5)
+    (the repo's cross-engine HALF_UP shape), NOT np.round: half-even
+    would systematically diverge from the brute-force twin's
+    ``F.round`` at 6-dp half boundaries (np.round(0.9500005, 6) ->
+    0.95 vs Spark 0.950001 — r11 review); the floor form agrees with
+    Spark everywhere except within ~1 ulp of a half boundary, the same
+    epsilon class as the accumulation caveat above.
     """
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     a = vecs.toDF("id_a", "_va")
@@ -825,7 +857,9 @@ def _verify_pairs_cosine(
         )
         with np.errstate(divide="ignore", invalid="ignore"):
             out = np.where(den == 0, 0.0, dots / den)
-        return pd.Series(np.round(out, 6))
+        # HALF_UP-away-from-zero to 6 dp (sign-aware so negative
+        # cosines round like Spark's F.round, not toward +inf)
+        return pd.Series(np.sign(out) * np.floor(np.abs(out) * 1e6 + 0.5) / 1e6)
 
     scored = (
         cand.join(a, "id_a")

@@ -425,7 +425,13 @@ def _nearest_cells_udf(cids: "np.ndarray", cents: "np.ndarray", n: int, decimals
     whole-stage codegen and whose rank shuffled k rows per input row.
     Ranking matches the SQL form bit-for-bit at sane inputs: cosine
     rounded to ``decimals``, ties broken by ascending centroid id
-    (centroids pre-sorted by id + stable argsort).
+    (centroids pre-sorted by id + stable argsort). Boundary caveat
+    (r11 review): np.round is half-even where the SQL twin's round is
+    HALF_UP — the two can rank differently only when two centroid
+    cosines straddle the SAME 6-dp half boundary within ~1 ulp, the
+    epsilon class the twin-equality driver row would surface; kept
+    as-is because changing the quantizer would perturb every attested
+    assignment for a measure-zero tie case.
     """
     order = np.argsort(cids, kind="stable")
     cids_s = cids[order]
@@ -902,6 +908,14 @@ def pq_train(
     distributed :func:`kmeans_fit`) over each dim/M-wide slice of the
     embedding. Returns an (M, ksub, dsub) float64 array — codebooks are
     index metadata (M*ksub*dsub floats), the only thing collected."""
+    if dim % num_subspaces:
+        raise ValueError(
+            f"dim={dim} is not divisible by num_subspaces={num_subspaces}: "
+            f"the trailing {dim % num_subspaces} dimensions would be "
+            "silently excluded from every codebook and ADC lookup while "
+            "pq_encode's stored norm still includes them — recall would "
+            "quietly degrade with no error"
+        )
     dsub = dim // num_subspaces
     books = []
     for m in range(num_subspaces):

@@ -69,7 +69,21 @@ def _make_update_fn(idle_timeout_ms: int | None):
                 cents += int(
                     np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
                 )
-                last_ts = max(last_ts, int(pdf["ts"].astype("int64").max() // 1000))
+                # explicit micros via a dtype cast, NOT int64//1000:
+                # pandas may deliver datetime64[ns] or [us] depending
+                # on the Arrow path, and the raw int64 view of [us]
+                # divided by 1000 would store milliseconds (1000x off)
+                # — the same hazard _sessionize normalizes against
+                last_ts = max(
+                    last_ts,
+                    int(
+                        pdf["ts"]
+                        .to_numpy()
+                        .astype("datetime64[us]")
+                        .astype("int64")
+                        .max()
+                    ),
+                )
         state.update((n, cents, last_ts))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
@@ -188,7 +202,15 @@ def _make_session_fn(gap_ms: int):
                 )
                 start, last, n, cents = t, t, 1, c
             else:
-                last, n, cents = t, n + 1, cents + c
+                # fold into the open session WITHOUT regressing its
+                # edges: cross-batch arrivals may be out of order (the
+                # watermark permits it), and `last = t` on an older
+                # event would corrupt the next gap check (spurious
+                # split) and could set the event-time timer below the
+                # current watermark (query crash). In-batch rows are
+                # sorted, so only cross-batch input hits this.
+                start, last = min(start, t), max(last, t)
+                n, cents = n + 1, cents + c
         state.update((start, last, n, cents))
         # the open session flushes when the WATERMARK passes its gap edge
         state.setTimeoutTimestamp(last + gap_ms)
@@ -243,12 +265,15 @@ def type_profile_tws(events: DataFrame) -> DataFrame:
                 if not len(pdf):
                     continue
                 cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
-                g = pd.DataFrame(
-                    {"t": pdf["event_type"].to_numpy(), "c": cents}
-                ).groupby("t")["c"]
-                for t, (n, c) in zip(g.count().index, zip(g.count(), g.sum())):
+                # one aggregation pass (count+sum together), not three
+                g = (
+                    pd.DataFrame({"t": pdf["event_type"].to_numpy(), "c": cents})
+                    .groupby("t")["c"]
+                    .agg(["count", "sum"])
+                )
+                for t, row in g.iterrows():
                     pn, pc = agg.get(t, (0, 0))
-                    agg[t] = (pn + int(n), pc + int(c))
+                    agg[t] = (pn + int(row["count"]), pc + int(row["sum"]))
             out = []
             for t, (n, c) in agg.items():
                 if self._counts.containsKey((t,)):
