@@ -379,6 +379,12 @@ class Client:
         probe UDF (update_metadata.py:33-51): remote value wins, local
         value is the fallback."""
         remote = json_literal_to_df(self.spark, self.transport.export_metadata(project_id))
+        # an EMPTY remote snapshot ('[]') parses to a zero-column frame
+        # whose key/value columns cannot resolve — the lookup join would
+        # raise AnalysisException instead of the documented fallback
+        # (local value kept when no remote value exists; r11 review)
+        if key_col not in remote.columns or value_col not in remote.columns:
+            return table
         return lookup_join(
             table,
             remote,

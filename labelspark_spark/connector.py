@@ -42,8 +42,13 @@ def get_unique_values(table: DataFrame, col: str, extra_client=None) -> list[str
     the DataFrame form instead: this verb's contract is a driver list,
     exactly like the reference.
     """
+    # NULL stays None, never the string 'None': str(None) would invent
+    # a value indistinguishable from a real 'None' string, and callers
+    # enumerating enum options from this list would create a bogus
+    # option — the reference surfaces the null itself (r11 review)
     return [
-        str(r[0]) for r in table.select(F.col(col).cast("string")).distinct().collect()
+        str(r[0]) if r[0] is not None else None
+        for r in table.select(F.col(col).cast("string")).distinct().collect()
     ]
 
 

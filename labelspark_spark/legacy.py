@@ -251,8 +251,8 @@ def create_labelbox_dataset(
     mirroring the reference's ``(lb_dataset, spark_dataframe)``.
     """
     del iam_integration
+    meta_df = spark_dataframe
     if metadata_index:
-        meta_df = spark_dataframe
         if isinstance(metadata_index, dict):
             # reference syntax {plain_column_name: 'enum'|'string'|'number'|
             # 'datetime'} (create_labelbox_dataset.py:43-73): alias each
@@ -276,10 +276,15 @@ def create_labelbox_dataset(
                 )
         key_cols = [c for c in ("row_data", "external_id") if c in meta_df.columns]
         client.connect_spark_metadata(meta_df, dataset_name, key_cols)
+    # upload the RENAMED frame: build_uploads discovers metadata through
+    # the metadata///type///name convention columns, so posting the
+    # original frame would sync the ontology above yet attach NO
+    # metadata to any data row (r11 review — the reference uploads rows
+    # WITH the metadata_index fields, create_labelbox_dataset.py:43-73)
     client.create_data_rows_from_table(
-        spark_dataframe,
+        meta_df,
         dataset_name,
-        external_id_col="external_id" if "external_id" in spark_dataframe.columns else None,
+        external_id_col="external_id" if "external_id" in meta_df.columns else None,
         **kwargs,
     )
     if add_data_row_ids:

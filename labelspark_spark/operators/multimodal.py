@@ -203,6 +203,11 @@ def audio_meta_native(df: DataFrame, content_col: str = "content") -> DataFrame:
     is_wav = (
         F.substring(hx, 1, 8).eqNullSafe(F.lit(_WAV_MAGIC))
         & F.substring(hx, 17, 8).eqNullSafe(F.lit("57415645"))  # 'WAVE'
+        # 'fmt ' REQUIRED at offset 12: without this check a junk/LIST
+        # chunk at 12 with 'data' landing at 36 would pass and report
+        # garbage payload bytes as channels/rate/bits (r11 review) —
+        # exactly the silent misparse the data@36 guard exists to stop
+        & F.substring(hx, 25, 8).eqNullSafe(F.lit("666D7420"))  # 'fmt ' @ 12
         & F.substring(hx, 73, 8).eqNullSafe(F.lit("64617461"))  # 'data' @ 36
     )
     channels = F.when(is_wav, _hex_le16(hx, 22))
@@ -223,6 +228,48 @@ def audio_meta_native(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+def _riff_chunks(content: bytes | None):
+    """Yield ``(chunk_id, payload_start, declared_size)`` for each RIFF
+    chunk of a RIFF/WAVE blob, word-aligned (odd sizes pad one byte);
+    yields nothing for non-WAV or too-short input. THE shared walk:
+    the four sample/meta parsers previously inlined four subtly
+    divergent copies of this loop (r11 review) — keeping the guards in
+    one place is what makes their refusal contracts stay consistent."""
+    if (
+        not content
+        or len(content) < 12
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"WAVE"
+    ):
+        return
+    i, n = 12, len(content)
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        yield cid, i + 8, size
+        i = i + 8 + size + (size % 2)
+
+
+def _signal_feats(vals) -> dict:
+    """Exact-integer clip features shared by the PCM16 / G.711 / ADPCM
+    sample decoders (previously three inline copies — r11 review):
+    sample count, energy (sum of squares), peak |amplitude|, sign-flip
+    zero crossings, and ppm-quantized RMS (the one double op,
+    floor-half-up). ``vals`` must be non-empty."""
+    import math
+
+    energy = sum(v * v for v in vals)
+    return {
+        "n_samples": len(vals),
+        "energy": energy,
+        "peak": max(abs(v) for v in vals),
+        "zero_crossings": sum(
+            1 for a, b in zip(vals, vals[1:]) if (a < 0) != (b < 0)
+        ),
+        "rms_ppm": math.floor(math.sqrt(energy / len(vals)) * 1000000.0 + 0.5),
+    }
+
+
 def parse_wav_header(content: bytes | None) -> dict:
     """Pure-Python RIFF chunk walk (the audio twin of the MP4 box walk,
     cf. reference datasets/attachments.csv:1 audio media): RIFF/WAVE
@@ -239,21 +286,10 @@ def parse_wav_header(content: bytes | None) -> dict:
         "bits_per_sample": None,
         "duration_ms": None,
     }
-    if (
-        not content
-        or len(content) < 12
-        or content[:4] != b"RIFF"
-        or content[8:12] != b"WAVE"
-    ):
-        return none
     fmt = None
     data_size = None
-    i = 12
-    n = len(content)
-    while i + 8 <= n:
-        cid = content[i : i + 4]
-        size = int.from_bytes(content[i + 4 : i + 8], "little")
-        body = i + 8
+    n = len(content) if content else 0
+    for cid, body, size in _riff_chunks(content):
         if cid == b"fmt " and size >= 16 and body + 16 <= n:
             fmt = content[body : body + 16]
         elif cid == b"data":
@@ -262,11 +298,15 @@ def parse_wav_header(content: bytes | None) -> dict:
             data_size = size
         if fmt is not None and data_size is not None:
             break
-        i = body + size + (size % 2)  # word-aligned chunk boundary
     if fmt is None or data_size is None:
         return none
     audio_format = int.from_bytes(fmt[0:2], "little")
-    if audio_format != 1:  # PCM only (matches the encoder's scope)
+    if audio_format not in (1, 6, 7):
+        # PCM + G.711 A-law/mu-law — the encoder's ACTUAL scope
+        # (wav_encode_pcm emits fmt_tag 6/7 too); the old PCM-only
+        # guard nulled metadata on G.711 files that the fixed-offset
+        # parser happily reports, inverting the documented
+        # superset-fallback relationship (r11 review)
         return none
     channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
@@ -291,7 +331,6 @@ def wav_decode_samples(content: bytes | None) -> dict:
     flips, negative-vs-nonnegative), and ppm-quantized RMS (the one
     double op, floor-half-up on sqrt(energy/n)). Non-PCM16-mono or
     malformed input returns all-None."""
-    import math
 
     none = {
         "n_samples": None,
@@ -303,20 +342,7 @@ def wav_decode_samples(content: bytes | None) -> dict:
     vals = _wav_pcm16_mono(content)
     if vals is None:
         return none
-    count = len(vals)
-    energy = sum(v * v for v in vals)
-    peak = max(abs(v) for v in vals)
-    crossings = sum(
-        1 for a, b in zip(vals, vals[1:]) if (a < 0) != (b < 0)
-    )
-    rms_ppm = math.floor(math.sqrt(energy / count) * 1000000.0 + 0.5)
-    return {
-        "n_samples": count,
-        "energy": energy,
-        "peak": peak,
-        "zero_crossings": crossings,
-        "rms_ppm": rms_ppm,
-    }
+    return _signal_feats(vals)
 
 
 def _wav_pcm16_mono(content: bytes | None) -> tuple | None:
@@ -327,28 +353,16 @@ def _wav_pcm16_mono(content: bytes | None) -> tuple | None:
     audio operator (features, resample)."""
     import struct
 
-    if (
-        not content
-        or len(content) < 12
-        or content[:4] != b"RIFF"
-        or content[8:12] != b"WAVE"
-    ):
-        return None
     fmt = None
     data = None
-    i = 12
-    n = len(content)
-    while i + 8 <= n:
-        cid = content[i : i + 4]
-        size = int.from_bytes(content[i + 4 : i + 8], "little")
-        body = i + 8
+    n = len(content) if content else 0
+    for cid, body, size in _riff_chunks(content):
         if cid == b"fmt " and size >= 16 and body + 16 <= n:
             fmt = content[body : body + 16]
         elif cid == b"data":
             data = content[body : min(body + size, n)]
         if fmt is not None and data is not None:
             break
-        i = body + size + (size % 2)
     if fmt is None or data is None:
         return None
     audio_format = int.from_bytes(fmt[0:2], "little")
@@ -482,7 +496,6 @@ def wav_decode_samples_g711(content: bytes | None) -> dict:
     reference), then computes n_samples / energy / peak /
     zero_crossings / ppm RMS identically to the PCM path. Non-G.711 or
     malformed input returns all-None; ``codec`` reports 'ulaw'/'alaw'."""
-    import math
 
     none = {
         "codec": None,
@@ -492,28 +505,16 @@ def wav_decode_samples_g711(content: bytes | None) -> dict:
         "zero_crossings": None,
         "rms_ppm": None,
     }
-    if (
-        not content
-        or len(content) < 12
-        or content[:4] != b"RIFF"
-        or content[8:12] != b"WAVE"
-    ):
-        return none
     fmt = None
     data = None
-    i = 12
-    n = len(content)
-    while i + 8 <= n:
-        cid = content[i : i + 4]
-        size = int.from_bytes(content[i + 4 : i + 8], "little")
-        body = i + 8
+    n = len(content) if content else 0
+    for cid, body, size in _riff_chunks(content):
         if cid == b"fmt " and size >= 16 and body + 16 <= n:
             fmt = content[body : body + 16]
         elif cid == b"data":
             data = content[body : min(body + size, n)]
         if fmt is not None and data is not None:
             break
-        i = body + size + (size % 2)
     if fmt is None or data is None or len(data) == 0:
         return none
     audio_format = int.from_bytes(fmt[0:2], "little")
@@ -523,18 +524,7 @@ def wav_decode_samples_g711(content: bytes | None) -> dict:
         return none
     expand = ulaw_to_linear if audio_format == 7 else alaw_to_linear
     vals = [expand(b) for b in data]
-    energy = sum(v * v for v in vals)
-    peak = max(abs(v) for v in vals)
-    crossings = sum(1 for a, b in zip(vals, vals[1:]) if (a < 0) != (b < 0))
-    rms_ppm = math.floor(math.sqrt(energy / len(vals)) * 1000000.0 + 0.5)
-    return {
-        "codec": "ulaw" if audio_format == 7 else "alaw",
-        "n_samples": len(vals),
-        "energy": energy,
-        "peak": peak,
-        "zero_crossings": crossings,
-        "rms_ppm": rms_ppm,
-    }
+    return {"codec": "ulaw" if audio_format == 7 else "alaw", **_signal_feats(vals)}
 
 
 def decode_audio_features_g711(
@@ -677,7 +667,6 @@ def wav_decode_samples_adpcm(content: bytes | None) -> dict:
     CPython audioop reference). Trailing partial blocks and the odd
     padding nibble are bounded by the fact count. Non-ADPCM or
     malformed input returns all-None."""
-    import math
 
     none = {
         "n_samples": None,
@@ -686,29 +675,18 @@ def wav_decode_samples_adpcm(content: bytes | None) -> dict:
         "zero_crossings": None,
         "rms_ppm": None,
     }
-    if (
-        not content
-        or len(content) < 12
-        or content[:4] != b"RIFF"
-        or content[8:12] != b"WAVE"
-    ):
-        return none
     fmt = None
     fact = None
     data = None
-    i = 12
-    n = len(content)
-    while i + 8 <= n:
-        cid = content[i : i + 4]
-        size = int.from_bytes(content[i + 4 : i + 8], "little")
-        body = i + 8
+    n = len(content) if content else 0
+    # no early break: fact may legitimately follow data in chunk order
+    for cid, body, size in _riff_chunks(content):
         if cid == b"fmt " and size >= 20 and body + 20 <= n:
             fmt = content[body : body + 20]
         elif cid == b"fact" and size >= 4 and body + 4 <= n:
             fact = int.from_bytes(content[body : body + 4], "little")
         elif cid == b"data":
             data = content[body : min(body + size, n)]
-        i = body + size + (size % 2)
     if fmt is None or data is None or len(data) < 4:
         return none
     audio_format = int.from_bytes(fmt[0:2], "little")
@@ -738,17 +716,7 @@ def wav_decode_samples_adpcm(content: bytes | None) -> dict:
         remaining -= 1 + want
     if not vals:
         return none
-    energy = sum(v * v for v in vals)
-    peak = max(abs(v) for v in vals)
-    crossings = sum(1 for a, b in zip(vals, vals[1:]) if (a < 0) != (b < 0))
-    rms_ppm = math.floor(math.sqrt(energy / len(vals)) * 1000000.0 + 0.5)
-    return {
-        "n_samples": len(vals),
-        "energy": energy,
-        "peak": peak,
-        "zero_crossings": crossings,
-        "rms_ppm": rms_ppm,
-    }
+    return _signal_feats(vals)
 
 
 def decode_audio_features_adpcm(
@@ -1809,6 +1777,13 @@ def gif_decode(content: bytes | None):
         idx = _lzw_decompress_gif(bytes(stream), min_code)
         if idx is None or len(idx) < fw * fh:
             return None
+        # refuse, don't raise: LZW output can carry palette indexes past
+        # the color table (min-code-size larger than the table warrants)
+        # — indexing would IndexError and kill the Spark task (r11
+        # review, verified on a 2-entry table with 8-bit codes)
+        limit = len(table) // 3
+        if any(i >= limit for i in idx[: fw * fh]):
+            return None
         frames.append(bytes(table[i * 3] for i in idx[: fw * fh]))
     if not frames:
         return None
@@ -2034,15 +2009,24 @@ def jpeg_decode_gray(content: bytes | None):
             break
         ln = int.from_bytes(content[pos + 2 : pos + 4], "big")
         body = content[pos + 4 : pos + 2 + ln]
+        # every segment body below is length-checked before indexing:
+        # a TRUNCATED segment (ln past the real payload) must refuse
+        # with None like every other malformed shape, not crash the
+        # Spark task with IndexError (r11 review, verified: short SOF,
+        # empty SOS, and short DQT bodies all raised)
         if marker == 0xDB:
             i = 0
             while i < len(body):
+                if i + 65 > len(body):
+                    return None  # truncated quant table
                 prec_id = body[i]
                 if prec_id >> 4:
                     return None  # 16-bit tables unsupported
                 qt[prec_id & 0x0F] = list(body[i + 1 : i + 65])
                 i += 65
         elif marker == 0xC0 or marker == 0xC1:
+            if len(body) < 9:
+                return None  # truncated SOF
             if body[0] != 8 or body[5] != 1:
                 return None  # 8-bit single-component only
             height = int.from_bytes(body[1:3], "big")
@@ -2059,12 +2043,16 @@ def jpeg_decode_gray(content: bytes | None):
                 bits = list(body[i + 1 : i + 17])
                 nv = sum(bits)
                 vals = list(body[i + 17 : i + 17 + nv])
+                if len(vals) < nv:
+                    return None  # truncated Huffman values
                 huff[(tc_th >> 4, tc_th & 0x0F)] = _huff_decode_tree(bits, vals)
                 i += 17 + nv
         elif marker == 0xDD:
+            if len(body) < 2:
+                return None
             restart = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:
-            if body[0] != 1:
+            if len(body) < 3 or body[0] != 1:
                 return None
             dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
             data_start = pos + 2 + ln
@@ -2285,8 +2273,12 @@ def decode_features(
     ``batch_rows`` caps Arrow batch height so big payloads don't blow
     executor memory.
     """
-    if require_real_codec:
-        if kind == "image" and decode_fn is None:
+    if require_real_codec and decode_fn is None:
+        # a caller-supplied decode_fn IS the real codec — the env stub
+        # below only fires when we would have to provide one ourselves
+        # (r11 review: the old branch raised even WITH a decode_fn,
+        # contradicting its own 'pass decode_fn=' message)
+        if kind == "image":
             decode_fn = png_pixel_decode_fn  # real codecs: PNG/GIF/baseline JPEG
         else:
             raise NotImplementedError(

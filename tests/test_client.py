@@ -143,6 +143,22 @@ def test_update_metadata_remote_wins_local_fallback(client, spark):
     assert got == {"dr-1": "train", "dr-2": "local"}
 
 
+def test_update_metadata_empty_remote_keeps_local(client, spark):
+    # a project with NO metadata exports '[]' -> zero-column remote
+    # frame; the lookup join's columns cannot resolve, so the sync must
+    # fall back to the documented semantics (local values kept), not
+    # raise AnalysisException (r11 review)
+    client.transport.seed_metadata("proj-without-metadata", [])
+    table = spark.createDataFrame(
+        [("dr-1", "old"), ("dr-2", "local")], ["data_row_id", "split"]
+    )
+    synced = client.update_metadata(
+        table, "proj-without-metadata", key_col="data_row_id", value_col="split"
+    )
+    got = {r.data_row_id: r.split for r in synced.collect()}
+    assert got == {"dr-1": "old", "dr-2": "local"}
+
+
 def test_delta_verb_roundtrip(client, spark, tmp_path):
     # export -> delta-named sink (parquet fallback here) -> re-upload scan
     path = str(tmp_path / "export_delta")

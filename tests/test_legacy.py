@@ -174,6 +174,15 @@ def test_create_labelbox_dataset_metadata_index_plain_columns(client, spark):
         if r.option_name is not None
     }
     assert opts == {"train", "test"}
+    # and the UPLOADED rows must carry the metadata too (r11 review:
+    # the ontology synced but the un-renamed frame was posted, so every
+    # data row silently shipped with empty metadata_fields — the
+    # reference uploads rows WITH the metadata_index fields)
+    posted = spark.read.json(client.transport.spool_path("ds-mdx"))
+    by_url = {r["data_row"]["row_data"]: r["data_row"] for r in posted.collect()}
+    md1 = {m["name"]: m["value"] for m in by_url["https://x/1"]["metadata_fields"]}
+    md2 = {m["name"]: m["value"] for m in by_url["https://x/2"]["metadata_fields"]}
+    assert md1 == {"split": "train"} and md2 == {"split": "test"}
 
 
 def test_get_videoframe_annotations_reference_positional_shape(client, spark):
