@@ -635,6 +635,32 @@ def test_gif_lzw_round_trip():
         assert gif_decode(junk) is None
 
 
+def test_codec_refusal_on_marker_valid_but_truncated_shapes():
+    """r11 review regressions: structurally-plausible blobs whose inner
+    segments are truncated or inconsistent must REFUSE (None), never
+    raise — one IndexError inside mapInPandas kills the whole Spark
+    stage. These shapes slipped past the random-junk fuzzing because
+    they need valid outer magic with a specific inner truncation."""
+    import struct
+
+    from labelspark_spark.operators.multimodal import gif_decode, jpeg_decode_gray
+
+    # truncated SOF body (body[5] indexed past end), empty SOS body,
+    # and a short DQT (quant table < 65 bytes)
+    assert jpeg_decode_gray(b"\xff\xd8\xff\xc0\x00\x05\x08\x00\x08") is None
+    assert jpeg_decode_gray(b"\xff\xd8\xff\xda\x00\x02") is None
+    assert jpeg_decode_gray(b"\xff\xd8\xff\xdb\x00\x10" + bytes(12)) is None
+    # GIF with a 2-entry color table but 8-bit LZW codes: decoded
+    # palette indexes exceed the table and must refuse, not IndexError
+    g = (
+        b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80]) + b"\x00\x00"
+        + bytes(6)
+        + b"," + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + bytes([8]) + bytes([2, 0x00, 0xFF]) + b"\x00" + b";"
+    )
+    assert gif_decode(g) is None
+
+
 def test_gif_frame_decode_distributed(spark):
     """decode_gif_frames: one row per frame, nulls (not dropped ids)
     for undecodable payloads."""
