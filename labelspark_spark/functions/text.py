@@ -51,23 +51,31 @@ def regex_token_count(col: Column | str) -> Column:
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Character n-gram (shingle) array over the normalized text.
 
-    Built with sequence+transform — stays in codegen, no UDF.
+    Built with sequence+transform — stays in codegen, no UDF. NULL
+    input propagates as NULL (the sequence/greatest scaffold would
+    otherwise emit the 1-element [null] array — r11 review: every
+    null doc would share one common 'shingle'). A string shorter than
+    ``n`` yields its single truncated shingle — the same short-input
+    degradation as the word-shingle builders.
     """
     c = normalize_text(col)
-    return F.transform(
+    grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
         lambda i: F.substring(c, i, n),
     )
+    return F.when(c.isNotNull(), grams)
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (arrays of n space-joined tokens)."""
+    """Word n-gram shingles (arrays of n space-joined tokens). NULL
+    input propagates as NULL (see char_ngrams)."""
     toks = whitespace_tokens(col)
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.transform(
+    shingles = F.transform(
         F.sequence(F.lit(0), k - F.lit(1)),
         lambda i: F.array_join(F.slice(toks, i + F.lit(1), n), " "),
     )
+    return F.when(toks.isNotNull(), shingles)
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:

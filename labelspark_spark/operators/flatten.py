@@ -47,13 +47,28 @@ def flatten_structs(df: DataFrame, sep: str = ".") -> DataFrame:
     names are full dot-paths, matching the reference's output naming
     (`flatten_bronze_table.py:30` ``.toDF(*cols_to_select)``).
     """
+    # Leaf references are built by getField() chains, never by parsing
+    # a dot-joined path string: bronze struct field names come from
+    # user-defined ontology titles and can contain dots (e.g. 'Is this
+    # O.K.'), which F.col('Label.Is this O.K.') would split on and
+    # raise — the sibling flatten() already backticks for this reason
+    # (r11 review). The alias keeps the reference's dot-path naming.
     cols: list = []
+
+    def _walk(dtype: StructType, col, prefix: str) -> None:
+        for f in dtype.fields:
+            child = col.getField(f.name)
+            path = f"{prefix}{sep}{f.name}"
+            if isinstance(f.dataType, StructType):
+                _walk(f.dataType, child, path)
+            else:
+                cols.append(child.alias(path))
+
     for field in df.schema.fields:
         if isinstance(field.dataType, StructType):
-            for path in schema_paths(field.dataType, prefix=f"{field.name}.", descend_arrays=False):
-                cols.append(F.col(path).alias(path.replace(".", sep)))
+            _walk(field.dataType, F.col(f"`{field.name}`"), field.name)
         else:
-            cols.append(F.col(field.name))
+            cols.append(F.col(f"`{field.name}`"))
     return df.select(*cols)
 
 

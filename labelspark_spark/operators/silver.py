@@ -34,15 +34,22 @@ def object_counts_wide(
     ``titles`` pins the pivot width (mandatory discipline at scale — an
     unpinned pivot runs an extra distinct job over all data).
     """
+    # key columns ride through the pivot under RESERVED names: a
+    # pivoted title that happens to equal a key column name would
+    # otherwise produce two same-named columns, break the
+    # `c not in key_cols` rename filter, and make the select ambiguous
+    # (r11 review — ontology titles are user-controlled)
+    tmp = [f"_ls_key_{i}__" for i in range(len(key_cols))]
     exploded = df.select(
-        *key_cols, F.explode(F.col(objects_col)).alias("_obj")
-    ).select(*key_cols, F.col(f"_obj.{title_field}").alias("_title"))
-    pivot = exploded.groupBy(*key_cols).pivot("_title", values=titles).agg(
+        *[F.col(k).alias(t) for k, t in zip(key_cols, tmp)],
+        F.explode(F.col(objects_col)).alias("_obj"),
+    ).select(*tmp, F.col(f"_obj.{title_field}").alias("_title"))
+    pivot = exploded.groupBy(*tmp).pivot("_title", values=titles).agg(
         F.count(F.lit(1))
     )
     renamed = pivot.select(
-        *key_cols,
-        *[F.col(f"`{c}`").alias(f"{c}{suffix}") for c in pivot.columns if c not in key_cols],
+        *[F.col(t).alias(k) for t, k in zip(tmp, key_cols)],
+        *[F.col(f"`{c}`").alias(f"{c}{suffix}") for c in pivot.columns if c not in tmp],
     )
     return renamed
 
@@ -60,21 +67,31 @@ def answers_wide(
     first-wins semantics made deterministic: entries are ranked by array
     position within each (key, title) group and only rank 1 survives.
     """
+    # same reserved-name discipline as object_counts_wide: a question
+    # title equal to a key column name must not collide with it
+    tmp = [f"_ls_key_{i}__" for i in range(len(key_cols))]
     exploded = df.select(
-        *key_cols, F.posexplode(F.col(entries_col)).alias("_pos", "_entry")
+        *[F.col(k).alias(t) for k, t in zip(key_cols, tmp)],
+        F.posexplode(F.col(entries_col)).alias("_pos", "_entry"),
     )
     answer = answer_expr if answer_expr is not None else F.col("_entry.answer")
     shaped = exploded.select(
-        *key_cols,
+        *tmp,
         F.col(f"_entry.{title_field}").alias("_title"),
         answer.alias("_answer"),
         F.col("_pos"),
     )
-    w = Window.partitionBy(*key_cols, "_title").orderBy("_pos")
+    w = Window.partitionBy(*tmp, "_title").orderBy("_pos")
     first_wins = (
         shaped.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn", "_pos")
     )
-    return first_wins.groupBy(*key_cols).pivot("_title", values=titles).agg(F.first("_answer"))
+    pivot = first_wins.groupBy(*tmp).pivot("_title", values=titles).agg(
+        F.first("_answer")
+    )
+    return pivot.select(
+        *[F.col(t).alias(k) for t, k in zip(tmp, key_cols)],
+        *[F.col(f"`{c}`") for c in pivot.columns if c not in tmp],
+    )
 
 
 def checklist_fold(col, item_field: str = "title", delim: str = ",") :

@@ -406,23 +406,50 @@ def upsert_keys(
             .groupBy("_base")
             .agg(F.max("_sfx").alias("_max_sfx"), F.max("_is_bare").alias("_bare"))
         )
-        flagged = df.join(F.broadcast(fam), df[key_col] == fam["_base"], "left")
+        # Family membership is decided on the INCOMING key's stripped
+        # base too (r11 review): an incoming key already in suffix form
+        # ('k///1', e.g. re-submitted from a prior upsert's spool) must
+        # reconcile inside family 'k' — the old join on the literal key
+        # let it bypass reconciliation and collide verbatim with the
+        # existing row, and an in-batch ['k','k','k///1'] could mint a
+        # duplicate 'k///1'. For all-bare batches (every prior caller)
+        # this reduces to the previous formulas exactly.
+        inc_base = F.regexp_replace(F.col(key_col), sfx_re, "")
+        inc_bare = (~F.col(key_col).rlike(sfx_re)).cast("int")
+        flagged = (
+            df.withColumn("_inc_base", inc_base)
+            .withColumn("_inc_bare", inc_bare)
+            .join(F.broadcast(fam), F.col("_inc_base") == fam["_base"], "left")
+        )
         order_expr = F.col(order_by) if order_by else F.monotonically_increasing_id()
-        w = Window.partitionBy(key_col).orderBy(order_expr)
+        w = Window.partitionBy("_inc_base").orderBy(order_expr)
         m = F.coalesce(F.col("_max_sfx"), F.lit(0))
         bare_exists = F.coalesce(F.col("_bare"), F.lit(0)) == 1
-        # bare taken -> every incoming row suffixes past the family max;
-        # bare free -> first row keeps it, the rest suffix densely.
-        suffix_n = F.when(bare_exists, m + F.col("_rn")).otherwise(m + F.col("_rn") - 1)
+        flagged = flagged.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_first_bare", F.first("_inc_bare").over(w) == 1
+        )
+        # the family's first incoming row keeps the bare key iff it IS
+        # bare and the bare is free; everyone else suffixes past the
+        # existing family max, with the counter discounted by one only
+        # when the bare slot was consumed by this batch's first row
+        keep_bare = (
+            (F.col("_inc_bare") == 1) & ~bare_exists & (F.col("_rn") == 1)
+        )
+        discount = F.when(~bare_exists & F.col("_first_bare"), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        suffix_n = m + F.col("_rn") - discount
         return (
-            flagged.withColumn("_rn", F.row_number().over(w))
-            .withColumn(
+            flagged.withColumn(
                 key_col,
-                F.when(~bare_exists & (F.col("_rn") == 1), F.col(key_col)).otherwise(
-                    F.concat(F.col(key_col), F.lit(divider), suffix_n.cast("string"))
+                F.when(keep_bare, F.col(key_col)).otherwise(
+                    F.concat(
+                        F.col("_inc_base"), F.lit(divider), suffix_n.cast("string")
+                    )
                 ),
             )
-            .drop("_base", "_max_sfx", "_bare", "_rn")
+            .drop("_base", "_max_sfx", "_bare", "_rn", "_inc_base", "_inc_bare",
+                  "_first_bare")
         )
     raise ValueError(f"mode must be 'skip' or 'suffix', got {mode!r}")
 
@@ -442,10 +469,17 @@ def lookup_join(
     broadcast once, no per-row JSON parse. ``default_col`` supplies the
     fallback (sync_function's keep-current-value semantics).
     """
+    # deterministic duplicate resolution: a remote export can carry two
+    # rows for one key (re-labeled data row), and dropDuplicates keeps
+    # whichever the shuffle delivers first — repeated runs over the
+    # same inputs would sync different values (r11 review). max() is an
+    # arbitrary-but-STABLE rule, and it prefers non-null.
     small = F.broadcast(
         lookup.select(
             F.col(key_col).alias("_lk_key"), F.col(value_col).alias("_lk_val")
-        ).dropDuplicates(["_lk_key"])
+        )
+        .groupBy("_lk_key")
+        .agg(F.max("_lk_val").alias("_lk_val"))
     )
     joined = df.join(small, df[key_col] == small["_lk_key"], "left")
     fallback = F.col(default_col) if default_col else F.lit(None)

@@ -135,8 +135,9 @@ class RestSpoolWriter(DataSourceWriter):
     cluster the path must be shared storage (or each stage an HTTP
     batch POST with the manifest a final marker call)."""
 
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool = False) -> None:
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator) -> SpoolCommitMessage:
         import json as _json
@@ -156,11 +157,33 @@ class RestSpoolWriter(DataSourceWriter):
         import json as _json
         import os
 
-        manifest = {
-            "files": sorted(m.file for m in messages if m is not None),
-            "total_rows": sum(m.rows for m in messages if m is not None),
-        }
-        with open(os.path.join(self.path, "manifest.json"), "w") as f:
+        files = sorted(m.file for m in messages if m is not None)
+        rows = sum(m.rows for m in messages if m is not None)
+        mpath = os.path.join(self.path, "manifest.json")
+        if self.overwrite:
+            # drop stage files from prior commits: the manifest is the
+            # source of truth, but leaked stages are disk the next
+            # overwrite never reclaims (r11 review)
+            for name in os.listdir(self.path):
+                if (
+                    name.startswith("stage-")
+                    and name.endswith(".ndjson")
+                    and name not in files
+                ):
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
+        elif os.path.exists(mpath):
+            # append MERGES with the prior manifest — the old
+            # unconditional rewrite erased every earlier batch from the
+            # manifest-driven read-back (r11 review)
+            with open(mpath) as f:
+                prev = _json.load(f)
+            files = sorted(set(prev.get("files", [])) | set(files))
+            rows += int(prev.get("total_rows", 0))
+        manifest = {"files": files, "total_rows": rows}
+        with open(mpath, "w") as f:
             _json.dump(manifest, f)
 
     def abort(self, messages) -> None:
@@ -195,7 +218,7 @@ class RestExportDataSource(DataSource):
         return RestExportStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> RestSpoolWriter:
-        return RestSpoolWriter(self.options)
+        return RestSpoolWriter(self.options, overwrite=overwrite)
 
 
 def register(spark) -> None:

@@ -54,10 +54,12 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     session is pinned UTC, so the cast is value-preserving). Used by
     the streaming path; the batch path keeps NTZ as-is because its
     DuckDB parity is established on the naive type."""
-    dtype = dict(df.dtypes).get(col)
-    if dtype in ("bigint", "int", "long"):
-        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    if dtype == "timestamp_ntz":
+    # the integral branch IS nanos_to_timestamp — call it instead of
+    # keeping a second copy of the div-1000 truncation that could
+    # drift (r11 review; the old inline list also carried dead 'int'/
+    # 'long' entries df.dtypes never produces)
+    df = nanos_to_timestamp(df, col)
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
@@ -102,6 +104,28 @@ def read_json_files(
     return reader.json(path)
 
 
+def _merge_json_example(a, b):
+    """Merge two parsed-JSON values into one example that exhibits the
+    UNION of their fields, recursively (dict keys unioned, list element
+    examples merged, non-null examples preferred over nulls). Feeds
+    schema_of_json so one inference pass sees every field any record
+    carries. Cross-record TYPE conflicts (int vs string for the same
+    key) keep the first non-null example's type — the one shape this
+    driver-side union does not reconcile the way spark.read.json's
+    string-widening does."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = _merge_json_example(out[k], v) if k in out else v
+        return out
+    if isinstance(a, list) and isinstance(b, list):
+        example = None
+        for item in a + b:
+            example = item if example is None else _merge_json_example(example, item)
+        return [example] if example is not None else []
+    return b if a is None else a
+
+
 def json_literal_to_df(
     spark: SparkSession, json_str: str, schema: StructType | None = None
 ) -> DataFrame:
@@ -116,8 +140,21 @@ def json_literal_to_df(
     payload = [(_json.dumps(r),) for r in records]
     raw = spark.createDataFrame(payload, "value string")
     if schema is None:
-        schema = F.schema_of_json(_json.dumps(records[0])) if records else "struct<>"
-        return raw.select(F.from_json("value", schema).alias("doc")).select("doc.*")
+        # infer from a MERGED example record, not records[0]: the
+        # reference (spark.read.json over the literal) unions schema
+        # across all array elements, so a field appearing only in a
+        # later record must not vanish — and a null in the first
+        # record must not pin its field to VOID and silently null
+        # every later value (r11 review). Driver-side merge is fine:
+        # the literal already lives on the driver.
+        example = None
+        for r in records:
+            example = r if example is None else _merge_json_example(example, r)
+        schema = (
+            F.schema_of_json(_json.dumps(example))
+            if example is not None
+            else "struct<>"
+        )
     return raw.select(F.from_json("value", schema).alias("doc")).select("doc.*")
 
 
@@ -170,20 +207,21 @@ def parquet_stats(
 ) -> dict:
     """MIN/MAX per column + row COUNT from parquet footer statistics —
     a metadata read, no data scan (at 100 TB: milliseconds vs a full
-    pass). Uses the v2 parquet source's aggregate pushdown for the
-    duration of the call; the engine default stays v1 because bucketed
-    managed tables require it. The action runs inside the conf window
-    since pushdown is resolved at execution time.
+    pass). Uses the v2 parquet source's aggregate pushdown; the engine
+    default stays v1 because bucketed managed tables require it. The
+    v2 switch is scoped to a CLONED session (``spark.newSession()``
+    has its own SQLConf over the shared SparkContext), never toggled
+    in the caller's session: the old in-place set/restore was
+    process-visible state, and any concurrent query planned inside
+    the window (a streaming micro-batch, a sibling thread) would
+    silently run on the v2 source (r11 review).
     """
+    s2 = spark.newSession()
     key = "spark.sql.sources.useV1SourceList"
-    old = spark.conf.get(key)
+    old = s2.conf.get(key)
     v2_list = ",".join(s for s in old.split(",") if s.strip() and s.strip() != "parquet")
-    spark.conf.set(key, v2_list)
-    try:
-        aggs = [F.count(F.lit(1)).alias("count")]
-        for c in cols:
-            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-        row = spark.read.parquet(path).agg(*aggs).first()
-    finally:
-        spark.conf.set(key, old)
-    return row.asDict()
+    s2.conf.set(key, v2_list)
+    aggs = [F.count(F.lit(1)).alias("count")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return s2.read.parquet(path).agg(*aggs).first().asDict()

@@ -1159,3 +1159,91 @@ def test_oracle_norm_is_dtype_strict():
     assert rowset(["a", "b"], [(1, 2.5)]) == rowset(["b", "a"], [(2.5, 1)])
     with _pytest.raises(TypeError):
         _norm([1, 2, 3])
+
+
+def test_r11_review_regressions(spark, tmp_path):
+    """Consolidated pins for the r11 batch-3 review fixes — each case
+    previously crashed, collided, or silently lost data."""
+    import json as _json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from labelspark_spark.functions.text import char_ngrams, word_shingles
+    from labelspark_spark.operators.flatten import flatten_structs
+    from labelspark_spark.operators.silver import object_counts_wide
+    from labelspark_spark.operators.uploads import lookup_join, upsert_keys
+    from labelspark_spark.sources import python_datasource as pds
+    from labelspark_spark.sources.readers import json_literal_to_df
+
+    # json literal: schema UNIONS across records; a null in the first
+    # record must not pin the field's type (old: records[0] only)
+    df = json_literal_to_df(spark, '[{"a":null},{"a":5,"b":"x"}]')
+    assert set(df.columns) == {"a", "b"}
+    assert {(r.a, r.b) for r in df.collect()} == {(None, None), (5, "x")}
+
+    # upsert suffix mode: a suffix-form incoming key reconciles inside
+    # its family instead of colliding verbatim; in-batch mixed keys
+    # never mint duplicates (old: join on the literal key)
+    ex = spark.createDataFrame([("k///1",)], ["global_key"])
+    inc = spark.createDataFrame([("k///1",)], ["global_key"])
+    assert [r.global_key for r in upsert_keys(inc, ex, mode="suffix").collect()] == [
+        "k///2"
+    ]
+    inc2 = spark.createDataFrame([("a", 1), ("a", 2), ("a///1", 3)], ["global_key", "o"])
+    ex2 = spark.createDataFrame([], "global_key string")
+    out2 = sorted(
+        r.global_key for r in upsert_keys(inc2, ex2, mode="suffix", order_by="o").collect()
+    )
+    assert out2 == ["a", "a///1", "a///2"]
+
+    # lookup_join: duplicate lookup keys resolve deterministically
+    # (max, non-null preferred), not by shuffle arrival order
+    base = spark.createDataFrame([("dr1", "old")], ["k", "v"])
+    lk = spark.createDataFrame([("dr1", "x"), ("dr1", "z"), ("dr1", None)], ["k", "v"])
+    assert lookup_join(base, lk, "k", "v", "v", default_col="v").collect()[0].v == "z"
+
+    # flatten_structs: struct field names containing dots resolve via
+    # getField, never by parsing a dot-joined path string
+    src = spark.sql("select named_struct('Is this O.K.', 1, 'plain', 'y') as Label")
+    out = flatten_structs(src)
+    assert out.columns == ["Label.Is this O.K.", "Label.plain"]
+    assert out.collect()[0][0] == 1
+
+    # silver pivot: a pivoted title equal to a key column name must not
+    # produce an ambiguous select
+    b = spark.createDataFrame(
+        [("k1", [{"title": "DataRowID"}, {"title": "car"}])],
+        "DataRowID string, objs array<struct<title:string>>",
+    )
+    w = object_counts_wide(b, ["DataRowID"], "objs")
+    assert sorted(w.columns) == ["DataRowID", "DataRowID.count", "car.count"]
+
+    # shingle builders: NULL text propagates as NULL, never [null]
+    t = spark.createDataFrame([(None,), ("ab",)], "t string")
+    rows = t.select(
+        char_ngrams(F.col("t"), 5).alias("g"), word_shingles(F.col("t"), 3).alias("w")
+    ).collect()
+    assert rows[0].g is None and rows[0].w is None
+    assert rows[1].g == ["ab"] and rows[1].w == ["ab"]
+
+    # python datasource: append MERGES the manifest; overwrite reclaims
+    # stale stage files (old: every commit rewrote the manifest with
+    # only its own files)
+    pds.register(spark)
+    d = str(tmp_path / "spool")
+    schema = "row_id bigint, page int, label string, score_ppm bigint"
+    spark.createDataFrame([(1, 0, "a", 10)], schema).coalesce(1).write.format(
+        "labelspark_rest"
+    ).option("path", d).mode("append").save()
+    spark.createDataFrame([(2, 0, "b", 20)], schema).coalesce(1).write.format(
+        "labelspark_rest"
+    ).option("path", d).mode("append").save()
+    m = _json.load(open(os.path.join(d, "manifest.json")))
+    assert m["total_rows"] == 2 and len(m["files"]) == 2
+    spark.createDataFrame([(3, 0, "c", 30)], schema).coalesce(1).write.format(
+        "labelspark_rest"
+    ).option("path", d).mode("overwrite").save()
+    m2 = _json.load(open(os.path.join(d, "manifest.json")))
+    stage = sorted(f for f in os.listdir(d) if f.startswith("stage-"))
+    assert m2["total_rows"] == 1 and stage == sorted(m2["files"])
