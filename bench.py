@@ -439,6 +439,44 @@ def main() -> None:
     from labelspark_spark import get_spark_session
     from labelspark_spark.queries import REGISTRY
 
+    # Close-bench measurement protocol (VERDICT r11 item 3): three
+    # same-code builder-close runs spread 232/192/172s in one r11
+    # session — machine state, not plan quality. Per-line min-of-3
+    # already guards WITHIN a run (below); this gates the run START on
+    # a quiet machine and records what it saw, so cross-run totals in
+    # the SURVEY trend table compare like-measured numbers. The gate
+    # only blocks in builder-close context (the driver's verify run
+    # must not stall); both contexts record the observed load.
+    load_gate: dict = {"gated": False}
+    try:
+        load1 = os.getloadavg()[0]
+        load_gate["load1_at_start"] = round(load1, 2)
+        if RUN_CONTEXT == "builder-close":
+            threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+            deadline = time.time() + 180
+            waited = 0.0
+            while load1 > threshold and time.time() < deadline:
+                time.sleep(5)
+                waited += 5
+                load1 = os.getloadavg()[0]
+            load_gate.update(
+                {
+                    "gated": True,
+                    "threshold": threshold,
+                    "waited_sec": waited,
+                    "load1_at_gate_exit": round(load1, 2),
+                    "gate_passed": load1 <= threshold,
+                }
+            )
+            if load1 > threshold:
+                print(
+                    f"# WARNING: load gate timed out at load1={load1:.2f} "
+                    f"(threshold {threshold}); timings may carry machine noise",
+                    file=sys.stderr,
+                )
+    except OSError:
+        load_gate["load1_at_start"] = None
+
     spark = get_spark_session(app_name="labelspark-spark-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -488,6 +526,12 @@ def main() -> None:
         "run_context": RUN_CONTEXT,
         "cold_total_sec": round(sum(cold.values()), 3),
         "cold_queries": cold,
+        # measurement protocol provenance (VERDICT r11 item 3)
+        "protocol": {
+            "warm_passes": 3,
+            "per_line": "min",
+            "load_gate": load_gate,
+        },
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(sidecar, "w") as f:

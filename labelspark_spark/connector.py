@@ -32,7 +32,9 @@ def get_col_names(table: DataFrame, extra_client=None) -> list[str]:
     return [f.name for f in table.schema.fields]
 
 
-def get_unique_values(table: DataFrame, col: str, extra_client=None) -> list[str]:
+def get_unique_values(
+    table: DataFrame, col: str, extra_client=None
+) -> list[str | None]:
     """Unique values of one column, stringified, as a driver-side list.
 
     Reference: labelspark/connector.py:30. The distinct runs
@@ -41,11 +43,16 @@ def get_unique_values(table: DataFrame, col: str, extra_client=None) -> list[str
     (status flags, dataset names). For high-cardinality columns keep
     the DataFrame form instead: this verb's contract is a driver list,
     exactly like the reference.
+
+    DELIBERATE DIVERGENCE from the reference for NULL values: the
+    reference's ``str(x[col])`` (connector.py:39) turns SQL NULL into
+    the literal string ``'None'``, indistinguishable from a real
+    ``'None'`` string — callers enumerating enum options from the list
+    would mint a bogus option. This implementation surfaces NULL as
+    Python ``None`` instead (hence the ``str | None`` element type).
+    Callers needing byte-for-byte reference output can post-process
+    with ``str(v)``.
     """
-    # NULL stays None, never the string 'None': str(None) would invent
-    # a value indistinguishable from a real 'None' string, and callers
-    # enumerating enum options from this list would create a bogus
-    # option — the reference surfaces the null itself (r11 review)
     return [
         str(r[0]) if r[0] is not None else None
         for r in table.select(F.col(col).cast("string")).distinct().collect()

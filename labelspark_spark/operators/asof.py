@@ -28,59 +28,74 @@ def asof_join(
     left timestamp (direction='backward'; 'forward' = next at-or-after).
 
     Union both sides tagged, sort within key by time, carry the last
-    non-null right value forward (ignorenulls last over an unbounded
+    right ROW forward as one struct (ignorenulls last over an unbounded
     preceding frame). Single shuffle; robust to skew via AQE.
+
+    The struct carry is load-bearing (r12 review): carrying each value
+    column independently would (a) let an older row's value shine
+    through a genuinely-NULL field of the latest right row, and (b)
+    stitch values of DIFFERENT right rows into one output row when
+    their null patterns differ. The struct is non-null for every right
+    row, so the carried values always come from one row, nulls intact.
+
+    Right rows with a NULL timestamp are dropped (they are "as of"
+    nothing; under Spark's nulls-first ascending sort they would
+    otherwise seed the carry before the earliest real row).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in set(on) | {right_ts}]
+    left_payload = [c for c in left.columns if c not in set(on) | {left_ts}]
+    clash = set(value_cols) & (set(left_payload) | {left_ts})
+    if clash:
+        raise ValueError(
+            f"right value columns collide with left columns: {sorted(clash)}; "
+            "rename one side before joining"
+        )
 
     lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     rt = (
-        right.select(
-            *on, F.col(right_ts).alias("_ts"), *[F.col(c) for c in value_cols]
-        ).withColumn("_side", F.lit(0))
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            *on,
+            F.col(right_ts).alias("_ts"),
+            F.struct(*[F.col(c) for c in value_cols]).alias("_rvals"),
+        )
+        .withColumn("_side", F.lit(0))
     )
-    # Align schemas: left lacks value_cols, right lacks left's payload.
-    for c in value_cols:
-        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
-    left_payload = [c for c in left.columns if c not in set(on) | {left_ts}]
+    # Align schemas: left lacks the right-row struct, right lacks left's
+    # payload.
+    lt = lt.withColumn("_rvals", F.lit(None).cast(rt.schema["_rvals"].dataType))
     for c in left_payload:
         rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    lt = lt.select(*on, "_ts", "_side", *value_cols, *left_payload, F.col(left_ts))
+    lt = lt.select(*on, "_ts", "_side", "_rvals", *left_payload, F.col(left_ts))
     rt = rt.withColumn(left_ts, F.lit(None).cast(left.schema[left_ts].dataType)).select(
-        *on, "_ts", "_side", *value_cols, *left_payload, F.col(left_ts)
+        *on, "_ts", "_side", "_rvals", *left_payload, F.col(left_ts)
     )
     unioned = lt.unionByName(rt)
 
-    if direction == "backward":
-        # right rows sort before left rows at equal ts => "at or before".
-        w = Window.partitionBy(*on).orderBy(F.col("_ts").asc(), F.col("_side").asc()).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        filled = unioned.select(
-            *on,
-            "_ts",
-            "_side",
-            *left_payload,
-            F.col(left_ts),
-            *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
-        )
-    elif direction == "forward":
-        w = Window.partitionBy(*on).orderBy(F.col("_ts").desc(), F.col("_side").asc()).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        filled = unioned.select(
-            *on,
-            "_ts",
-            "_side",
-            *left_payload,
-            F.col(left_ts),
-            *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
-        )
-    else:
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
-
-    return filled.filter(F.col("_side") == 1).drop("_side", "_ts")
+    # backward: right rows sort before left rows at equal ts => "at or
+    # before"; forward mirrors it on descending time => "at or after".
+    order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    w = Window.partitionBy(*on).orderBy(order, F.col("_side").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = unioned.select(
+        *on,
+        "_side",
+        *left_payload,
+        F.col(left_ts),
+        F.last(F.col("_rvals"), ignorenulls=True).over(w).alias("_rvals"),
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *on,
+        *left_payload,
+        F.col(left_ts),
+        # getField, not a dotted path string (dotted field names parse
+        # wrong — same class as the r11 flatten_structs fix)
+        *[F.col("_rvals").getField(c).alias(c) for c in value_cols],
+    )
 
 
 def range_join(

@@ -56,18 +56,29 @@ def funnel_depth(
     f = events.filter(F.col(type_col).isin(list(steps))).select(
         F.col(user_col).alias("user_id"),
         F.col(ts_col).alias("ts"),
-        # 0-based index of this event's step within the funnel pattern
+        # first-occurrence index, used ONLY as the equal-ts tiebreak
+        # (earlier funnel position sorts first — the pre-r12 order)
         (F.array_position(step_arr, F.col(type_col)) - 1).cast("int").alias("step"),
+        F.col(type_col).alias("et"),
     )
     seq = f.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("ts", "step"))).alias("seq")
+        F.sort_array(F.collect_list(F.struct("ts", "step", "et"))).alias("seq")
     )
     # fold: acc = number of funnel steps completed so far; an event
-    # advances the funnel iff its step index == the next needed index
+    # advances the funnel iff its TYPE equals the next needed step.
+    # Comparing against element_at(steps, acc+1) — NOT a precomputed
+    # array_position index — keeps funnels with a REPEATED step
+    # (A -> B -> A) matchable: array_position maps every 'A' event to
+    # the first occurrence, so the repeated third step could never be
+    # reached (r12 review). try_element_at: once the funnel completes,
+    # acc+1 runs past the pattern and must yield NULL (never advance),
+    # not an ANSI out-of-bounds error.
     depth = F.aggregate(
         F.col("seq"),
         F.lit(0),
-        lambda acc, x: F.when(x["step"] == acc, acc + F.lit(1)).otherwise(acc),
+        lambda acc, x: F.when(
+            x["et"] == F.try_element_at(step_arr, acc + F.lit(1)), acc + F.lit(1)
+        ).otherwise(acc),
     )
     return seq.select("user_id", depth.alias("depth"))
 

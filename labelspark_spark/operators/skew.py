@@ -40,6 +40,11 @@ def salted_join(
     Results are identical to ``left.join(right, on, how)`` for inner and
     left joins (each left row carries exactly one salt; each right row
     exists once per salt).
+
+    Caveat (r12 review): when the left frame has NO non-key columns the
+    salt falls back to hashing the key itself, which maps a hot key to
+    ONE salt — zero spread. Key-only hot frames are count-shaped; use
+    :func:`salted_group_count` (or add a payload column) instead.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")

@@ -373,17 +373,23 @@ def upsert_keys(
                      Pass ``order_by`` (a column name) for a reproducible
                      counter; default falls back to input order.
 
-    Suffixing applies when the key exists remotely OR when the incoming
-    batch itself repeats a key (``_rn > 1``): the reference collapses to
-    one row per unique global key (uploader.py:80-99), so posting two
-    identical new keys verbatim would still collide server-side.
+    Suffixing applies ONLY to genuinely colliding rows (r12 ADVICE —
+    the reference suffixes only actual duplicates, client.py:218-219):
+    a row whose literal key is absent from the existing set AND is the
+    first occurrence of that literal key in batch order is kept
+    VERBATIM, whether bare or already suffix-form — user-visible global
+    keys are never silently rewritten. A row collides when its literal
+    key exists remotely or repeats an earlier in-batch row (the
+    reference collapses to one row per unique global key,
+    uploader.py:80-99, so posting two identical new keys verbatim would
+    still collide server-side).
 
-    The suffix counter is derived from the EXISTING key family, not just
-    the incoming batch: existing keys are grouped by base (the key with
-    any trailing ``{div}{n}`` stripped) and new suffixes start past the
-    family's max — so a third upsert of the same key yields
-    ``key{div}2`` instead of regenerating the ``key{div}1`` the second
-    upsert already spooled.
+    Colliding rows mint ``base{div}{n}`` past the family max, where the
+    family is every key sharing the same stripped base and the max
+    spans BOTH existing suffixes AND the suffixes of incoming rows kept
+    verbatim — so a minted key can collide with neither side, and a
+    third upsert of the same key yields ``key{div}2`` instead of
+    regenerating the ``key{div}1`` the second upsert already spooled.
     """
     keys = existing.select(F.col(key_col).alias("_existing_key")).distinct()
     if mode == "skip":
@@ -401,55 +407,59 @@ def upsert_keys(
                     F.nullif(F.regexp_extract("_existing_key", sfx_re, 1), F.lit("")),
                     F.lit("0"),
                 ).cast("int").alias("_sfx"),
-                (~F.col("_existing_key").rlike(sfx_re)).cast("int").alias("_is_bare"),
             )
             .groupBy("_base")
-            .agg(F.max("_sfx").alias("_max_sfx"), F.max("_is_bare").alias("_bare"))
+            .agg(F.max("_sfx").alias("_max_sfx"))
         )
-        # Family membership is decided on the INCOMING key's stripped
-        # base too (r11 review): an incoming key already in suffix form
-        # ('k///1', e.g. re-submitted from a prior upsert's spool) must
-        # reconcile inside family 'k' — the old join on the literal key
-        # let it bypass reconciliation and collide verbatim with the
-        # existing row, and an in-batch ['k','k','k///1'] could mint a
-        # duplicate 'k///1'. For all-bare batches (every prior caller)
-        # this reduces to the previous formulas exactly.
+        # Collision is decided on the LITERAL key (r12 ADVICE — the r11
+        # base-family join renamed suffix-form keys that collided with
+        # nothing); the mint counter is decided on the stripped base
+        # family, spanning existing AND verbatim-kept incoming
+        # suffixes so minted keys collide with neither.
         inc_base = F.regexp_replace(F.col(key_col), sfx_re, "")
-        inc_bare = (~F.col(key_col).rlike(sfx_re)).cast("int")
+        inc_sfx = F.coalesce(
+            F.nullif(F.regexp_extract(F.col(key_col), sfx_re, 1), F.lit("")),
+            F.lit("0"),
+        ).cast("int")
         flagged = (
             df.withColumn("_inc_base", inc_base)
-            .withColumn("_inc_bare", inc_bare)
-            .join(F.broadcast(fam), F.col("_inc_base") == fam["_base"], "left")
+            .withColumn("_inc_sfx", inc_sfx)
+            .join(F.broadcast(keys), F.col(key_col) == F.col("_existing_key"), "left")
+            .join(F.broadcast(fam), F.col("_inc_base") == F.col("_base"), "left")
         )
         order_expr = F.col(order_by) if order_by else F.monotonically_increasing_id()
-        w = Window.partitionBy("_inc_base").orderBy(order_expr)
-        m = F.coalesce(F.col("_max_sfx"), F.lit(0))
-        bare_exists = F.coalesce(F.col("_bare"), F.lit(0)) == 1
-        flagged = flagged.withColumn("_rn", F.row_number().over(w)).withColumn(
-            "_first_bare", F.first("_inc_bare").over(w) == 1
+        # first in-batch occurrence of each LITERAL key, in batch order
+        w_key = Window.partitionBy("_inc_base", key_col).orderBy(order_expr)
+        flagged = flagged.withColumn("_key_rn", F.row_number().over(w_key))
+        flagged = flagged.withColumn(
+            "_keep", F.col("_existing_key").isNull() & (F.col("_key_rn") == 1)
         )
-        # the family's first incoming row keeps the bare key iff it IS
-        # bare and the bare is free; everyone else suffixes past the
-        # existing family max, with the counter discounted by one only
-        # when the bare slot was consumed by this batch's first row
-        keep_bare = (
-            (F.col("_inc_bare") == 1) & ~bare_exists & (F.col("_rn") == 1)
+        # family max spans existing suffixes and kept incoming suffixes
+        # (whole-family window, both partitioned by _inc_base so the
+        # keyed shuffle is shared with the running collider rank below)
+        kept_max = F.max(
+            F.when(F.col("_keep"), F.col("_inc_sfx")).otherwise(0)
+        ).over(Window.partitionBy("_inc_base"))
+        w_run = (
+            Window.partitionBy("_inc_base")
+            .orderBy(order_expr)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        discount = F.when(~bare_exists & F.col("_first_bare"), F.lit(1)).otherwise(
-            F.lit(0)
-        )
-        suffix_n = m + F.col("_rn") - discount
+        mint_rn = F.sum(F.when(F.col("_keep"), 0).otherwise(1)).over(w_run)
+        fmax = F.greatest(F.coalesce(F.col("_max_sfx"), F.lit(0)), kept_max)
         return (
             flagged.withColumn(
                 key_col,
-                F.when(keep_bare, F.col(key_col)).otherwise(
+                F.when(F.col("_keep"), F.col(key_col)).otherwise(
                     F.concat(
-                        F.col("_inc_base"), F.lit(divider), suffix_n.cast("string")
+                        F.col("_inc_base"),
+                        F.lit(divider),
+                        (fmax + mint_rn).cast("string"),
                     )
                 ),
             )
-            .drop("_base", "_max_sfx", "_bare", "_rn", "_inc_base", "_inc_bare",
-                  "_first_bare")
+            .drop("_existing_key", "_base", "_max_sfx", "_inc_base", "_inc_sfx",
+                  "_key_rn", "_keep")
         )
     raise ValueError(f"mode must be 'skip' or 'suffix', got {mode!r}")
 

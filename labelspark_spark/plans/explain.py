@@ -42,7 +42,13 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return formatted_plan(df).count("Exchange")
+    """Number of SHUFFLE exchanges in the plan. Counted off the
+    numbered node headers so `BroadcastExchange` (not a shuffle) and
+    `ReusedExchange` (no second shuffle happens) don't inflate the
+    count the way a bare substring count did (r12 review)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
 
 
 def codegen_stage_count(df: DataFrame) -> int:
@@ -97,5 +103,14 @@ def global_window_specs(df: DataFrame) -> list[str]:
     for m in re.finditer(r"\(\d+\) Window(?:\n[^\n(]*)*?\nArguments: (.*)", plan):
         groups = _top_level_bracket_groups(m.group(1))
         if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
+            out.append(m.group(1))
+        elif (
+            # defensive (r12 review): a printer that keeps the empty
+            # partitionSpec as its own group — [exprs], [], [x ASC] —
+            # is the same unpartitioned window and must not slip by
+            len(groups) == 3
+            and not groups[1].strip()
+            and re.search(r"\b(ASC|DESC)\b", groups[2])
+        ):
             out.append(m.group(1))
     return out

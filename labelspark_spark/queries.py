@@ -6824,9 +6824,10 @@ def q_events_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_timeout) carry the custom-stateful driver signal
     everywhere.
 
-    Probe log (per-round, VERDICT r10 item 3): r11 2026-08-16 —
-    find_spec('google.protobuf') still raises ModuleNotFoundError (the
-    'google' namespace parent is absent entirely); query stays gated.
+    Probe log (per-round, VERDICT r10 item 3): r12 2026-08-16 —
+    `import google.protobuf` still raises ModuleNotFoundError (the
+    'google' namespace parent is absent entirely, re-probed at r12
+    open); query stays gated. (r11 2026-08-16: same.)
     First round protobuf appears, register unconditionally and put
     this name at the HEAD of the round's window — it is the only
     registry-capable query that has never earned a driver row."""
@@ -19123,10 +19124,15 @@ _R10_WINDOW: list[str] = [
 # geometry); (2) kmeans_ivf_recall (CHANGED, attested r9): its body now
 # routes through the shared _kmeans_recall_bound scaffold (r11 code
 # review extraction — same plan, but changed code re-attests in the
-# head, it does not wait out its rotation slot). The only other change
-# to an attested code path is none: the ADVICE decimals=9 fix is
-# inside the hierarchical fit that ONLY the new entry exercises; the
-# remaining ADVICE fixes are in tools/ and tests/. Tail = the first 48
+# head, it does not wait out its rotation slot). At the r11 CLOSE no
+# other attested path had changed (the ADVICE decimals=9 fix is inside
+# the hierarchical fit that ONLY the new entry exercises; the other
+# ADVICE fixes were in tools/ and tests/) — but the three POST-close
+# r11 review batches then fixed defects under 33 attested queries
+# (dedup/similarity/stateful, multimodal, uploads/silver/flatten/
+# DSv2/text); those re-attest at the head of _R12_WINDOW below, per
+# the rotation policy (r12 ADVICE: the old comment overclaimed "none"
+# for the round as a whole). Tail = the first 48
 # names of the freshness queue from `python tools/freshness.py` run at
 # round open (sort by (latest_green_round ASC, name ASC) over
 # CORRECTNESS_r01..r10, minus head names): the complete 26-name
@@ -19194,6 +19200,88 @@ _R11_WINDOW: list[str] = [
 ]
 
 
+# The ACTIVE r12 driver window — the review-completion rotation
+# (VERDICT r11 item 1). Head = 38 CHANGED-CODE names: 5 from round 12
+# itself (ADVICE fixes + this round's reviews) followed by the 33
+# candidates named in SURVEY's r11 close addenda (the three
+# POST-r11-close review batches fixed ~30 defects under
+# already-attested queries; changed attested code re-attests at the
+# head, per the rotation policy). Order is reverse-landing: the r12
+# session block, then batch 3 (uploads/silver/flatten/readers/DSv2/
+# text, commit 51e11e7), batch 2 (multimodal/client/connector,
+# d4e7282), batch 1 (dedup/similarity/stateful, c2103da). The
+# derivation is now CHECKED, not prose: tools/changed_head.py walks
+# each query's package dependency closure against `git diff r11-close`
+# and tests/test_driver_window.py asserts every flagged attested query
+# is in this head (VERDICT r11 stretch item). Tail = the first 12
+# names of the freshness queue from `python tools/freshness.py` at r12
+# open (head rollup_agg — the one r3 name the r11 rotation displaced —
+# then the r3 remainder), minus head members.
+_R12_WINDOW: list[str] = [
+    # changed code, r12 session (landed last): ADVICE fixes + review
+    # fixes of round 12 itself — upsert verbatim-keep rule, sessionize
+    # very-late split, asof struct-carry, funnel repeated-step match,
+    # salted_join caveat note. Derived by tools/changed_head.py against
+    # the r11 close (upsert_skip/upsert_suffix/events_stream_session_
+    # timeout also flagged; they already sit in the batch lists below).
+    "asof_join",
+    "asof_tolerance",
+    "attribution_last_touch",
+    "funnel_steps",
+    "salted_join",
+    # changed code, batch 3 (landed last among r11 batches):
+    # IO/uploads/silver review
+    "python_datasource_scan",
+    "python_datasource_sink",
+    "python_datasource_stream",
+    "python_udtf_sentences",
+    "lateral_column_alias",
+    "silver_answers_pivot",
+    "silver_object_counts",
+    "upsert_skip",
+    "upsert_suffix",
+    "video_frames_silver",
+    # changed code, batch 2: multimodal codecs / connector review
+    "multimodal_audio_adpcm",
+    "multimodal_audio_features",
+    "multimodal_audio_g711",
+    "multimodal_audio_meta",
+    "multimodal_audio_native",
+    "multimodal_audio_resample",
+    "multimodal_bmp_pixels",
+    "multimodal_gif_frames",
+    "multimodal_image_tiles",
+    "multimodal_jpeg_pixels",
+    # changed code, batch 1: dedup/similarity/stateful review
+    "dedup_canonicalize",
+    "dedup_char_ngram",
+    "dedup_containment",
+    "dedup_embedding_ivf",
+    "dedup_embedding_ivf_recall",
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_recall",
+    "dedup_incremental",
+    "dedup_jaccard_prefix",
+    "events_stream_session_timeout",
+    "events_stream_stateful",
+    "near_dup_threshold_curve",
+    "ngram_novelty",
+    # freshness queue, oldest attestation first (r3 cohort remainder)
+    "rollup_agg",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_union_distinct",
+    "similarity_ivf",
+    "similarity_ivf_probe",
+    "similarity_ivf_recall",
+    "similarity_lsh",
+    "similarity_topk",
+    "string_funcs",
+    "text_fingerprint",
+]
+
+
 def _apply_window(window: list[str]) -> None:
     """Reorder REGISTRY so `window` forms the prefix the driver checks."""
     global REGISTRY
@@ -19204,7 +19292,7 @@ def _apply_window(window: list[str]) -> None:
     REGISTRY = {**head, **rest}
 
 
-_apply_window(_R11_WINDOW)
+_apply_window(_R12_WINDOW)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

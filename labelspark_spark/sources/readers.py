@@ -180,9 +180,9 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     parquet only when the Delta runtime jar is absent (this test env);
     all other Delta errors propagate.
 
-    Jar probe log (per-round, VERDICT r8 item 5): r11 2026-08-16 — no
-    `delta` pip package, no io.delta jar in the ivy cache or among
-    pyspark's 286 bundled jars (same count as r10; the r9 note's 287
+    Jar probe log (per-round, VERDICT r8 item 5): r12 2026-08-16 — no
+    `delta` pip package, no io.delta jar among pyspark's bundled jars
+    (re-probed at r12 open; r11/r10 same, 286 jars — the r9 note's 287
     was the off-by-one). First round the jar
     resolves, attest a real S5/S7 write->read->time-travel roundtrip
     (tests/test_operators.py::test_delta_fallback_is_narrow and
@@ -215,8 +215,27 @@ def parquet_stats(
     process-visible state, and any concurrent query planned inside
     the window (a streaming micro-batch, a sibling thread) would
     silently run on the v2 source (r11 review).
+
+    The clone shares the SparkContext but NOT the caller's runtime-set
+    SQL confs (r12 ADVICE), so the parquet-read-relevant ones are
+    copied over explicitly — a runtime session.timeZone or rebase-mode
+    set by the caller must govern the stats read too. (nanosAsLong is
+    copied for the same session-equivalence reason, though measured on
+    this build the v2 parquet source reads TIMESTAMP(NANOS) as
+    timestamp_ntz regardless of it — the copy is future-proofing, not
+    load-bearing.)
     """
     s2 = spark.newSession()
+    for inherit in (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+        "spark.sql.parquet.int96RebaseModeInRead",
+        "spark.sql.parquet.datetimeRebaseModeInRead",
+    ):
+        try:
+            s2.conf.set(inherit, spark.conf.get(inherit))
+        except Exception:
+            pass  # conf unknown to this Spark build — nothing to copy
     key = "spark.sql.sources.useV1SourceList"
     old = s2.conf.get(key)
     v2_list = ",".join(s for s in old.split(",") if s.strip() and s.strip() != "parquet")

@@ -186,20 +186,52 @@ def _make_session_fn(gap_ms: int):
             state.get if state.exists else (None, None, 0, 0)
         )
         out = []
-        for i in range(len(pdf)):
+
+        def _emit(s, k, cts):
+            out.append(
+                {
+                    "user_id": user_id,
+                    "session_start_ms": s,
+                    "n_events": k,
+                    "sum_value": cts / 100.0,
+                }
+            )
+
+        # Watermark-admitted rows older than the open session's start
+        # by MORE than the gap are EARLIER sessions, not extensions
+        # (r12 ADVICE — the old unconditional min(start, t) fold
+        # stretched one session across a silence wider than gap_ms).
+        # The batch is sorted, so they form a prefix; gap-fold that
+        # prefix into its own completed session(s) emitted now. The
+        # prefix's last event sits > gap_ms before `start` by
+        # construction, so it can never bridge into the open session.
+        # (Approximation: a very-late event in a LATER batch within
+        # gap of one emitted here becomes its own session where a
+        # full replay would have merged them — the closed session is
+        # not reopened.)
+        i = 0
+        if start is not None:
+            ls = ll = ln = lc = None
+            while i < len(pdf) and int(ms[i]) < start - gap_ms:
+                t, c = int(ms[i]), int(cents_arr[i])
+                if ls is None:
+                    ls, ll, ln, lc = t, t, 1, c
+                elif t - ll > gap_ms:
+                    _emit(ls, ln, lc)
+                    ls, ll, ln, lc = t, t, 1, c
+                else:
+                    ll, ln, lc = t, ln + 1, lc + c
+                i += 1
+            if ls is not None:
+                _emit(ls, ln, lc)
+
+        for i in range(i, len(pdf)):
             t = int(ms[i])
             c = int(cents_arr[i])
             if start is None:
                 start, last, n, cents = t, t, 1, c
             elif t - last > gap_ms:
-                out.append(
-                    {
-                        "user_id": user_id,
-                        "session_start_ms": start,
-                        "n_events": n,
-                        "sum_value": cents / 100.0,
-                    }
-                )
+                _emit(start, n, cents)
                 start, last, n, cents = t, t, 1, c
             else:
                 # fold into the open session WITHOUT regressing its
@@ -208,7 +240,8 @@ def _make_session_fn(gap_ms: int):
                 # event would corrupt the next gap check (spurious
                 # split) and could set the event-time timer below the
                 # current watermark (query crash). In-batch rows are
-                # sorted, so only cross-batch input hits this.
+                # sorted, so only cross-batch input within the gap of
+                # [start, last] hits this.
                 start, last = min(start, t), max(last, t)
                 n, cents = n + 1, cents + c
         state.update((start, last, n, cents))

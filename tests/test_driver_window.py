@@ -1,8 +1,8 @@
-"""Pin the r11 driver-window plan — the FIRST FRESHNESS ROTATION
-(VERDICT r10 item 1).
+"""Pin the r12 driver-window plan — the review-completion rotation
+(VERDICT r11 item 1) with a DERIVED changed-code head (r11 stretch
+item 7).
 
-The driver hash-checks the FIRST 50 registry entries each round. The
-r8-r10 windows drained the never-driver-checked backlog to zero; from
+The driver hash-checks the FIRST 50 registry entries each round. From
 r11 on the window policy is:
 
     [this round's new/changed code, reverse-landing order]
@@ -13,14 +13,19 @@ r11 on the window policy is:
 These tests freeze the ROTATION INVARIANTS in code (not one round's
 literal list alone):
 
-- _R11_WINDOW is exactly 50 names, distinct, and forms the registry
+- _R12_WINDOW is exactly 50 names, distinct, and forms the registry
   prefix the driver checks.
-- Its head is exactly the never-attested entries (nothing new is ever
-  dropped from a window), its tail is exactly the first 49 names of
-  the freshness queue RE-DERIVED here from the same files.
-- The rotation horizon moves: the window covers the COMPLETE oldest
-  cohort, so after the round runs the stalest attestation age strictly
-  decreases.
+- Its head is exactly the changed-code set: the 33 queries the three
+  post-r11-close review batches touched (hand accounting, SURVEY close
+  addenda) — AND, new this round, the head provably covers every
+  attested query that tools/changed_head.py flags from the actual
+  `git diff r11-close..worktree`, by DERIVATION rather than prose.
+- Its tail is exactly the first 12 names of the freshness queue
+  RE-DERIVED here from the same files — the queue is consumed in
+  order, oldest vintage first. (With a 33-name head the oldest cohort
+  does NOT fully drain this round: changed-code re-attestation
+  outranks rotation speed by policy, so the horizon advances as fast
+  as head pressure allows, no faster.)
 - Window entries without an oracle are confined to the frozen
   declared-approximate set (driver records a weaker rows-only check
   for those; each has a hash-checked companion elsewhere).
@@ -30,19 +35,58 @@ import glob
 import json
 import os
 import re
+import subprocess
+
+import pytest
 
 from labelspark_spark import queries as Q
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# r11 window head, per the rotation policy (new/changed code first):
-# the hierarchical (two-level) k-means fit attestation is NEW; the
-# flat-path companion is CHANGED (r11 code-review extraction of the
-# shared _kmeans_recall_bound scaffold), so it re-attests in the head
-# instead of waiting out its natural rotation slot (last attested r9)
-R11_NEW = ["kmeans_twolevel_recall"]
-R11_CHANGED = ["kmeans_ivf_recall"]
-R11_HEAD = R11_NEW + R11_CHANGED
+# The r11 builder-close commit ("round 11: verdict/advice/correctness/
+# bench") — the attestation baseline every r12 source change is
+# measured against.
+R11_CLOSE_SHA = "ae0d373"
+
+# r12 window head, per the rotation policy: no NEW queries this round
+# (registry saturated at 364, all attested), 33 CHANGED — the three
+# post-r11-close review-fix batches, reverse-landing order (SURVEY
+# r11 close addenda items (3)/(4)/(5)).
+R12_NEW: list[str] = []
+R12_CHANGED = [
+    # r12 session changes (ADVICE fixes + this round's own review):
+    # asof struct-carry, funnel repeated-step match, salted_join note;
+    # derived by tools/changed_head.py (see the derivation test below)
+    "asof_join", "asof_tolerance", "attribution_last_touch",
+    "funnel_steps", "salted_join",
+    # batch 3 (51e11e7): uploads/silver/flatten/readers/DSv2/text
+    "python_datasource_scan", "python_datasource_sink",
+    "python_datasource_stream", "python_udtf_sentences",
+    "lateral_column_alias", "silver_answers_pivot",
+    "silver_object_counts", "upsert_skip", "upsert_suffix",
+    "video_frames_silver",
+    # batch 2 (d4e7282): multimodal codecs / connector
+    "multimodal_audio_adpcm", "multimodal_audio_features",
+    "multimodal_audio_g711", "multimodal_audio_meta",
+    "multimodal_audio_native", "multimodal_audio_resample",
+    "multimodal_bmp_pixels", "multimodal_gif_frames",
+    "multimodal_image_tiles", "multimodal_jpeg_pixels",
+    # batch 1 (c2103da): dedup/similarity/stateful
+    "dedup_canonicalize", "dedup_char_ngram", "dedup_containment",
+    "dedup_embedding_ivf", "dedup_embedding_ivf_recall",
+    "dedup_embedding_lsh", "dedup_embedding_lsh_recall",
+    "dedup_incremental", "dedup_jaccard_prefix",
+    "events_stream_session_timeout", "events_stream_stateful",
+    "near_dup_threshold_curve", "ngram_novelty",
+]
+R12_HEAD = R12_NEW + R12_CHANGED
+
+# Attested queries whose code changes since R11_CLOSE_SHA are NOT
+# re-attested in the r12 head — every entry needs a reason and is a
+# NEXT-round head candidate. Empty at round open; post-close review
+# batches append here (with the full-replay-green evidence noted in
+# SURVEY) instead of silently growing the prose list.
+R12_CHANGED_NOT_IN_HEAD: dict[str, str] = {}
 
 # the frozen declared-approximate set (VERDICT r10: 12 rows-only
 # entries, every one carrying a driver-green hash-checked companion)
@@ -57,11 +101,9 @@ ROWS_ONLY = {
 # The round whose window this file pins. The derivation below must see
 # exactly the CORRECTNESS files that existed at THIS round's open —
 # including the in-flight round's own file (written by the driver while
-# the round runs) would make the never-attested set empty and reshuffle
-# the re-derived queue, going red the moment the pinned window succeeds
-# (the r10 analog guarded this with a r0[1-9] glob; caught again by r11
-# code review).
-PINNED_ROUND = 11
+# the round runs) would make the re-derived queue reshuffle and go red
+# the moment the pinned window succeeds.
+PINNED_ROUND = 12
 
 
 def _latest_attestation_rounds() -> dict[str, int]:
@@ -82,13 +124,13 @@ def _latest_attestation_rounds() -> dict[str, int]:
     return latest
 
 
-def test_r11_window_is_the_driver_prefix():
-    assert len(Q._R11_WINDOW) == 50
-    assert len(set(Q._R11_WINDOW)) == 50
-    assert list(Q.REGISTRY)[:50] == Q._R11_WINDOW
+def test_r12_window_is_the_driver_prefix():
+    assert len(Q._R12_WINDOW) == 50
+    assert len(set(Q._R12_WINDOW)) == 50
+    assert list(Q.REGISTRY)[:50] == Q._R12_WINDOW
 
 
-def test_r11_head_is_exactly_the_new_and_changed_set():
+def test_r12_head_is_exactly_the_new_and_changed_set():
     # nothing is ever dropped: every registry entry with NO driver row
     # (as of this round's open) must sit first in the window head;
     # changed-but-previously-attested code follows it; the head holds
@@ -96,41 +138,75 @@ def test_r11_head_is_exactly_the_new_and_changed_set():
     latest = _latest_attestation_rounds()
     assert latest, "driver CORRECTNESS files missing"
     never = sorted(n for n in Q.REGISTRY if n not in latest)
-    assert never == sorted(R11_NEW), never
+    assert never == sorted(R12_NEW), never
     # changed entries must already have a driver row (else they'd be NEW)
-    assert all(n in latest for n in R11_CHANGED)
-    assert Q._R11_WINDOW[: len(R11_HEAD)] == R11_HEAD
+    assert all(n in latest for n in R12_CHANGED)
+    assert Q._R12_WINDOW[: len(R12_HEAD)] == R12_HEAD
 
 
-def test_r11_tail_is_the_freshness_queue_prefix():
+def test_r12_tail_is_the_freshness_queue_prefix():
     # re-derive the queue from the CORRECTNESS files (latest round ASC,
     # name ASC — the tools/freshness.py order), drop head names, and
-    # pin the tail to its first 48 names. Entries attested in the
-    # newest round on disk sort last, so excluding the previous window
-    # is a no-op by construction.
+    # pin the tail to its first 12 names: the queue is consumed in
+    # order, no name skipped ahead of an older one.
     latest = _latest_attestation_rounds()
     queue = sorted(
-        (n for n in Q.REGISTRY if n in latest and n not in R11_HEAD),
+        (n for n in Q.REGISTRY if n in latest and n not in R12_HEAD),
         key=lambda n: (latest[n], n),
     )
-    assert Q._R11_WINDOW[len(R11_HEAD):] == queue[: 50 - len(R11_HEAD)]
+    assert Q._R12_WINDOW[len(R12_HEAD):] == queue[: 50 - len(R12_HEAD)]
 
 
-def test_r11_rotation_horizon_strictly_advances():
-    # the window must swallow the ENTIRE oldest cohort: once this
-    # round's driver rows land, no attestation of that vintage remains,
-    # so the stalest age strictly decreases every rotation
+def test_r12_tail_starts_at_the_oldest_vintage():
+    # the head is policy-mandated changed code; the tail must still
+    # begin at the globally stalest attestation (nothing older than
+    # the tail's first name exists outside the window)
     latest = _latest_attestation_rounds()
-    oldest = min(latest[n] for n in Q.REGISTRY if n in latest)
-    cohort = {n for n in Q.REGISTRY if latest.get(n) == oldest}
-    assert cohort <= set(Q._R11_WINDOW), sorted(cohort - set(Q._R11_WINDOW))
+    tail = Q._R12_WINDOW[len(R12_HEAD):]
+    assert tail, "window has no freshness tail"
+    oldest_overall = min(
+        latest[n] for n in Q.REGISTRY if n in latest and n not in R12_HEAD
+    )
+    assert latest[tail[0]] == oldest_overall
 
 
-def test_r11_no_oracle_slots_are_declared_approximate():
-    no_oracle = {n for n in Q._R11_WINDOW if Q.REGISTRY[n][1] is None}
+def test_r12_no_oracle_slots_are_declared_approximate():
+    no_oracle = {n for n in Q._R12_WINDOW if Q.REGISTRY[n][1] is None}
     assert no_oracle <= ROWS_ONLY, sorted(no_oracle - ROWS_ONLY)
     # and the frozen approximate set itself hasn't silently grown
     registry_no_oracle = {n for n, (f, s) in Q.REGISTRY.items() if s is None}
     assert registry_no_oracle == ROWS_ONLY, sorted(
         registry_no_oracle ^ ROWS_ONLY
+    )
+
+
+def test_r12_head_covers_the_derived_changed_set():
+    """VERDICT r11 stretch item 7: 'did the head include every changed
+    attested path?' by DERIVATION. tools/changed_head.py walks each
+    registry query's package-internal dependency closure (AST + object
+    introspection, conservative: docstring edits inside a reachable
+    span count) and intersects it with the actual git diff since the
+    r11 close. Every flagged attested query must re-attest in the r12
+    head — or carry an explicit, reasoned entry in
+    R12_CHANGED_NOT_IN_HEAD (full-replay-verified, next-round head
+    candidate)."""
+    import importlib.util
+
+    probe = subprocess.run(
+        ["git", "rev-parse", "--verify", R11_CLOSE_SHA],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if probe.returncode != 0:
+        pytest.skip("r11-close commit not reachable in this checkout")
+    spec = importlib.util.spec_from_file_location(
+        "changed_head", os.path.join(REPO, "tools", "changed_head.py")
+    )
+    ch = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ch)
+    flagged = set(ch.changed_queries(R11_CLOSE_SHA))
+    allowed = set(R12_HEAD) | set(R12_CHANGED_NOT_IN_HEAD)
+    uncovered = flagged - allowed
+    assert not uncovered, (
+        "attested queries changed since r11-close but absent from the "
+        f"r12 head and the documented exception list: {sorted(uncovered)}"
     )

@@ -76,6 +76,14 @@ def test_connector_helper_quintet(spark):
     assert sorted(ls.get_unique_values(df, "tag")) == ["a", "b"]
     # reference stringifies values of ANY type
     assert sorted(ls.get_unique_values(df, "id")) == ["1", "2", "3"]
+    # NULL surfaces as Python None — a DELIBERATE divergence from the
+    # reference's str(None) == 'None' (see connector.py docstring):
+    # the literal string and a genuine NULL must stay distinguishable
+    nullable = spark.createDataFrame(
+        [("x",), (None,), ("None",)], ["tag"]
+    )
+    got = ls.get_unique_values(nullable, "tag")
+    assert sorted(got, key=lambda v: (v is None, v)) == ["None", "x", None]
     out = ls.add_col(df, "status", "new")
     assert out.columns == ["id", "tag", "status"]
     assert out.filter(out.status == "new").count() == 3

@@ -274,6 +274,37 @@ def test_binned_range_join_matches_naive(spark):
     assert naive.count() == binned.count()  # exactly-once, no dup matches
 
 
+def test_asof_join_carries_whole_rows_not_frankenrows(spark):
+    # r12 review: the carried values must all come from ONE right row.
+    # Per-column ignorenulls carry would (a) resurrect an older value
+    # through the latest row's genuine NULL and (b) stitch two rows.
+    from labelspark_spark.operators import asof as asof_ops
+
+    left = spark.createDataFrame([(1, 10), (1, 20), (1, 30)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 5, "a", 100), (1, 15, None, None), (1, 25, "c", None)],
+        "k long, rts long, v1 string, v2 long",
+    )
+    out = asof_ops.asof_join(left, right, ["k"], "lts", "rts")
+    got = {r.lts: (r.v1, r.v2) for r in out.collect()}
+    # lts=10 -> row@5 ('a',100); lts=20 -> row@15 (NULL,NULL) — not
+    # ('a',100); lts=30 -> row@25 ('c',NULL) — not ('c',100)
+    assert got == {10: ("a", 100), 20: (None, None), 30: ("c", None)}
+    # NULL right timestamps never seed the carry
+    right2 = spark.createDataFrame(
+        [(1, None, "junk", 1), (1, 15, "ok", 2)], "k long, rts long, v1 string, v2 long"
+    )
+    out2 = asof_ops.asof_join(left, right2, ["k"], "lts", "rts")
+    got2 = {r.lts: (r.v1, r.v2) for r in out2.collect()}
+    assert got2 == {10: (None, None), 20: ("ok", 2), 30: ("ok", 2)}
+    # colliding value-column names are refused, not silently clobbered
+    import pytest as _pytest
+
+    left3 = left.withColumn("v1", F.lit("mine"))
+    with _pytest.raises(ValueError, match="collide"):
+        asof_ops.asof_join(left3, right, ["k"], "lts", "rts")
+
+
 def test_kmeans_fit_deterministic_and_improving(spark):
     import pyspark.sql.functions as F
     from pyspark.sql import Window
@@ -331,6 +362,31 @@ def test_upsert_suffix_counter_spans_existing_family(spark):
     out2 = uploads.upsert_keys(df, existing2, key_col="key", mode="suffix", order_by="id")
     got2 = {r.id: r.key for r in out2.collect()}
     assert got2 == {1: "k", 2: "k///6"}
+
+
+def test_upsert_suffix_keeps_non_colliding_keys_verbatim(spark):
+    # r12 ADVICE: a non-colliding key is NEVER rewritten, bare or
+    # suffix-form — silent renames would break external references
+    empty = spark.createDataFrame([], "key string")
+    lone = spark.createDataFrame([(1, "k///7")], ["id", "key"])
+    out = uploads.upsert_keys(lone, empty, key_col="key", mode="suffix", order_by="id")
+    assert [r.key for r in out.collect()] == ["k///7"]
+    # bare key keeps its free slot even when a suffix-form sibling
+    # sorts first in the batch (old keep_bare demanded _rn == 1)
+    df = spark.createDataFrame([(1, "k///1"), (2, "k")], ["id", "key"])
+    out2 = uploads.upsert_keys(df, empty, key_col="key", mode="suffix", order_by="id")
+    assert {r.id: r.key for r in out2.collect()} == {1: "k///1", 2: "k"}
+    # only the bare exists: an incoming suffix-form key collides with
+    # nothing and stays verbatim
+    bare = spark.createDataFrame([("k",)], ["key"])
+    out3 = uploads.upsert_keys(lone, bare, key_col="key", mode="suffix", order_by="id")
+    assert [r.key for r in out3.collect()] == ["k///7"]
+    # minted keys dodge verbatim-kept incoming suffixes: 'k' collides
+    # with existing, 'k///1' is kept, so the mint lands at 'k///2'
+    ex = spark.createDataFrame([("k",)], ["key"])
+    mix = spark.createDataFrame([(1, "k"), (2, "k///1")], ["id", "key"])
+    out4 = uploads.upsert_keys(mix, ex, key_col="key", mode="suffix", order_by="id")
+    assert {r.id: r.key for r in out4.collect()} == {1: "k///2", 2: "k///1"}
 
 
 def test_connected_components_warns_when_unconverged(spark):
@@ -750,6 +806,32 @@ def test_funnel_depth_greedy_subsequence(spark):
         for r in funnel_depth(ev, ["view", "click", "purchase"]).collect()
     }
     assert got == {1: 3, 2: 2, 3: 2, 4: 1}
+
+
+def test_funnel_depth_repeated_step_pattern(spark):
+    """r12 review: a funnel with a REPEATED step (view -> click -> view)
+    must be completable. The old array_position mapping sent every
+    'view' event to pattern index 0, so index 2 was unreachable."""
+    from datetime import datetime
+
+    from labelspark_spark.operators.events_analytics import funnel_depth
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes view -> click -> view => depth 3
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "view"),
+        # u2 stops after view -> click => depth 2
+        (2, t(1), "view"), (2, t(2), "click"), (2, t(3), "purchase"),
+        # u3: click then one view: greedy takes the view as step 1 =>
+        # depth 1 (no click after it)
+        (3, t(1), "click"), (3, t(2), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    got = {
+        r.user_id: r.depth
+        for r in funnel_depth(ev, ["view", "click", "view"]).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1}
 
 
 def test_cohort_retention_counts(spark):

@@ -171,6 +171,41 @@ def test_parquet_aggregate_pushdown(spark):
     assert (stats["min_l_quantity"], stats["max_l_quantity"], stats["count"]) == (real.mn, real.mx, real.n)
 
 
+def test_parquet_stats_clone_inherits_runtime_confs(spark, monkeypatch):
+    # r12 ADVICE: spark.newSession() shares the SparkContext but not
+    # RUNTIME-set SQL confs (builder-time confs flow via the context
+    # conf, runtime sets don't — probed empirically: a raw clone below
+    # proves the gap). parquet_stats must run its stats read under the
+    # caller's session semantics, so it copies the read-relevant
+    # runtime confs into its clone — spy on newSession to see them.
+    from labelspark_spark.sources import parquet_stats
+
+    captured = {}
+    orig = type(spark).newSession
+
+    def spy(self):
+        clone = orig(self)
+        captured["clone"] = clone
+        return clone
+
+    monkeypatch.setattr(type(spark), "newSession", spy)
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "Asia/Kolkata")
+        stats = parquet_stats(spark, f"{SF_SMOKE}/lineitem.parquet", ["l_quantity"])
+        assert stats["count"] > 0
+        clone = captured["clone"]
+        assert clone.conf.get(tz_key) == "Asia/Kolkata"
+        assert clone.conf.get(
+            "spark.sql.legacy.parquet.nanosAsLong"
+        ) == spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        # the gap is real: an un-doctored clone does NOT inherit
+        assert orig(spark).conf.get(tz_key) != "Asia/Kolkata"
+    finally:
+        spark.conf.set(tz_key, old_tz)
+
+
 def test_domain_filter_is_broadcast_anti(spark):
     from labelspark_spark.queries import q_domain_filter
 

@@ -259,3 +259,54 @@ def test_trigger_available_now_bounded_multi_batch(spark, tmp_path):
     )
     expect = {r.user_id: r.n for r in batch.collect()}
     assert got == expect
+
+
+def test_sessionize_very_late_events_form_earlier_sessions():
+    # r12 ADVICE: a watermark-admitted event older than the open
+    # session's start by MORE than the gap is an EARLIER session, not a
+    # backward extension — the old unconditional min(start, t) fold
+    # stretched one session across a silence wider than gap_ms. Pure
+    # pandas-level check of the applyInPandasWithState fold.
+    import pandas as pd
+
+    from labelspark_spark.streaming.stateful import _make_session_fn
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self, tup):
+            self._t = tup
+            self.exists = tup is not None
+            self.timeout = None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    fn = _make_session_fn(gap_ms=1000)
+    # open cross-batch session [10_000, 10_500], 2 events, 200 cents
+    st = FakeState((10_000, 10_500, 2, 200))
+    # 5_000/5_400: very late, within gap of each other -> ONE earlier
+    # completed session (not two singletons, not a fold-in);
+    # 9_600: within gap of start -> legitimate backward extension;
+    # 10_800: within gap of last -> forward extension
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([5_000, 5_400, 9_600, 10_800], unit="ms"),
+            "event_id": [1, 2, 3, 4],
+            "value": [1.0, 1.0, 1.0, 1.0],
+        }
+    )
+    out = pd.concat(list(fn((7,), iter([pdf]), st)), ignore_index=True)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.session_start_ms, row.n_events, row.sum_value) == (5_000, 2, 2.0)
+    # the open session extended to [9_600, 10_800] with 4 events
+    assert st._t == (9_600, 10_800, 4, 400)
+    assert st.timeout == 10_800 + 1000
