@@ -83,8 +83,10 @@ def diff_ranges(
     ranges: dict[str, list[tuple[int, int]]] = {}
     current: str | None = None
     for line in out.splitlines():
-        if line.startswith("+++ b/"):
-            current = line[6:]
+        if line.startswith("+++ "):
+            # a deleted file's new side is `+++ /dev/null`: current must
+            # RESET, else its hunks attribute to the previous file
+            current = line[6:] if line.startswith("+++ b/") else None
         elif line.startswith("@@") and current:
             m = re.match(r"@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", line)
             if not m:
@@ -215,6 +217,14 @@ class _DepWalker:
                             s = self.module_assign_span(base, node.attr)
                             if s:
                                 const_spans.append(s)
+                elif (
+                    (inspect.isclass(base) or inspect.isfunction(base))
+                    and _obj_in_pkg(base)
+                ):
+                    # a package class referenced ONLY as `Cls.attr` would
+                    # otherwise vanish: the Name branch skips attribute
+                    # bases and this branch resolved modules only
+                    found.append(base)
             elif isinstance(node, ast.Name) and isinstance(
                 node.ctx, ast.Load
             ):
