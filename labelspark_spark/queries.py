@@ -15539,11 +15539,21 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("s_ts"))
     )
     p = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts")
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
     )
+    # the ts condition must live in the JOIN (like the oracle's ON
+    # clause), not a post-filter: a user whose purchases all precede
+    # their first signup is a NON-CONVERTER and must keep their cohort
+    # row — a post-filter would drop every joined row and lose the user
+    # entirely (r12 review; latent on the synthetic data, where signup
+    # always precedes purchase)
     conv = (
-        s.join(p, "user_id", "left")
-        .filter(F.col("p_ts").isNull() | (F.col("p_ts") >= F.col("s_ts")))
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("s_ts")),
+            "left",
+        )
         .groupBy("user_id", "s_ts")
         .agg(F.min("p_ts").alias("c_ts"))
     )
@@ -19201,7 +19211,7 @@ _R11_WINDOW: list[str] = [
 
 
 # The ACTIVE r12 driver window — the review-completion rotation
-# (VERDICT r11 item 1). Head = 38 CHANGED-CODE names: 5 from round 12
+# (VERDICT r11 item 1). Head = 39 CHANGED-CODE names: 6 from round 12
 # itself (ADVICE fixes + this round's reviews) followed by the 33
 # candidates named in SURVEY's r11 close addenda (the three
 # POST-r11-close review batches fixed ~30 defects under
@@ -19213,17 +19223,20 @@ _R11_WINDOW: list[str] = [
 # derivation is now CHECKED, not prose: tools/changed_head.py walks
 # each query's package dependency closure against `git diff r11-close`
 # and tests/test_driver_window.py asserts every flagged attested query
-# is in this head (VERDICT r11 stretch item). Tail = the first 12
+# is in this head (VERDICT r11 stretch item). Tail = the first 11
 # names of the freshness queue from `python tools/freshness.py` at r12
 # open (head rollup_agg — the one r3 name the r11 rotation displaced —
 # then the r3 remainder), minus head members.
 _R12_WINDOW: list[str] = [
     # changed code, r12 session (landed last): ADVICE fixes + review
-    # fixes of round 12 itself — upsert verbatim-keep rule, sessionize
-    # very-late split, asof struct-carry, funnel repeated-step match,
-    # salted_join caveat note. Derived by tools/changed_head.py against
-    # the r11 close (upsert_skip/upsert_suffix/events_stream_session_
-    # timeout also flagged; they already sit in the batch lists below).
+    # fixes of round 12 itself — conversion_latency join-vs-post-filter
+    # semantics (the post-close queries.py slice review), upsert
+    # verbatim-keep rule, sessionize very-late split, asof struct-carry,
+    # funnel repeated-step match, salted_join caveat note. Derived by
+    # tools/changed_head.py against the r11 close (upsert_skip/
+    # upsert_suffix/events_stream_session_timeout also flagged; they
+    # already sit in the batch lists below).
+    "conversion_latency",
     "asof_join",
     "asof_tolerance",
     "attribution_last_touch",
@@ -19278,7 +19291,6 @@ _R12_WINDOW: list[str] = [
     "similarity_lsh",
     "similarity_topk",
     "string_funcs",
-    "text_fingerprint",
 ]
 
 

@@ -17,12 +17,13 @@ literal list alone):
   prefix the driver checks.
 - Its head is exactly the changed-code set: the 33 queries the three
   post-r11-close review batches touched (hand accounting, SURVEY close
-  addenda) — AND, new this round, the head provably covers every
-  attested query that tools/changed_head.py flags from the actual
+  addenda) plus the 6 whose code round 12 itself changed — AND, new
+  this round, the head provably covers every attested query that
+  tools/changed_head.py flags from the actual
   `git diff r11-close..worktree`, by DERIVATION rather than prose.
-- Its tail is exactly the first 12 names of the freshness queue
+- Its tail is exactly the first 11 names of the freshness queue
   RE-DERIVED here from the same files — the queue is consumed in
-  order, oldest vintage first. (With a 33-name head the oldest cohort
+  order, oldest vintage first. (With a 39-name head the oldest cohort
   does NOT fully drain this round: changed-code re-attestation
   outranks rotation speed by policy, so the horizon advances as fast
   as head pressure allows, no faster.)
@@ -55,8 +56,11 @@ R11_CLOSE_SHA = "ae0d373"
 R12_NEW: list[str] = []
 R12_CHANGED = [
     # r12 session changes (ADVICE fixes + this round's own review):
-    # asof struct-carry, funnel repeated-step match, salted_join note;
-    # derived by tools/changed_head.py (see the derivation test below)
+    # conversion_latency join-vs-post-filter semantics (post-close
+    # queries.py slice review), asof struct-carry, funnel repeated-step
+    # match, salted_join note; derived by tools/changed_head.py (see
+    # the derivation test below)
+    "conversion_latency",
     "asof_join", "asof_tolerance", "attribution_last_touch",
     "funnel_steps", "salted_join",
     # batch 3 (51e11e7): uploads/silver/flatten/readers/DSv2/text

@@ -1329,3 +1329,43 @@ def test_r11_review_regressions(spark, tmp_path):
     m2 = _json.load(open(os.path.join(d, "manifest.json")))
     stage = sorted(f for f in os.listdir(d) if f.startswith("stage-"))
     assert m2["total_rows"] == 1 and stage == sorted(m2["files"])
+
+
+def test_r12_review_regressions(spark):
+    """Pins for defects found by the r12 post-close review batches."""
+    from pyspark.sql import functions as F
+
+    # conversion_latency: a user whose purchases ALL precede their
+    # first signup is a NON-CONVERTER and must keep a cohort row (old
+    # post-filter form dropped every joined row and lost the user;
+    # latent on the synthetic data, where signup precedes purchase)
+    rows = [
+        (1, "signup", "2024-01-10 00:00:00"),
+        (1, "purchase", "2024-01-05 00:00:00"),
+        (2, "signup", "2024-01-02 00:00:00"),
+        (2, "purchase", "2024-01-08 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s = (
+        df.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = df.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("s_ts")),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("p_ts").alias("c_ts"))
+    )
+    got = {r["user_id"]: r["c_ts"] for r in conv.collect()}
+    assert set(got) == {1, 2}, "non-converter with pre-signup purchase lost"
+    assert got[1] is None and got[2] is not None
