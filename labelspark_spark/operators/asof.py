@@ -38,21 +38,30 @@ def asof_join(
     their null patterns differ. The struct is non-null for every right
     row, so the carried values always come from one row, nulls intact.
 
-    Right rows with a NULL timestamp are dropped (they are "as of"
-    nothing; under Spark's nulls-first ascending sort they would
-    otherwise seed the carry before the earliest real row).
+    NULL timestamps are "as of" nothing on EITHER side: right rows with
+    a NULL timestamp are dropped (under a nulls-first sort they would
+    seed the carry before the earliest real row), and left rows with a
+    NULL timestamp get NULL values in both directions (the window sorts
+    nulls FIRST in each direction so no right row precedes them — the
+    default desc ordering puts nulls last, which would hand a forward
+    NULL-ts left row the earliest right row's values).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in set(on) | {right_ts}]
     left_payload = [c for c in left.columns if c not in set(on) | {left_ts}]
-    clash = set(value_cols) & (set(left_payload) | {left_ts})
+    clash = set(value_cols) & (set(left_payload) | {left_ts} | set(on))
     if clash:
         raise ValueError(
             f"right value columns collide with left columns: {sorted(clash)}; "
             "rename one side before joining"
         )
+    if not value_cols:
+        # Nothing to attach (right frame holds only keys + timestamp, or
+        # an explicit []). A zero-field struct is degenerate in Spark;
+        # short-circuit with the normal output column order instead.
+        return left.select(*on, *left_payload, F.col(left_ts))
 
     lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     rt = (
@@ -77,7 +86,14 @@ def asof_join(
 
     # backward: right rows sort before left rows at equal ts => "at or
     # before"; forward mirrors it on descending time => "at or after".
-    order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    # Nulls FIRST in both directions so a NULL-ts left row sees no right
+    # row in its preceding frame (desc defaults to nulls LAST, which
+    # would carry the earliest right row into it).
+    order = (
+        F.col("_ts").asc_nulls_first()
+        if direction == "backward"
+        else F.col("_ts").desc_nulls_first()
+    )
     w = Window.partitionBy(*on).orderBy(order, F.col("_side").asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )

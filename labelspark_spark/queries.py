@@ -6824,10 +6824,10 @@ def q_events_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_timeout) carry the custom-stateful driver signal
     everywhere.
 
-    Probe log (per-round, VERDICT r10 item 3): r12 2026-08-16 —
+    Probe log (per-round, VERDICT r10 item 3): r13 2026-08-16 —
     `import google.protobuf` still raises ModuleNotFoundError (the
-    'google' namespace parent is absent entirely, re-probed at r12
-    open); query stays gated. (r11 2026-08-16: same.)
+    'google' namespace parent is absent entirely, re-probed at r13
+    open); query stays gated. (r12/r11 2026-08-16: same.)
     First round protobuf appears, register unconditionally and put
     this name at the HEAD of the round's window — it is the only
     registry-capable query that has never earned a driver row."""
@@ -19294,6 +19294,76 @@ _R12_WINDOW: list[str] = [
 ]
 
 
+# The ACTIVE r13 driver window — rotation round (VERDICT r12 item 1).
+# Head = the 4 CHANGED-CODE names derived by `python
+# tools/changed_head.py 6c494a6` (the r12 close) against this round's
+# worktree: the r13 ADVICE fixes — asof NULL-left-ts ordering +
+# value_cols guards (operators/asof.py, flags asof_join/asof_tolerance/
+# attribution_last_touch) and the chain-aware very-late prefix in the
+# sessionizer (streaming/stateful.py, flags
+# events_stream_session_timeout). tests/test_driver_window.py asserts
+# the derivation covers this head. Tail = the first 46 names of the
+# freshness queue from `python tools/freshness.py` at r13 open (the r3
+# cohort remainder text_fingerprint..window_running_sum, then the r4
+# cohort, then the first r5 names), minus head members.
+_R13_WINDOW: list[str] = [
+    # changed code, r13 session (ADVICE fixes; derived, see above)
+    "asof_join",
+    "asof_tolerance",
+    "attribution_last_touch",
+    "events_stream_session_timeout",
+    # freshness queue, oldest attestation first (r3 cohort remainder)
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_token_count",
+    "topk_orders",
+    "uploads_build",
+    "window_lag_lead",
+    "window_rownum",
+    "window_running_sum",
+    # r4 cohort
+    "agg_correlation",
+    "agg_stats",
+    "array_funcs",
+    "chunk_pack",
+    "date_arith",
+    "decontam_hits",
+    "decontaminate",
+    "domain_filter",
+    "events_sessionize",
+    "events_sliding",
+    "events_stream_dedup",
+    "events_stream_replay",
+    "events_tumbling",
+    "flatten_nested_arrays",
+    "fuzzy_levenshtein",
+    "map_funcs",
+    "metadata_resolve",
+    "mixing_weights",
+    "multimodal_dims",
+    "multimodal_frames",
+    "multimodal_meta",
+    "multimodal_video_meta",
+    "percentiles",
+    "pii_scrub",
+    "quality_gopher_rules",
+    "quality_prep_pipeline",
+    "range_join",
+    "scd2_history",
+    "stratified_sample",
+    "string_funcs2",
+    "text_repetition",
+    "topk_per_group",
+    "unpivot_metrics",
+    "uploads_build_annotations",
+    "window_rank_funcs",
+    # r5 cohort (queue prefix continues)
+    "anomaly_zscore",
+    "bpe_merge_candidates",
+]
+
+
 def _apply_window(window: list[str]) -> None:
     """Reorder REGISTRY so `window` forms the prefix the driver checks."""
     global REGISTRY
@@ -19304,7 +19374,7 @@ def _apply_window(window: list[str]) -> None:
     REGISTRY = {**head, **rest}
 
 
-_apply_window(_R12_WINDOW)
+_apply_window(_R13_WINDOW)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -180,10 +180,11 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     parquet only when the Delta runtime jar is absent (this test env);
     all other Delta errors propagate.
 
-    Jar probe log (per-round, VERDICT r8 item 5): r12 2026-08-16 — no
+    Jar probe log (per-round, VERDICT r8 item 5): r13 2026-08-16 — no
     `delta` pip package, no io.delta jar among pyspark's bundled jars
-    (re-probed at r12 open; r11/r10 same, 286 jars — the r9 note's 287
-    was the off-by-one). First round the jar
+    (re-probed at r13 open; 286 *.jar files, 287 dir entries — both
+    prior counts were right, one counted the non-jar entry; r12/r11/r10
+    same). First round the jar
     resolves, attest a real S5/S7 write->read->time-travel roundtrip
     (tests/test_operators.py::test_delta_fallback_is_narrow and
     tests/test_client.py::test_delta_verb_roundtrip are the ready-made

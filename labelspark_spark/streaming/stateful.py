@@ -202,17 +202,29 @@ def _make_session_fn(gap_ms: int):
         # (r12 ADVICE — the old unconditional min(start, t) fold
         # stretched one session across a silence wider than gap_ms).
         # The batch is sorted, so they form a prefix; gap-fold that
-        # prefix into its own completed session(s) emitted now. The
-        # prefix's last event sits > gap_ms before `start` by
-        # construction, so it can never bridge into the open session.
+        # prefix into its own completed session(s) emitted now.
+        # The boundary must be CHAIN-AWARE (r13 ADVICE): a row more
+        # than gap_ms below the original `start` can still reach the
+        # open session through later in-batch rows that each sit
+        # within gap_ms of the next — the min(start, t) fold regresses
+        # `start` as they land. So scan the sorted sub-`start` rows
+        # BACKWARD from `start`, extending the reachable set while
+        # each step is <= gap_ms; only rows before the earliest
+        # chain-connected event are the emit-now prefix.
         # (Approximation: a very-late event in a LATER batch within
         # gap of one emitted here becomes its own session where a
         # full replay would have merged them — the closed session is
         # not reopened.)
         i = 0
         if start is not None:
+            below = int(np.searchsorted(ms, start, side="left"))
+            j = below - 1
+            anchor = start
+            while j >= 0 and anchor - int(ms[j]) <= gap_ms:
+                anchor = int(ms[j])
+                j -= 1
             ls = ll = ln = lc = None
-            while i < len(pdf) and int(ms[i]) < start - gap_ms:
+            while i <= j:
                 t, c = int(ms[i]), int(cents_arr[i])
                 if ls is None:
                     ls, ll, ln, lc = t, t, 1, c

@@ -1,6 +1,5 @@
-"""Pin the r12 driver-window plan — the review-completion rotation
-(VERDICT r11 item 1) with a DERIVED changed-code head (r11 stretch
-item 7).
+"""Pin the r13 driver-window plan — a pure rotation round with a
+DERIVED changed-code head (the r11 stretch item, hardened r12).
 
 The driver hash-checks the FIRST 50 registry entries each round. From
 r11 on the window policy is:
@@ -13,20 +12,16 @@ r11 on the window policy is:
 These tests freeze the ROTATION INVARIANTS in code (not one round's
 literal list alone):
 
-- _R12_WINDOW is exactly 50 names, distinct, and forms the registry
+- _R13_WINDOW is exactly 50 names, distinct, and forms the registry
   prefix the driver checks.
-- Its head is exactly the changed-code set: the 33 queries the three
-  post-r11-close review batches touched (hand accounting, SURVEY close
-  addenda) plus the 6 whose code round 12 itself changed — AND, new
-  this round, the head provably covers every attested query that
-  tools/changed_head.py flags from the actual
-  `git diff r11-close..worktree`, by DERIVATION rather than prose.
-- Its tail is exactly the first 11 names of the freshness queue
+- Its head is exactly the changed-code set: the 4 queries flagged by
+  tools/changed_head.py against the r12 close (the r13 ADVICE fixes in
+  operators/asof.py and streaming/stateful.py) — asserted by
+  DERIVATION from the actual `git diff r12-close..worktree`, not prose.
+- Its tail is exactly the first 46 names of the freshness queue
   RE-DERIVED here from the same files — the queue is consumed in
-  order, oldest vintage first. (With a 39-name head the oldest cohort
-  does NOT fully drain this round: changed-code re-attestation
-  outranks rotation speed by policy, so the horizon advances as fast
-  as head pressure allows, no faster.)
+  order, oldest vintage first. (With a 4-name head the r3 cohort
+  finally DRAINS this round and the queue advances deep into r4/r5.)
 - Window entries without an oracle are confined to the frozen
   declared-approximate set (driver records a weaker rows-only check
   for those; each has a hash-checked companion elsewhere).
@@ -44,53 +39,34 @@ from labelspark_spark import queries as Q
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The r11 builder-close commit ("round 11: verdict/advice/correctness/
-# bench") — the attestation baseline every r12 source change is
-# measured against.
-R11_CLOSE_SHA = "ae0d373"
+# The r12 close commit ("round 12: verdict/advice/correctness/bench")
+# — the attestation baseline every r13 source change is measured
+# against (same source tree as the r12 builder close; the driver
+# commit only adds round artifacts).
+R12_CLOSE_SHA = "6c494a6"
 
-# r12 window head, per the rotation policy: no NEW queries this round
-# (registry saturated at 364, all attested), 33 CHANGED — the three
-# post-r11-close review-fix batches, reverse-landing order (SURVEY
-# r11 close addenda items (3)/(4)/(5)).
-R12_NEW: list[str] = []
-R12_CHANGED = [
-    # r12 session changes (ADVICE fixes + this round's own review):
-    # conversion_latency join-vs-post-filter semantics (post-close
-    # queries.py slice review), asof struct-carry, funnel repeated-step
-    # match, salted_join note; derived by tools/changed_head.py (see
-    # the derivation test below)
-    "conversion_latency",
-    "asof_join", "asof_tolerance", "attribution_last_touch",
-    "funnel_steps", "salted_join",
-    # batch 3 (51e11e7): uploads/silver/flatten/readers/DSv2/text
-    "python_datasource_scan", "python_datasource_sink",
-    "python_datasource_stream", "python_udtf_sentences",
-    "lateral_column_alias", "silver_answers_pivot",
-    "silver_object_counts", "upsert_skip", "upsert_suffix",
-    "video_frames_silver",
-    # batch 2 (d4e7282): multimodal codecs / connector
-    "multimodal_audio_adpcm", "multimodal_audio_features",
-    "multimodal_audio_g711", "multimodal_audio_meta",
-    "multimodal_audio_native", "multimodal_audio_resample",
-    "multimodal_bmp_pixels", "multimodal_gif_frames",
-    "multimodal_image_tiles", "multimodal_jpeg_pixels",
-    # batch 1 (c2103da): dedup/similarity/stateful
-    "dedup_canonicalize", "dedup_char_ngram", "dedup_containment",
-    "dedup_embedding_ivf", "dedup_embedding_ivf_recall",
-    "dedup_embedding_lsh", "dedup_embedding_lsh_recall",
-    "dedup_incremental", "dedup_jaccard_prefix",
-    "events_stream_session_timeout", "events_stream_stateful",
-    "near_dup_threshold_curve", "ngram_novelty",
+# r13 window head, per the rotation policy: no NEW queries this round
+# (registry saturated at 364, all attested), 4 CHANGED — the r13
+# ADVICE fixes. Derived by `python tools/changed_head.py 6c494a6`
+# (asof.py: NULL-left-ts ordering, on-key clash guard, empty
+# value_cols short-circuit -> asof_join/asof_tolerance/
+# attribution_last_touch; stateful.py: chain-aware very-late prefix ->
+# events_stream_session_timeout).
+R13_NEW: list[str] = []
+R13_CHANGED = [
+    "asof_join",
+    "asof_tolerance",
+    "attribution_last_touch",
+    "events_stream_session_timeout",
 ]
-R12_HEAD = R12_NEW + R12_CHANGED
+R13_HEAD = R13_NEW + R13_CHANGED
 
-# Attested queries whose code changes since R11_CLOSE_SHA are NOT
-# re-attested in the r12 head — every entry needs a reason and is a
-# NEXT-round head candidate. Empty at round open; post-close review
+# Attested queries whose code changes since R12_CLOSE_SHA are NOT
+# re-attested in the r13 head — every entry needs a reason and is a
+# NEXT-round head candidate. Empty at round open; post-close fix
 # batches append here (with the full-replay-green evidence noted in
 # SURVEY) instead of silently growing the prose list.
-R12_CHANGED_NOT_IN_HEAD: dict[str, str] = {}
+R13_CHANGED_NOT_IN_HEAD: dict[str, str] = {}
 
 # the frozen declared-approximate set (VERDICT r10: 12 rows-only
 # entries, every one carrying a driver-green hash-checked companion)
@@ -107,7 +83,7 @@ ROWS_ONLY = {
 # including the in-flight round's own file (written by the driver while
 # the round runs) would make the re-derived queue reshuffle and go red
 # the moment the pinned window succeeds.
-PINNED_ROUND = 12
+PINNED_ROUND = 13
 
 
 def _latest_attestation_rounds() -> dict[str, int]:
@@ -128,13 +104,13 @@ def _latest_attestation_rounds() -> dict[str, int]:
     return latest
 
 
-def test_r12_window_is_the_driver_prefix():
-    assert len(Q._R12_WINDOW) == 50
-    assert len(set(Q._R12_WINDOW)) == 50
-    assert list(Q.REGISTRY)[:50] == Q._R12_WINDOW
+def test_r13_window_is_the_driver_prefix():
+    assert len(Q._R13_WINDOW) == 50
+    assert len(set(Q._R13_WINDOW)) == 50
+    assert list(Q.REGISTRY)[:50] == Q._R13_WINDOW
 
 
-def test_r12_head_is_exactly_the_new_and_changed_set():
+def test_r13_head_is_exactly_the_new_and_changed_set():
     # nothing is ever dropped: every registry entry with NO driver row
     # (as of this round's open) must sit first in the window head;
     # changed-but-previously-attested code follows it; the head holds
@@ -142,40 +118,40 @@ def test_r12_head_is_exactly_the_new_and_changed_set():
     latest = _latest_attestation_rounds()
     assert latest, "driver CORRECTNESS files missing"
     never = sorted(n for n in Q.REGISTRY if n not in latest)
-    assert never == sorted(R12_NEW), never
+    assert never == sorted(R13_NEW), never
     # changed entries must already have a driver row (else they'd be NEW)
-    assert all(n in latest for n in R12_CHANGED)
-    assert Q._R12_WINDOW[: len(R12_HEAD)] == R12_HEAD
+    assert all(n in latest for n in R13_CHANGED)
+    assert Q._R13_WINDOW[: len(R13_HEAD)] == R13_HEAD
 
 
-def test_r12_tail_is_the_freshness_queue_prefix():
+def test_r13_tail_is_the_freshness_queue_prefix():
     # re-derive the queue from the CORRECTNESS files (latest round ASC,
     # name ASC — the tools/freshness.py order), drop head names, and
-    # pin the tail to its first 12 names: the queue is consumed in
+    # pin the tail to its first 46 names: the queue is consumed in
     # order, no name skipped ahead of an older one.
     latest = _latest_attestation_rounds()
     queue = sorted(
-        (n for n in Q.REGISTRY if n in latest and n not in R12_HEAD),
+        (n for n in Q.REGISTRY if n in latest and n not in R13_HEAD),
         key=lambda n: (latest[n], n),
     )
-    assert Q._R12_WINDOW[len(R12_HEAD):] == queue[: 50 - len(R12_HEAD)]
+    assert Q._R13_WINDOW[len(R13_HEAD):] == queue[: 50 - len(R13_HEAD)]
 
 
-def test_r12_tail_starts_at_the_oldest_vintage():
+def test_r13_tail_starts_at_the_oldest_vintage():
     # the head is policy-mandated changed code; the tail must still
     # begin at the globally stalest attestation (nothing older than
     # the tail's first name exists outside the window)
     latest = _latest_attestation_rounds()
-    tail = Q._R12_WINDOW[len(R12_HEAD):]
+    tail = Q._R13_WINDOW[len(R13_HEAD):]
     assert tail, "window has no freshness tail"
     oldest_overall = min(
-        latest[n] for n in Q.REGISTRY if n in latest and n not in R12_HEAD
+        latest[n] for n in Q.REGISTRY if n in latest and n not in R13_HEAD
     )
     assert latest[tail[0]] == oldest_overall
 
 
-def test_r12_no_oracle_slots_are_declared_approximate():
-    no_oracle = {n for n in Q._R12_WINDOW if Q.REGISTRY[n][1] is None}
+def test_r13_no_oracle_slots_are_declared_approximate():
+    no_oracle = {n for n in Q._R13_WINDOW if Q.REGISTRY[n][1] is None}
     assert no_oracle <= ROWS_ONLY, sorted(no_oracle - ROWS_ONLY)
     # and the frozen approximate set itself hasn't silently grown
     registry_no_oracle = {n for n, (f, s) in Q.REGISTRY.items() if s is None}
@@ -184,33 +160,32 @@ def test_r12_no_oracle_slots_are_declared_approximate():
     )
 
 
-def test_r12_head_covers_the_derived_changed_set():
-    """VERDICT r11 stretch item 7: 'did the head include every changed
-    attested path?' by DERIVATION. tools/changed_head.py walks each
-    registry query's package-internal dependency closure (AST + object
-    introspection, conservative: docstring edits inside a reachable
-    span count) and intersects it with the actual git diff since the
-    r11 close. Every flagged attested query must re-attest in the r12
-    head — or carry an explicit, reasoned entry in
-    R12_CHANGED_NOT_IN_HEAD (full-replay-verified, next-round head
-    candidate)."""
+def test_r13_head_covers_the_derived_changed_set():
+    """'Did the head include every changed attested path?' by
+    DERIVATION. tools/changed_head.py walks each registry query's
+    package-internal dependency closure (AST + object introspection,
+    conservative: docstring edits inside a reachable span count) and
+    intersects it with the actual git diff since the r12 close. Every
+    flagged attested query must re-attest in the r13 head — or carry
+    an explicit, reasoned entry in R13_CHANGED_NOT_IN_HEAD
+    (full-replay-verified, next-round head candidate)."""
     import importlib.util
 
     probe = subprocess.run(
-        ["git", "rev-parse", "--verify", R11_CLOSE_SHA],
+        ["git", "rev-parse", "--verify", R12_CLOSE_SHA],
         cwd=REPO, capture_output=True, text=True,
     )
     if probe.returncode != 0:
-        pytest.skip("r11-close commit not reachable in this checkout")
+        pytest.skip("r12-close commit not reachable in this checkout")
     spec = importlib.util.spec_from_file_location(
         "changed_head", os.path.join(REPO, "tools", "changed_head.py")
     )
     ch = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ch)
-    flagged = set(ch.changed_queries(R11_CLOSE_SHA))
-    allowed = set(R12_HEAD) | set(R12_CHANGED_NOT_IN_HEAD)
+    flagged = set(ch.changed_queries(R12_CLOSE_SHA))
+    allowed = set(R13_HEAD) | set(R13_CHANGED_NOT_IN_HEAD)
     uncovered = flagged - allowed
     assert not uncovered, (
-        "attested queries changed since r11-close but absent from the "
-        f"r12 head and the documented exception list: {sorted(uncovered)}"
+        "attested queries changed since r12-close but absent from the "
+        f"r13 head and the documented exception list: {sorted(uncovered)}"
     )

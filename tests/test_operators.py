@@ -1369,3 +1369,41 @@ def test_r12_review_regressions(spark):
     got = {r["user_id"]: r["c_ts"] for r in conv.collect()}
     assert set(got) == {1, 2}, "non-converter with pre-signup purchase lost"
     assert got[1] is None and got[2] is not None
+
+
+def test_asof_join_null_left_ts_and_guard_gaps(spark):
+    # r13 ADVICE: (1) a left row with a NULL timestamp is "as of"
+    # nothing in BOTH directions — under the old plain desc ordering it
+    # sorted nulls-last in direction='forward' and picked up the
+    # earliest right row's values; (2) a value_cols entry that names a
+    # join key must be refused like any other clash; (3) empty
+    # value_cols short-circuits instead of building a zero-field struct.
+    from labelspark_spark.operators import asof as asof_ops
+
+    left = spark.createDataFrame([(1, 10), (1, 20), (1, None)], "k long, lts long")
+    right = spark.createDataFrame([(1, 15, "x")], "k long, rts long, v1 string")
+    fwd = {
+        r.lts: r.v1
+        for r in asof_ops.asof_join(
+            left, right, ["k"], "lts", "rts", direction="forward"
+        ).collect()
+    }
+    assert fwd == {10: "x", 20: None, None: None}
+    bwd = {
+        r.lts: r.v1 for r in asof_ops.asof_join(left, right, ["k"], "lts", "rts").collect()
+    }
+    assert bwd == {10: None, 20: "x", None: None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_ops.asof_join(left, right, ["k"], "lts", "rts", value_cols=["k", "v1"])
+
+    # right side carries only keys + timestamp -> inferred empty
+    # value_cols; the join is a no-op that keeps left's rows and schema
+    right_bare = right.select("k", "rts")
+    out = asof_ops.asof_join(left, right_bare, ["k"], "lts", "rts")
+    assert out.columns == ["k", "lts"]
+    assert sorted(
+        [(r.k, r.lts) for r in out.collect()], key=lambda t: (t[0], t[1] if t[1] is not None else -1)
+    ) == [(1, None), (1, 10), (1, 20)]

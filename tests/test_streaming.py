@@ -310,3 +310,64 @@ def test_sessionize_very_late_events_form_earlier_sessions():
     # the open session extended to [9_600, 10_800] with 4 events
     assert st._t == (9_600, 10_800, 4, 400)
     assert st.timeout == 10_800 + 1000
+
+
+def test_sessionize_very_late_prefix_is_chain_aware():
+    # r13 ADVICE: the emit-now prefix boundary must account for
+    # chain-merging — a row more than gap_ms below the ORIGINAL start
+    # can still reach the open session through later in-batch rows that
+    # each sit within gap_ms of the next (the min(start, t) fold
+    # regresses start as they land). The old `t < start - gap_ms`
+    # boundary emitted such a row as a spurious extra session.
+    import pandas as pd
+
+    from labelspark_spark.streaming.stateful import _make_session_fn
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self, tup):
+            self._t = tup
+            self.exists = tup is not None
+            self.timeout = None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    fn = _make_session_fn(gap_ms=1000)
+
+    def run(state_tup, times_ms):
+        st = FakeState(state_tup)
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(times_ms, unit="ms"),
+                "event_id": list(range(len(times_ms))),
+                "value": [1.0] * len(times_ms),
+            }
+        )
+        out = list(fn((7,), iter([pdf]), st))
+        out = pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+        return out, st
+
+    # The ADVICE example: 8_900 is 1_100 below start (beyond the gap)
+    # but chains through 9_600 — a full replay folds BOTH into the open
+    # session; nothing may be emitted.
+    out, st = run((10_000, 10_500, 2, 200), [8_900, 9_600])
+    assert len(out) == 0, f"spurious emitted session(s): {out}"
+    assert st._t == (8_900, 10_500, 4, 400)
+    assert st.timeout == 10_500 + 1000
+    # Chain break: 7_000 -> 8_900 is a 1_900 silence, so 7_000 alone is
+    # the completed earlier session; 8_900/9_600 still fold in.
+    out, st = run((10_000, 10_500, 2, 200), [7_000, 8_900, 9_600])
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.session_start_ms, row.n_events, row.sum_value) == (7_000, 1, 1.0)
+    assert st._t == (8_900, 10_500, 4, 400)
+    assert st.timeout == 10_500 + 1000
