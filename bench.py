@@ -16,13 +16,14 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Provenance tag written into the output (VERDICT r9 item 2): the round
-# driver's verify run overwrites BENCH_FULL.json in the working tree,
-# and its environment has a measured ~1.16x uniform load shift vs the
-# builder's close runs — the file must say which context produced it.
-# The builder exports SPARK_GRAFT_RUN_CONTEXT=builder-close for close
-# runs; anything else (the driver invokes bench.py with a bare env)
-# self-describes as driver-verify.
+# Provenance tag written into the output (VERDICT r9 item 2): the
+# driver-verify environment has a measured ~1.16x uniform load shift vs
+# the builder's close runs — the file must say which context produced
+# it. The builder exports SPARK_GRAFT_RUN_CONTEXT=builder-close for
+# close runs; anything else (the driver invokes bench.py with a bare
+# env) self-describes as driver-verify and writes its full per-query
+# sidecar to BENCH_FULL_driver.json, leaving the builder-close
+# BENCH_FULL.json untouched at rest (VERDICT r12 item 1).
 RUN_CONTEXT = os.environ.get("SPARK_GRAFT_RUN_CONTEXT", "driver-verify")
 
 # Flagship set: relational core + north-star ops, heaviest first.
@@ -444,36 +445,40 @@ def main() -> None:
     # session — machine state, not plan quality. Per-line min-of-3
     # already guards WITHIN a run (below); this gates the run START on
     # a quiet machine and records what it saw, so cross-run totals in
-    # the SURVEY trend table compare like-measured numbers. The gate
-    # only blocks in builder-close context (the driver's verify run
-    # must not stall); both contexts record the observed load.
+    # the SURVEY trend table compare like-measured numbers. Both
+    # contexts gate (VERDICT r12 item 1 — the r12 driver run recorded
+    # load1 5.08 ungated and its 326.5s cold total was machine noise):
+    # builder-close waits up to 180s, driver-verify waits up to 60s
+    # (wait-or-annotate — the driver's run must not stall long), and
+    # either way the observed load is recorded in the output.
     load_gate: dict = {"gated": False}
     try:
         load1 = os.getloadavg()[0]
         load_gate["load1_at_start"] = round(load1, 2)
-        if RUN_CONTEXT == "builder-close":
-            threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
-            deadline = time.time() + 180
-            waited = 0.0
-            while load1 > threshold and time.time() < deadline:
-                time.sleep(5)
-                waited += 5
-                load1 = os.getloadavg()[0]
-            load_gate.update(
-                {
-                    "gated": True,
-                    "threshold": threshold,
-                    "waited_sec": waited,
-                    "load1_at_gate_exit": round(load1, 2),
-                    "gate_passed": load1 <= threshold,
-                }
+        threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+        max_wait = 180 if RUN_CONTEXT == "builder-close" else 60
+        deadline = time.time() + max_wait
+        waited = 0.0
+        while load1 > threshold and time.time() < deadline:
+            time.sleep(5)
+            waited += 5
+            load1 = os.getloadavg()[0]
+        load_gate.update(
+            {
+                "gated": True,
+                "threshold": threshold,
+                "max_wait_sec": max_wait,
+                "waited_sec": waited,
+                "load1_at_gate_exit": round(load1, 2),
+                "gate_passed": load1 <= threshold,
+            }
+        )
+        if load1 > threshold:
+            print(
+                f"# WARNING: load gate timed out at load1={load1:.2f} "
+                f"(threshold {threshold}); timings may carry machine noise",
+                file=sys.stderr,
             )
-            if load1 > threshold:
-                print(
-                    f"# WARNING: load gate timed out at load1={load1:.2f} "
-                    f"(threshold {threshold}); timings may carry machine noise",
-                    file=sys.stderr,
-                )
     except OSError:
         load_gate["load1_at_start"] = None
 
@@ -533,7 +538,16 @@ def main() -> None:
             "load_gate": load_gate,
         },
     }
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    # Context-split sidecars (VERDICT r12 item 1): the at-rest
+    # BENCH_FULL.json is the builder-close artifact the judge trends
+    # against; the driver's verify run kept overwriting it with
+    # differently-measured numbers every round. Driver-verify (and any
+    # other non-close context) now writes BENCH_FULL_driver.json so the
+    # close artifact never flips at rest.
+    sidecar_name = (
+        "BENCH_FULL.json" if RUN_CONTEXT == "builder-close" else "BENCH_FULL_driver.json"
+    )
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar_name)
     with open(sidecar, "w") as f:
         json.dump(full, f, indent=1)
     print("# full per-query timings: " + json.dumps(timings), file=sys.stderr)
@@ -550,7 +564,7 @@ def main() -> None:
             "n_queries": len(timings),
             "run_context": RUN_CONTEXT,
             "cold_total_sec": full["cold_total_sec"],
-            "full": "BENCH_FULL.json",
+            "full": sidecar_name,
         }
     )
     assert len(line) < 1800, f"bench stdout line too long ({len(line)} chars)"
