@@ -273,9 +273,21 @@ LIMIT 10
 
 
 def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9-4: left outer join + per-key agg."""
+    """§2.9-4: left outer join + per-key agg — per-customer URGENT-order
+    spend, customers with none kept at zero.
+
+    The right side is restricted to URGENT orders so unmatched left
+    rows EXIST in the driver data (203 of 1500 customers at sf0.01 have
+    no urgent order): the r13 mutation audit (tools/mutate_oracle.py)
+    showed the unfiltered join was left==inner at this data — every
+    customer has an order, so the gate never proved outer-ness. The
+    restriction lives in the right-side subquery/pre-filter, NOT a
+    post-join WHERE (which would silently turn the join inner — the
+    r12 conversion_latency defect class)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey")
@@ -290,7 +302,9 @@ SQL_JOIN_LEFT = f"""
 SELECT c_custkey,
        CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
        {MONEY_SQL.format(x='o_totalprice')} AS total_spent
-FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON c_custkey = o_custkey
 GROUP BY c_custkey
 """
 
@@ -6024,12 +6038,21 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     array fold (operators/events_analytics.py:funnel_depth); the oracle
     uses the equivalent chained-min formulation. The depth histogram is
     <=|steps|+1 rows, so the step expansion join is a broadcast of a
-    literal dim against a handful of rows."""
+    literal dim against a handful of rows.
+
+    The funnel ends with a 'refund' step that NO user completes in the
+    driver data (the event type does not occur), so the zero-completer
+    path — the left join against the depth histogram plus the
+    coalesce-to-0 — is exercised on every run: the r13 mutation audit
+    (tools/mutate_oracle.py) showed the 3-step funnel was left==inner
+    at this data (every step had completers) and a join-type flip
+    survived the gate."""
     ev = _t(spark, sf_dir, "events")
-    depths = ea.funnel_depth(ev, _FUNNEL_STEPS)
+    steps = [*_FUNNEL_STEPS, "refund"]
+    depths = ea.funnel_depth(ev, steps)
     counts = depths.groupBy("depth").agg(F.count(F.lit(1)).alias("n"))
     steps_df = spark.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(_FUNNEL_STEPS)],
+        [(i + 1, s) for i, s in enumerate(steps)],
         schema="step_idx INT, step STRING",
     )
     return (
@@ -6048,11 +6071,15 @@ WITH u1 AS (
 ), u3 AS (
   SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN u2 USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts > u2.t GROUP BY 1
+), u4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN u3 USING (user_id)
+  WHERE e.event_type = 'refund' AND e.ts > u3.t GROUP BY 1
 )
 SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
        CAST((SELECT COUNT(*) FROM u1) AS BIGINT) AS n_users
 UNION ALL SELECT CAST(2 AS INT), 'click', CAST((SELECT COUNT(*) FROM u2) AS BIGINT)
 UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM u3) AS BIGINT)
+UNION ALL SELECT CAST(4 AS INT), 'refund', CAST((SELECT COUNT(*) FROM u4) AS BIGINT)
 """
 
 
@@ -15530,8 +15557,13 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions differently across engines) floor-divided to seconds;
     the median/p90 reuse the interpolated-percentile parity
     established by q_percentiles (round-6dp).  Non-converters stay in
-    the cohort denominator via the left join.  Reference has no funnel
-    surface (engine extension, SURVEY §2.4)."""
+    the cohort denominator via the left join.  Conversion is scoped to
+    a 7-DAY window after signup so non-converters EXIST in the driver
+    data (8 of 150 signups at sf0.01): the r13 mutation audit
+    (tools/mutate_oracle.py) showed the unwindowed join was left==inner
+    at this data — every signup eventually purchases, so the r12
+    non-converter defect class was invisible to the gate.  Reference
+    has no funnel surface (engine extension, SURVEY §2.4)."""
     e = _normalize_ts(_t(spark, sf_dir, "events"))
     s = (
         e.filter(F.col("event_type") == "signup")
@@ -15551,7 +15583,8 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(
             p,
             (F.col("user_id") == F.col("p_user"))
-            & (F.col("p_ts") >= F.col("s_ts")),
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") < F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
             "left",
         )
         .groupBy("user_id", "s_ts")
@@ -15577,7 +15610,8 @@ WITH s AS (
 ), conv AS (
   SELECT s.user_id, s.s_ts, MIN(p.ts) AS c_ts
   FROM s LEFT JOIN events p
-    ON p.user_id = s.user_id AND p.event_type = 'purchase' AND p.ts >= s.s_ts
+    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+   AND p.ts >= s.s_ts AND p.ts < s.s_ts + INTERVAL 7 DAY
   GROUP BY s.user_id, s.s_ts
 ), lat AS (
   SELECT date_trunc('month', s_ts) AS cohort,
@@ -19295,23 +19329,32 @@ _R12_WINDOW: list[str] = [
 
 
 # The ACTIVE r13 driver window — rotation round (VERDICT r12 item 1).
-# Head = the 4 CHANGED-CODE names derived by `python
+# Head = the 7 CHANGED-CODE names derived by `python
 # tools/changed_head.py 6c494a6` (the r12 close) against this round's
 # worktree: the r13 ADVICE fixes — asof NULL-left-ts ordering +
 # value_cols guards (operators/asof.py, flags asof_join/asof_tolerance/
 # attribution_last_touch) and the chain-aware very-late prefix in the
 # sessionizer (streaming/stateful.py, flags
-# events_stream_session_timeout). tests/test_driver_window.py asserts
-# the derivation covers this head. Tail = the first 46 names of the
-# freshness queue from `python tools/freshness.py` at r13 open (the r3
-# cohort remainder text_fingerprint..window_running_sum, then the r4
-# cohort, then the first r5 names), minus head members.
+# events_stream_session_timeout) — plus the three oracle-gate
+# strengthenings from the r13 mutation audit (tools/mutate_oracle.py):
+# join_left_outer / conversion_latency / funnel_steps were
+# left==inner at the driver data, so each now constructs unmatched
+# left rows by design (URGENT-order restriction, 7-day conversion
+# window, never-completed 'refund' step). tests/test_driver_window.py
+# asserts the derivation covers this head. Tail = the first 43 names
+# of the freshness queue from `python tools/freshness.py` at r13 open
+# (the r3 cohort remainder text_fingerprint..window_running_sum, then
+# the r4 cohort), minus head members.
 _R13_WINDOW: list[str] = [
-    # changed code, r13 session (ADVICE fixes; derived, see above)
+    # changed code, r13 session (ADVICE fixes + mutation-audit
+    # strengthenings; derived, see above)
     "asof_join",
     "asof_tolerance",
     "attribution_last_touch",
+    "conversion_latency",
     "events_stream_session_timeout",
+    "funnel_steps",
+    "join_left_outer",
     # freshness queue, oldest attestation first (r3 cohort remainder)
     "text_fingerprint",
     "text_langid",
@@ -19357,10 +19400,6 @@ _R13_WINDOW: list[str] = [
     "topk_per_group",
     "unpivot_metrics",
     "uploads_build_annotations",
-    "window_rank_funcs",
-    # r5 cohort (queue prefix continues)
-    "anomaly_zscore",
-    "bpe_merge_candidates",
 ]
 
 

@@ -14,14 +14,15 @@ literal list alone):
 
 - _R13_WINDOW is exactly 50 names, distinct, and forms the registry
   prefix the driver checks.
-- Its head is exactly the changed-code set: the 4 queries flagged by
+- Its head is exactly the changed-code set: the 7 queries flagged by
   tools/changed_head.py against the r12 close (the r13 ADVICE fixes in
-  operators/asof.py and streaming/stateful.py) — asserted by
+  operators/asof.py and streaming/stateful.py, plus the three
+  mutation-audit oracle strengthenings in queries.py) — asserted by
   DERIVATION from the actual `git diff r12-close..worktree`, not prose.
-- Its tail is exactly the first 46 names of the freshness queue
+- Its tail is exactly the first 43 names of the freshness queue
   RE-DERIVED here from the same files — the queue is consumed in
-  order, oldest vintage first. (With a 4-name head the r3 cohort
-  finally DRAINS this round and the queue advances deep into r4/r5.)
+  order, oldest vintage first. (With a 7-name head the r3 cohort
+  finally DRAINS this round and the queue advances deep into r4.)
 - Window entries without an oracle are confined to the frozen
   declared-approximate set (driver records a weaker rows-only check
   for those; each has a hash-checked companion elsewhere).
@@ -46,18 +47,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 R12_CLOSE_SHA = "6c494a6"
 
 # r13 window head, per the rotation policy: no NEW queries this round
-# (registry saturated at 364, all attested), 4 CHANGED — the r13
-# ADVICE fixes. Derived by `python tools/changed_head.py 6c494a6`
-# (asof.py: NULL-left-ts ordering, on-key clash guard, empty
-# value_cols short-circuit -> asof_join/asof_tolerance/
-# attribution_last_touch; stateful.py: chain-aware very-late prefix ->
-# events_stream_session_timeout).
+# (registry saturated at 364, all attested), 7 CHANGED — the r13
+# ADVICE fixes plus the mutation-audit oracle strengthenings. Derived
+# by `python tools/changed_head.py 6c494a6` (asof.py: NULL-left-ts
+# ordering, on-key clash guard, empty value_cols short-circuit ->
+# asof_join/asof_tolerance/attribution_last_touch; stateful.py:
+# chain-aware very-late prefix -> events_stream_session_timeout;
+# queries.py: join_left_outer/conversion_latency/funnel_steps
+# strengthened so unmatched left rows exist in the driver data —
+# tools/mutate_oracle.py showed all three were left==inner at sf0.01).
 R13_NEW: list[str] = []
 R13_CHANGED = [
     "asof_join",
     "asof_tolerance",
     "attribution_last_touch",
+    "conversion_latency",
     "events_stream_session_timeout",
+    "funnel_steps",
+    "join_left_outer",
 ]
 R13_HEAD = R13_NEW + R13_CHANGED
 
@@ -127,8 +134,8 @@ def test_r13_head_is_exactly_the_new_and_changed_set():
 def test_r13_tail_is_the_freshness_queue_prefix():
     # re-derive the queue from the CORRECTNESS files (latest round ASC,
     # name ASC — the tools/freshness.py order), drop head names, and
-    # pin the tail to its first 46 names: the queue is consumed in
-    # order, no name skipped ahead of an older one.
+    # pin the tail to its first 50-len(head) names: the queue is
+    # consumed in order, no name skipped ahead of an older one.
     latest = _latest_attestation_rounds()
     queue = sorted(
         (n for n in Q.REGISTRY if n in latest and n not in R13_HEAD),
