@@ -6433,6 +6433,10 @@ def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is save/restored around execution; the returned frame is a 10-row
     driver-built result (the replay-attestation pattern)."""
     conf = {
+        # pinned, not inherited: the assert below requires the ADAPTIVE
+        # final plan, so ambient AQE-off (e.g. the r13 plan-perturbation
+        # replay's replan pass) must not reach this query
+        "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
@@ -19329,7 +19333,7 @@ _R12_WINDOW: list[str] = [
 
 
 # The ACTIVE r13 driver window — rotation round (VERDICT r12 item 1).
-# Head = the 7 CHANGED-CODE names derived by `python
+# Head = the 8 CHANGED-CODE names derived by `python
 # tools/changed_head.py 6c494a6` (the r12 close) against this round's
 # worktree: the r13 ADVICE fixes — asof NULL-left-ts ordering +
 # value_cols guards (operators/asof.py, flags asof_join/asof_tolerance/
@@ -19340,14 +19344,19 @@ _R12_WINDOW: list[str] = [
 # join_left_outer / conversion_latency / funnel_steps were
 # left==inner at the driver data, so each now constructs unmatched
 # left rows by design (URGENT-order restriction, 7-day conversion
-# window, never-completed 'refund' step). tests/test_driver_window.py
-# asserts the derivation covers this head. Tail = the first 43 names
-# of the freshness queue from `python tools/freshness.py` at r13 open
-# (the r3 cohort remainder text_fingerprint..window_running_sum, then
-# the r4 cohort), minus head members.
+# window, never-completed 'refund' step) — plus aqe_skew_join, which
+# the r13 plan-perturbation replay (tools/perturb_replay.py) showed
+# inheriting ambient AQE instead of pinning it (its in-query assert
+# requires the adaptive plan; conf now scoped).
+# tests/test_driver_window.py asserts the derivation covers this head.
+# Tail = the first 42 names of the freshness queue from `python
+# tools/freshness.py` at r13 open (the r3 cohort remainder
+# text_fingerprint..window_running_sum, then the r4 cohort), minus
+# head members.
 _R13_WINDOW: list[str] = [
     # changed code, r13 session (ADVICE fixes + mutation-audit
-    # strengthenings; derived, see above)
+    # strengthenings + perturbation-replay conf pin; derived, see above)
+    "aqe_skew_join",
     "asof_join",
     "asof_tolerance",
     "attribution_last_touch",
@@ -19399,7 +19408,6 @@ _R13_WINDOW: list[str] = [
     "text_repetition",
     "topk_per_group",
     "unpivot_metrics",
-    "uploads_build_annotations",
 ]
 
 

@@ -14,14 +14,15 @@ literal list alone):
 
 - _R13_WINDOW is exactly 50 names, distinct, and forms the registry
   prefix the driver checks.
-- Its head is exactly the changed-code set: the 7 queries flagged by
+- Its head is exactly the changed-code set: the 8 queries flagged by
   tools/changed_head.py against the r12 close (the r13 ADVICE fixes in
-  operators/asof.py and streaming/stateful.py, plus the three
-  mutation-audit oracle strengthenings in queries.py) — asserted by
-  DERIVATION from the actual `git diff r12-close..worktree`, not prose.
-- Its tail is exactly the first 43 names of the freshness queue
+  operators/asof.py and streaming/stateful.py, the three mutation-audit
+  oracle strengthenings in queries.py, and aqe_skew_join's scoped AQE
+  pin from the perturbation replay) — asserted by DERIVATION from the
+  actual `git diff r12-close..worktree`, not prose.
+- Its tail is exactly the first 42 names of the freshness queue
   RE-DERIVED here from the same files — the queue is consumed in
-  order, oldest vintage first. (With a 7-name head the r3 cohort
+  order, oldest vintage first. (With an 8-name head the r3 cohort
   finally DRAINS this round and the queue advances deep into r4.)
 - Window entries without an oracle are confined to the frozen
   declared-approximate set (driver records a weaker rows-only check
@@ -47,17 +48,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 R12_CLOSE_SHA = "6c494a6"
 
 # r13 window head, per the rotation policy: no NEW queries this round
-# (registry saturated at 364, all attested), 7 CHANGED — the r13
-# ADVICE fixes plus the mutation-audit oracle strengthenings. Derived
-# by `python tools/changed_head.py 6c494a6` (asof.py: NULL-left-ts
-# ordering, on-key clash guard, empty value_cols short-circuit ->
+# (registry saturated at 364, all attested), 8 CHANGED — the r13
+# ADVICE fixes plus the mutation-audit oracle strengthenings plus the
+# perturbation-replay conf pin. Derived by `python
+# tools/changed_head.py 6c494a6` (asof.py: NULL-left-ts ordering,
+# on-key clash guard, empty value_cols short-circuit ->
 # asof_join/asof_tolerance/attribution_last_touch; stateful.py:
 # chain-aware very-late prefix -> events_stream_session_timeout;
 # queries.py: join_left_outer/conversion_latency/funnel_steps
 # strengthened so unmatched left rows exist in the driver data —
-# tools/mutate_oracle.py showed all three were left==inner at sf0.01).
+# tools/mutate_oracle.py showed all three were left==inner at sf0.01 —
+# and aqe_skew_join now pins spark.sql.adaptive.enabled in its scoped
+# conf, found by tools/perturb_replay.py's AQE-off pass).
 R13_NEW: list[str] = []
 R13_CHANGED = [
+    "aqe_skew_join",
     "asof_join",
     "asof_tolerance",
     "attribution_last_touch",
