@@ -3032,15 +3032,23 @@ def q_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode_outer null preservation — the generator semantics that
     decide whether rows with empty extractions VANISH from a pipeline
     (plain explode) or survive as accountable nulls. Long tokens
-    (>9 chars) are rare enough that many docs extract nothing; the
+    (>7 chars) are rare enough that many docs extract nothing; the
     query proves each empty doc contributes exactly one null row by
     reconciling totals: null rows == empty docs, non-null rows ==
     total long tokens, and the grand row count is their sum. The
     oracle computes the same totals from array lengths without
-    exploding at all."""
+    exploding at all.
+
+    The threshold is 7, not the original 9: the synthetic corpus's
+    longest token is 8 chars, so >9 extracted NOTHING — every doc was
+    a null row, n_long_tokens was the constant 0, and the non-null arm
+    was never exercised (the r13 mutation audit caught it: emptying
+    the token array entirely survived the gate). At >7 the driver data
+    populates BOTH arms (934 long tokens, 106 empty docs of 500 at
+    sf0.01)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
-    arr = F.filter(toks, lambda x: F.length(x) > 9)
+    arr = F.filter(toks, lambda x: F.length(x) > 7)
     exploded = docs.select(
         "doc_id", F.explode_outer(arr).alias("tok")
     )
@@ -3057,7 +3065,7 @@ def q_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EXPLODE_OUTER_NULLS = f"""
 WITH a AS (
   SELECT doc_id,
-         list_filter({TOKS_SQL.format(c="text")}, x -> length(x) > 9) AS arr
+         list_filter({TOKS_SQL.format(c="text")}, x -> length(x) > 7) AS arr
   FROM documents
 )
 SELECT CAST(SUM(CASE WHEN len(arr) = 0 THEN 1 ELSE len(arr) END) AS BIGINT) AS n_rows,
@@ -9393,8 +9401,14 @@ FROM m
 
 def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION: map each document's first 16 tokens to
-    vocabulary ids (corpus top-100 by frequency, OOV -> 0) — the
+    vocabulary ids (corpus top-10 by frequency, OOV -> 0) — the
     id-encoding stage between vocab build and chunk packing. The vocab
+    size is 10, NOT the conventional 100: the synthetic corpus has only
+    31 distinct tokens, so a top-100 vocab covered everything and the
+    OOV arm (the left join's unmatched side + the coalesce-to-0) was
+    never exercised — a join-type flip survived the r13 mutation audit
+    (tools/mutate_oracle.py). At top-10, ~65% of tokens are OOV and
+    both arms are proven on every driver run. The vocab
     is tiny by construction (top-k), so the id lookup is a BROADCAST
     join against the posexploded (doc, pos, token) grain; the ordered
     id array reassembles with array_sort over (pos, id) structs —
@@ -9411,7 +9425,7 @@ def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     vocab = _global_topk(
-        counts, 100, [F.col("n").desc(), F.col("token")], "token_id"
+        counts, 10, [F.col("n").desc(), F.col("token")], "token_id"
     ).select("token", "token_id")
     first16 = (
         docs.filter(F.size(toks) > 0)
@@ -9451,7 +9465,7 @@ WITH tok AS (
   SELECT token, token_id FROM (
     SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS token_id
     FROM counts
-  ) WHERE token_id <= 100
+  ) WHERE token_id <= 10
 ), pe AS (
   SELECT doc_id, s.i AS pos, toks[s.i + 1] AS token
   FROM tok, unnest(generate_series(0, least(len(toks), 16) - 1)) AS s(i)
@@ -19333,24 +19347,27 @@ _R12_WINDOW: list[str] = [
 
 
 # The ACTIVE r13 driver window — rotation round (VERDICT r12 item 1).
-# Head = the 8 CHANGED-CODE names derived by `python
+# Head = the 10 CHANGED-CODE names derived by `python
 # tools/changed_head.py 6c494a6` (the r12 close) against this round's
 # worktree: the r13 ADVICE fixes — asof NULL-left-ts ordering +
 # value_cols guards (operators/asof.py, flags asof_join/asof_tolerance/
 # attribution_last_touch) and the chain-aware very-late prefix in the
 # sessionizer (streaming/stateful.py, flags
-# events_stream_session_timeout) — plus the three oracle-gate
-# strengthenings from the r13 mutation audit (tools/mutate_oracle.py):
-# join_left_outer / conversion_latency / funnel_steps were
-# left==inner at the driver data, so each now constructs unmatched
-# left rows by design (URGENT-order restriction, 7-day conversion
-# window, never-completed 'refund' step) — plus aqe_skew_join, which
-# the r13 plan-perturbation replay (tools/perturb_replay.py) showed
-# inheriting ambient AQE instead of pinning it (its in-query assert
-# requires the adaptive plan; conf now scoped).
-# tests/test_driver_window.py asserts the derivation covers this head.
-# Tail = the first 42 names of the freshness queue from `python
-# tools/freshness.py` at r13 open (the r3 cohort remainder
+# events_stream_session_timeout) — plus the five oracle-gate
+# strengthenings from the two r13 mutation-audit batches
+# (tools/mutate_oracle.py): join_left_outer / conversion_latency /
+# funnel_steps were left==inner at the driver data (URGENT-order
+# restriction, 7-day conversion window, never-completed 'refund' step
+# added), token_ids' top-100 vocab covered the whole 31-token corpus so
+# the OOV arm never ran (vocab now top-10, ~65% OOV), and
+# explode_outer_nulls' >9-char threshold exceeded the corpus's longest
+# token so its non-null arm never ran (now >7, both arms populated) —
+# plus aqe_skew_join, which the r13 plan-perturbation replay
+# (tools/perturb_replay.py) showed inheriting ambient AQE instead of
+# pinning it (its in-query assert requires the adaptive plan; conf now
+# scoped). tests/test_driver_window.py asserts the derivation covers
+# this head. Tail = the first 40 names of the freshness queue from
+# `python tools/freshness.py` at r13 open (the r3 cohort remainder
 # text_fingerprint..window_running_sum, then the r4 cohort), minus
 # head members.
 _R13_WINDOW: list[str] = [
@@ -19362,8 +19379,10 @@ _R13_WINDOW: list[str] = [
     "attribution_last_touch",
     "conversion_latency",
     "events_stream_session_timeout",
+    "explode_outer_nulls",
     "funnel_steps",
     "join_left_outer",
+    "token_ids",
     # freshness queue, oldest attestation first (r3 cohort remainder)
     "text_fingerprint",
     "text_langid",
@@ -19406,8 +19425,6 @@ _R13_WINDOW: list[str] = [
     "stratified_sample",
     "string_funcs2",
     "text_repetition",
-    "topk_per_group",
-    "unpivot_metrics",
 ]
 
 

@@ -14,15 +14,15 @@ literal list alone):
 
 - _R13_WINDOW is exactly 50 names, distinct, and forms the registry
   prefix the driver checks.
-- Its head is exactly the changed-code set: the 8 queries flagged by
+- Its head is exactly the changed-code set: the 10 queries flagged by
   tools/changed_head.py against the r12 close (the r13 ADVICE fixes in
-  operators/asof.py and streaming/stateful.py, the three mutation-audit
+  operators/asof.py and streaming/stateful.py, the five mutation-audit
   oracle strengthenings in queries.py, and aqe_skew_join's scoped AQE
   pin from the perturbation replay) — asserted by DERIVATION from the
   actual `git diff r12-close..worktree`, not prose.
-- Its tail is exactly the first 42 names of the freshness queue
+- Its tail is exactly the first 40 names of the freshness queue
   RE-DERIVED here from the same files — the queue is consumed in
-  order, oldest vintage first. (With an 8-name head the r3 cohort
+  order, oldest vintage first. (With a 10-name head the r3 cohort
   finally DRAINS this round and the queue advances deep into r4.)
 - Window entries without an oracle are confined to the frozen
   declared-approximate set (driver records a weaker rows-only check
@@ -48,7 +48,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 R12_CLOSE_SHA = "6c494a6"
 
 # r13 window head, per the rotation policy: no NEW queries this round
-# (registry saturated at 364, all attested), 8 CHANGED — the r13
+# (registry saturated at 364, all attested), 10 CHANGED — the r13
 # ADVICE fixes plus the mutation-audit oracle strengthenings plus the
 # perturbation-replay conf pin. Derived by `python
 # tools/changed_head.py 6c494a6` (asof.py: NULL-left-ts ordering,
@@ -57,9 +57,12 @@ R12_CLOSE_SHA = "6c494a6"
 # chain-aware very-late prefix -> events_stream_session_timeout;
 # queries.py: join_left_outer/conversion_latency/funnel_steps
 # strengthened so unmatched left rows exist in the driver data —
-# tools/mutate_oracle.py showed all three were left==inner at sf0.01 —
-# and aqe_skew_join now pins spark.sql.adaptive.enabled in its scoped
-# conf, found by tools/perturb_replay.py's AQE-off pass).
+# tools/mutate_oracle.py batch 1 showed all three were left==inner at
+# sf0.01 — token_ids' vocab shrunk to top-10 so OOV exists and
+# explode_outer_nulls' length threshold lowered to >7 so its non-null
+# arm runs, both from mutation batch 2; and aqe_skew_join now pins
+# spark.sql.adaptive.enabled in its scoped conf, found by
+# tools/perturb_replay.py's AQE-off pass).
 R13_NEW: list[str] = []
 R13_CHANGED = [
     "aqe_skew_join",
@@ -68,8 +71,10 @@ R13_CHANGED = [
     "attribution_last_touch",
     "conversion_latency",
     "events_stream_session_timeout",
+    "explode_outer_nulls",
     "funnel_steps",
     "join_left_outer",
+    "token_ids",
 ]
 R13_HEAD = R13_NEW + R13_CHANGED
 
