@@ -125,3 +125,40 @@ def test_deterministic_query_survives_input_rewrite(spark, tmp_path):
         assert digest(fn(spark, SF).toPandas()) == digest(
             fn(spark, out).toPandas()
         ), name
+
+
+def test_boundary_probe_overlay_preserves_schema(spark, tmp_path):
+    # tools/boundary_probe.py injects rows by pyarrow-appending against
+    # the ORIGINAL schema; a retyped column (e.g. timestamp downcast)
+    # would silently change query semantics on the overlay
+    import pyarrow.parquet as pq
+
+    from boundary_probe import SCENARIOS, _ctx, build_overlay
+
+    ctx = _ctx(SF)
+    by_name = {n: fn for n, _, fn in SCENARIOS}
+    mods = by_name["counter_rate"](ctx)
+    out = str(tmp_path / "overlay")
+    import os
+
+    os.makedirs(out)
+    build_overlay(SF, out, mods)
+    for t, rows in mods.items():
+        orig = pq.read_schema(f"{SF}/{t}.parquet")
+        got = pq.read_table(f"{out}/{t}.parquet")
+        assert got.schema == orig
+        assert got.num_rows == pq.read_table(f"{SF}/{t}.parquet").num_rows + len(rows)
+    # untouched tables are symlinks to the originals
+    assert os.path.islink(f"{out}/region.parquet")
+
+
+def test_boundary_probe_scenarios_cover_all_class_a_survivors():
+    # accounting invariant: every survivor in the at-rest MUTATION
+    # files is either probed by a scenario or carries a class-b reason
+    from boundary_probe import CLASS_B, SCENARIOS, survivor_indices
+
+    probed = {n for n, _, _ in SCENARIOS}
+    for name in survivor_indices():
+        assert name in probed or name in CLASS_B, (
+            f"unadjudicated mutation survivor: {name}"
+        )

@@ -1,0 +1,521 @@
+#!/usr/bin/env python
+"""Boundary-data probe: turn the mutation audit's "boundary value
+absent from data" adjudications into MEASUREMENT.
+
+The r13 mutation audit (tools/mutate_oracle.py, SURVEY §5) left a
+class of surviving mutants adjudicated as benign-at-this-data: the
+flipped comparison only matters for a row sitting EXACTLY on the
+predicate boundary (an order at the date-literal midnight, a purchase
+at the signup instant, a 30-minute-exact session gap, a Levenshtein
+pair at the threshold...), and the driver's synthetic data happens to
+contain no such row. That adjudication was prose. This tool makes it
+evidence: for each such survivor it
+
+  1. builds an OVERLAY dataset — the sf dir with the boundary row(s)
+     INJECTED (unmodified tables symlinked; modified tables rewritten
+     with pyarrow against the original schema so physical types
+     survive),
+  2. asserts the UNMUTATED query/oracle pair is still hash-GREEN on
+     the overlay (both engines agree at the boundary — if they don't,
+     that is a real gate defect this tool just found), and
+  3. re-runs the exact surviving mutant (same deterministic
+     mutants_of index as the at-rest MUTATION*.json detail order) on
+     the overlay and asserts it now goes RED.
+
+A mutant still green on its boundary overlay means the adjudication
+was WRONG — the oracle pair genuinely cannot see that semantic axis
+and must be strengthened. Exit 1 in that case (and when step 2 fails).
+
+Survivors NOT probed here are the algebraic-equivalence class (the
+adjudication's class b): provably input-independent no-ops (pruning
+guards re-filtered downstream, rank-invariant shifts, single-value
+min==max). They are listed with reasons in CLASS_B so the accounting
+covers the full survivor union.
+
+    python tools/boundary_probe.py [sf_dir] [--out BOUNDARY.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+from datetime import datetime
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from mutate_oracle import mutants_of  # noqa: E402
+from oracle_util import TABLES, compare, register_views  # noqa: E402
+
+
+def _ctx(sf_dir: str) -> dict:
+    """One-time lookups the injections need: fresh surrogate keys and
+    clone-donor rows, read with pyarrow (no Spark needed)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = {n: pq.read_table(os.path.join(sf_dir, f"{n}.parquet"))
+         for n in ("customer", "orders", "lineitem", "supplier", "part",
+                   "events", "documents")}
+    first = {n: t[n].slice(0, 1).to_pylist()[0] for n in t}
+    building = t["customer"].filter(
+        pc.equal(t["customer"]["c_mktsegment"], "BUILDING")
+    ).slice(0, 1).to_pylist()[0]["c_custkey"]
+    part_pdf = t["part"].to_pandas()
+    q16_part = part_pdf[
+        (part_pdf.p_brand != "Brand#3")
+        & (part_pdf.p_type != "PROMO")
+        & (part_pdf.p_size.isin([1, 5, 9, 15, 20, 25, 30, 35]))
+    ].iloc[0]["p_partkey"]
+    # an ASIA-nation supplier for the q5 locality chain
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    asia_keys = set(
+        nat[nat.n_regionkey.isin(
+            reg[reg.r_name == "ASIA"].r_regionkey)].n_nationkey
+    )
+    supp_pdf = t["supplier"].to_pandas()
+    asia_supp = supp_pdf[supp_pdf.s_nationkey.isin(asia_keys)].iloc[0]
+    return {
+        "asia_suppkey": int(asia_supp["s_suppkey"]),
+        "asia_nationkey": int(asia_supp["s_nationkey"]),
+        "max_custkey": int(pc.max(t["customer"]["c_custkey"]).as_py()),
+        "first": first,
+        "building_custkey": int(building),
+        "q16_partkey": int(q16_part),
+        "max_orderkey": int(pc.max(t["orders"]["o_orderkey"]).as_py()),
+        "max_suppkey": int(pc.max(t["supplier"]["s_suppkey"]).as_py()),
+        "max_partkey": int(pc.max(t["part"]["p_partkey"]).as_py()),
+        "max_docid": int(pc.max(t["documents"]["doc_id"]).as_py()),
+    }
+
+
+def _ev(eid, ts, uid, etype, value=1.0):
+    return {"event_id": eid, "ts": ts, "user_id": uid,
+            "event_type": etype, "value": value, "props": "{}"}
+
+
+def _doc(did, text, source="boundary-probe"):
+    return {"doc_id": did, "text": text, "lang": "en",
+            "source": source, "n_chars": len(text)}
+
+
+def _li(c, orderkey, shipdate, price=100.0, partkey=None, suppkey=None,
+        linestatus=None, qty=1.0):
+    f = c["first"]["lineitem"]
+    return {
+        "l_orderkey": orderkey,
+        "l_partkey": partkey if partkey is not None else f["l_partkey"],
+        "l_suppkey": suppkey if suppkey is not None else f["l_suppkey"],
+        "l_linenumber": 9, "l_quantity": qty, "l_extendedprice": price,
+        "l_discount": 0.0, "l_tax": 0.0,
+        "l_returnflag": f["l_returnflag"],
+        "l_linestatus": linestatus if linestatus is not None
+        else f["l_linestatus"],
+        "l_shipdate": shipdate,
+    }
+
+
+def _order(c, orderkey, orderdate, custkey=None):
+    f = c["first"]["orders"]
+    return {
+        "o_orderkey": orderkey,
+        "o_custkey": custkey if custkey is not None else f["o_custkey"],
+        "o_orderstatus": f["o_orderstatus"], "o_totalprice": 1000.0,
+        "o_orderdate": orderdate, "o_orderpriority": f["o_orderpriority"],
+    }
+
+
+# Each scenario: query name -> (note, mods_fn). mods_fn(ctx) returns
+# {table: [row dicts]} to APPEND. The boundary each targets is the one
+# the surviving cmp/eq mutant flips (SURVEY §5 adjudication class a).
+def _sc_q3(c):
+    k = c["max_orderkey"] + 1
+    return {
+        "orders": [_order(c, k, datetime(2000, 3, 15),
+                          custkey=c["building_custkey"])],
+        "lineitem": [_li(c, k, datetime(2000, 4, 1), price=9_999_999.0)],
+    }
+
+
+def _sc_conversion_latency(c):
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    return {"events": [_ev(100001, t0, 9001, "signup"),
+                       _ev(100002, t0, 9001, "purchase")]}
+
+
+def _sc_session_funnel(c):
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    t1 = datetime(2024, 1, 10, 12, 30, 0)  # exactly the 30-min gap
+    return {"events": [_ev(100003, t0, 9002, "view"),
+                       _ev(100004, t1, 9002, "purchase")]}
+
+
+def _sc_q4(c):
+    k = c["max_orderkey"] + 2
+    return {"orders": [_order(c, k, datetime(1997, 1, 1))],
+            "lineitem": [_li(c, k, datetime(1997, 1, 15))]}
+
+
+def _sc_q16(c):
+    s = c["max_suppkey"] + 1
+    f = c["first"]["supplier"]
+    return {
+        "supplier": [{"s_suppkey": s, "s_name": "boundary supplier",
+                      "s_nationkey": f["s_nationkey"], "s_acctbal": 0.0}],
+        "lineitem": [_li(c, c["first"]["lineitem"]["l_orderkey"],
+                         c["first"]["lineitem"]["l_shipdate"],
+                         partkey=c["q16_partkey"], suppkey=s)],
+    }
+
+
+def _sc_counter_rate(c):
+    mk = lambda i, s, v: _ev(100005 + i, datetime(2024, 1, 11, 12, 0, s),
+                             9003, "view", value=v)
+    # user 9003: a zero delta (kills the `delta < 0` cmp flip); user
+    # 9007: a SINGLE sample, span 0 — the max_ms > min_ms guard drops
+    # the row on both sides, so the drop-filter mutant keeps a row the
+    # oracle doesn't (the first-batch adjudication filed this guard as
+    # an algebraic no-op; it is not — this row kills it)
+    return {"events": [mk(0, 0, 5.0), mk(1, 1, 5.0), mk(2, 2, 7.0),
+                       _ev(100014, datetime(2024, 1, 11, 14), 9007,
+                           "view", value=3.0)]}
+
+
+def _sc_bitmap_funnel(c):
+    return {"events": [_ev(100008, datetime(2024, 1, 11, 13), 9004, "signup")]}
+
+
+def _sc_explode_outer(c):
+    return {"documents": [_doc(c["max_docid"] + 1, "abcdefg xyz")]}
+
+
+def _sc_er_blocking(c):
+    f = c["first"]["part"]
+    mk = lambda k, name: {"p_partkey": k, "p_name": name,
+                          "p_brand": f["p_brand"], "p_type": f["p_type"],
+                          "p_size": f["p_size"],
+                          "p_retailprice": f["p_retailprice"]}
+    return {"part": [mk(c["max_partkey"] + 1, "zz aaaaaaaaaa"),
+                     mk(c["max_partkey"] + 2, "zz bbbbbbbbbb")]}
+
+
+def _sc_funnel_windowed(c):
+    t0 = datetime(2024, 1, 12, 9, 0, 0)
+    return {"events": [_ev(100009, t0, 9005, "signup"),
+                       _ev(100010, t0, 9005, "click"),
+                       _ev(100011, datetime(2024, 1, 12, 10), 9005,
+                           "purchase")]}
+
+
+def _sc_chunk_dedup(c):
+    return {"documents": [_doc(c["max_docid"] + 2, "")]}
+
+
+def _sc_gopher(c):
+    return {"documents": [_doc(c["max_docid"] + 3,
+                               ("the " * 100000).strip())]}
+
+
+def _sc_repeated_spans(c):
+    return {"documents": [_doc(c["max_docid"] + 4,
+                               "aa bb cc dd ee ff gg hh")]}
+
+
+def _sc_langid(c):
+    return {"documents": [_doc(c["max_docid"] + 5, "the le el der")]}
+
+
+def _sc_stream_outer(c):
+    p = datetime(2024, 1, 20, 12, 0, 0)
+    cl = datetime(2024, 1, 20, 6, 0, 0)  # exactly p_ts - 6 hours
+    return {"events": [_ev(100012, p, 9006, "purchase"),
+                       _ev(100013, cl, 9006, "click")]}
+
+
+def _sc_q5(c):
+    k = c["max_orderkey"] + 3
+    cust = c["max_custkey"] + 1
+    f = c["first"]["customer"]
+    return {
+        "customer": [{"c_custkey": cust, "c_name": "boundary cust",
+                      "c_nationkey": c["asia_nationkey"],
+                      "c_acctbal": f["c_acctbal"],
+                      "c_mktsegment": f["c_mktsegment"]}],
+        "orders": [_order(c, k, datetime(1996, 1, 1), custkey=cust)],
+        "lineitem": [_li(c, k, datetime(1996, 2, 1),
+                         suppkey=c["asia_suppkey"])],
+    }
+
+
+def _sc_phrase_search(c):
+    return {"documents": [
+        _doc(c["max_docid"] + 6, "stream column stream column"),
+        _doc(c["max_docid"] + 7, "stream column x"),
+    ]}
+
+
+def _sc_weighted_median(c):
+    # a fresh l_linestatus group with an even weight split: at the
+    # lower cents the running weight is EXACTLY half the total
+    return {"lineitem": [
+        _li(c, c["first"]["lineitem"]["l_orderkey"],
+            c["first"]["lineitem"]["l_shipdate"], price=1.0,
+            linestatus="X"),
+        _li(c, c["first"]["lineitem"]["l_orderkey"],
+            c["first"]["lineitem"]["l_shipdate"], price=2.0,
+            linestatus="X"),
+    ]}
+
+
+def _sc_decontaminate(c):
+    # a NULL-text benchmark doc: every non-null text yields >= 1
+    # shingle (short docs degrade to one try_element_at shingle, empty
+    # text hashes the seed) and so self-matches when train includes
+    # bench — but _hash_shingled DROPS null-text rows from the posting,
+    # so with the train-side source filter gone this doc is never
+    # flagged and leaks into the decontaminated output. The source
+    # filter is load-bearing exactly for null-text bench docs.
+    return {"documents": [{"doc_id": c["max_docid"] + 8, "text": None,
+                           "lang": "en", "source": "src0",
+                           "n_chars": 0}]}
+
+
+def _sc_ohlc_bars(c):
+    # a day OUTSIDE the data's range: the injected pair IS the whole
+    # (type, day) bar, so the same-microsecond id tie-break alone
+    # decides open/close (inside a populated day the pair is interior
+    # and the bar's open/close never see it — first attempt's miss)
+    ts = datetime(2024, 2, 5, 12, 0, 0)
+    return {"events": [_ev(100015, ts, 9008, "view", value=1.0),
+                       _ev(100016, ts, 9008, "view", value=9.0)]}
+
+
+SCENARIOS: list[tuple[str, str, object]] = [
+    ("q3_shipping_priority",
+     "order at the 2000-03-15 midnight date literal, top-revenue line",
+     _sc_q3),
+    ("conversion_latency",
+     "purchase at exactly the signup timestamp (p_ts >= s_ts boundary)",
+     _sc_conversion_latency),
+    ("session_funnel",
+     "view->purchase gap of exactly 30 minutes (gap > 30min boundary)",
+     _sc_session_funnel),
+    ("tpch_q4_order_priority",
+     "order at exactly 1997-01-01 00:00:00 with a qualifying shipment",
+     _sc_q4),
+    ("tpch_q16_supplier_counts",
+     "supplier with s_acctbal exactly 0 shipping a qualifying part",
+     _sc_q16),
+    ("counter_rate",
+     "consecutive equal readings: a zero delta (delta < 0 boundary)",
+     _sc_counter_rate),
+    ("bitmap_funnel",
+     "user whose ONLY event is a signup (signup/other bits separable)",
+     _sc_bitmap_funnel),
+    ("explode_outer_nulls",
+     "document containing a token of exactly 7 chars (length > 7)",
+     _sc_explode_outer),
+    ("er_blocking_pairs",
+     "same-block name pair at Levenshtein distance exactly 10",
+     _sc_er_blocking),
+    ("funnel_windowed",
+     "click at exactly the signup timestamp (ts > s_ts boundary)",
+     _sc_funnel_windowed),
+    ("chunk_dedup_global",
+     "document with zero tokens (n > 0 guard boundary)",
+     _sc_chunk_dedup),
+    ("quality_gopher_rules",
+     "document with exactly 100000 tokens (n <= 100000 boundary)",
+     _sc_gopher),
+    ("dedup_repeated_spans",
+     "document with exactly 8 tokens (n >= 8 boundary)",
+     _sc_repeated_spans),
+    ("text_langid",
+     "one stopword per language: 4-way score tie (>= argmax chain)",
+     _sc_langid),
+    ("events_stream_outer_join",
+     "click at exactly p_ts - 6 hours (join-window lower bound)",
+     _sc_stream_outer),
+    ("tpch_q5_local_volume",
+     "locality-chain order at exactly 1996-01-01 00:00:00",
+     _sc_q5),
+    ("phrase_search",
+     "docs with DISTINCT phrase-hit counts (2 vs 1) break the tie",
+     _sc_phrase_search),
+    ("weighted_median",
+     "even-weight group: running weight exactly half the total",
+     _sc_weighted_median),
+    ("decontaminate",
+     "src0 doc with < n tokens (no 3-grams) leaks if the filter drops",
+     _sc_decontaminate),
+    ("ohlc_bars",
+     "two events at the IDENTICAL microsecond: id tie-break direction",
+     _sc_ohlc_bars),
+]
+
+# Survivor class b — algebraic equivalences NOT probed here, with the
+# provable reason (input-independent, so no boundary row can kill them;
+# SURVEY §5 adjudication).
+CLASS_B: dict[str, str] = {
+    "asof_join": "rn==1 pre-dedup subsumed by the carry's latest-row"
+                 " semantics (drop-filter)",
+    "dedup_winnowing": "<6-token guard excludes docs producing no windows;"
+                       " df band / nonempty guards are candidate pruning"
+                       " the downstream re-filters",
+    "dedup_simhash": "nonempty-token guard is candidate pruning the"
+                     " downstream re-filters",
+    "quality_auc": "floor(x+0.5)->floor(x-0.5) is a uniform score shift"
+                   " rank-sum AUC is invariant to; n_pos/n_neg>0 guard"
+                   " needs single-class languages that cannot exist"
+                   " in a tie-broken argmax output",
+    "dedup_canonicalize": "max(when(rn==1,..)) aggregates one non-null"
+                          " value; min==max",
+    "token_ids": "size(toks)>0 guard: empty docs posexplode to zero rows"
+                 " either way",
+    "spatial_grid_join": "d2 <= r2 -> < is PROVABLY unreachable for any"
+                         " customer table: d2 == 2^20 needs lattice"
+                         " offsets (+-1024,0)/(0,+-1024) (the only"
+                         " two-square representations of 2^20), and the"
+                         " LCG coords are bijections of c_custkey mod"
+                         " 2^16 (both multipliers odd), so equal x"
+                         " forces equal key forces equal y — no pair"
+                         " sits at the boundary, ever",
+    "ks_test_2sample": "min->max over the argmax-tie set: a tie in the"
+                       " GLOBAL max |c0_cum*n1 - c1_cum*n0| across two"
+                       " distinct values is a property of the whole"
+                       " spend distribution, not injectable with an"
+                       " appended row; adjudicated boundary-absent,"
+                       " not probed",
+}
+
+
+def build_overlay(sf_dir: str, out_dir: str, mods: dict) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if t not in mods:
+            os.symlink(src, dst)
+            continue
+        tab = pq.read_table(src)
+        extra = pa.Table.from_pylist(mods[t], schema=tab.schema)
+        pq.write_table(pa.concat_tables([tab, extra]), dst)
+
+
+def survivor_indices() -> dict[str, list[tuple[int, str]]]:
+    """(index, op) of every 'survived' mutant per query, in the
+    deterministic mutants_of order, from the at-rest MUTATION files."""
+    out: dict[str, list[tuple[int, str]]] = {}
+    for fname in ("MUTATION.json", "MUTATION_batch2.json",
+                  "MUTATION_batch3.json"):
+        path = os.path.join(REPO, fname)
+        if not os.path.exists(path):
+            continue
+        detail = json.load(open(path)).get("detail", {})
+        for name, d in detail.items():
+            idxs = [(i, m["op"]) for i, m in enumerate(d.get("mutants", []))
+                    if m["outcome"] == "survived"]
+            if idxs:
+                out[name] = idxs
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+        else "/root/testdata/sf0.01"
+    out_path = os.path.join(REPO, "BOUNDARY.json")
+    for i, a in enumerate(sys.argv):
+        if a == "--out":
+            out_path = sys.argv[i + 1]
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+
+    import labelspark_spark.queries as Q
+
+    ctx = _ctx(sf_dir)
+    survivors = survivor_indices()
+    report: dict[str, dict] = {}
+    failures = 0
+
+    for name, note, mods_fn in SCENARIOS:
+        fn, sql = Q.REGISTRY[name]
+        overlay = tempfile.mkdtemp(prefix=f"boundary_{name}_")
+        try:
+            build_overlay(sf_dir, overlay, mods_fn(ctx))
+            con = duckdb.connect()
+            register_views(con, overlay)
+            base = compare(fn(spark, overlay), con, sql)
+            entry: dict = {"note": note,
+                           "boundary_green": bool(base["values_match"])}
+            if not base["values_match"]:
+                entry["base_detail"] = {
+                    k: v for k, v in base.items() if k != "values_match"}
+                failures += 1
+            muts = list(mutants_of(fn, 4))
+            checked = []
+            for idx, op in survivors.get(name, []):
+                if idx >= len(muts):
+                    checked.append({"idx": idx, "op": op,
+                                    "outcome": "index-out-of-range"})
+                    failures += 1
+                    continue
+                mop, msrc = muts[idx]
+                ns = dict(vars(Q))
+                try:
+                    exec(compile(msrc, f"<b:{name}:{idx}>", "exec"), ns)
+                    r = compare(ns[fn.__name__](spark, overlay), con, sql)
+                    outcome = ("killed-at-boundary" if not r["values_match"]
+                               else "STILL-SURVIVES")
+                except Exception as e:
+                    outcome = "killed-by-crash"
+                    _ = e
+                if outcome == "STILL-SURVIVES":
+                    failures += 1
+                checked.append({"idx": idx, "op": mop, "outcome": outcome})
+                print(f"# {name}[{idx}/{mop}]: {outcome}", file=sys.stderr)
+            entry["mutants"] = checked
+            report[name] = entry
+        finally:
+            shutil.rmtree(overlay, ignore_errors=True)
+
+    probed = {n for n, _, _ in SCENARIOS}
+    unprobed = {n: ops for n, ops in survivors.items() if n not in probed}
+    n_killed = sum(1 for d in report.values()
+                   for m in d["mutants"] if m["outcome"].startswith("killed"))
+    n_targeted = sum(len(d["mutants"]) for d in report.values())
+    out = {
+        "sf_dir": sf_dir,
+        "n_scenarios": len(SCENARIOS),
+        "n_boundary_green": sum(d["boundary_green"] for d in report.values()),
+        "n_mutants_targeted": n_targeted,
+        "n_killed_at_boundary": n_killed,
+        "unprobed_survivors": unprobed,
+        "class_b_reasons": CLASS_B,
+        "detail": report,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("n_scenarios", "n_boundary_green",
+                       "n_mutants_targeted", "n_killed_at_boundary")}))
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
