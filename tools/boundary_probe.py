@@ -81,7 +81,16 @@ def _ctx(sf_dir: str) -> dict:
     )
     supp_pdf = t["supplier"].to_pandas()
     asia_supp = supp_pdf[supp_pdf.s_nationkey.isin(asia_keys)].iloc[0]
+    # exact corpus token count, replicating normalize_text +
+    # whitespace_tokens (lower + \s+ split, empties dropped — .split()
+    # with no args is the same fold on this ASCII corpus); feeds the
+    # heavy_hitters exact-ppm solve, which asserts the landing anyway
+    total_tokens = sum(
+        len(txt.split()) for txt in t["documents"]["text"].to_pylist()
+        if txt is not None
+    )
     return {
+        "total_tokens": int(total_tokens),
         "asia_suppkey": int(asia_supp["s_suppkey"]),
         "asia_nationkey": int(asia_supp["s_nationkey"]),
         "max_custkey": int(pc.max(t["customer"]["c_custkey"]).as_py()),
@@ -286,6 +295,74 @@ def _sc_decontaminate(c):
                            "n_chars": 0}]}
 
 
+def _sc_heavy_hitters(c):
+    # solve for a token at EXACTLY 1000 ppm: m copies of a new token
+    # plus k filler copies so floor(m*1e6/(T+m+k) + 0.5) == 1000. For
+    # any m the admissible total T' = T+m+k spans an interval of width
+    # ~m, so an integer solution exists once m ~ T/1000.
+    T = c["total_tokens"]
+    m = max(1, T // 999)
+    while True:
+        lo = int(m * 1_000_000 / 1000.5) + 1   # T' > m*1e6/1000.5
+        hi = int(m * 1_000_000 / 999.5)        # T' <= m*1e6/999.5
+        if hi >= T + m and lo <= hi:
+            tprime = max(lo, T + m)
+            k = tprime - T - m
+            break
+        m += 1
+    # sanity: the exact ppm formula lands on the boundary
+    import math
+    assert math.floor(m * 1_000_000 / tprime + 0.5) == 1000, (m, k, T)
+    text = " ".join(["zzboundaryhitter"] * m + ["zzfiller"] * k)
+    return {"documents": [_doc(c["max_docid"] + 9, text)]}
+
+
+def _sc_interval_coverage(c):
+    # two events exactly 300s apart: the second interval starts at the
+    # instant the first one ends (_s == prev_max_end)
+    return {"events": [_ev(100017, datetime(2024, 1, 14, 8, 0, 0), 9009,
+                           "view"),
+                       _ev(100018, datetime(2024, 1, 14, 8, 5, 0), 9009,
+                           "view")]}
+
+
+def _sc_benford(c):
+    # three boundary rows at once: cents == 0 (the > 0 -> >= flip),
+    # negative cents (the dropped filter feeds '-' into an ANSI int
+    # cast), and a NEW event type observing only digit 1 (the dense
+    # grid's left join keeps its 8 zero rows; inner drops them)
+    return {"events": [
+        _ev(100019, datetime(2024, 1, 14, 9, 0, 0), 9012, "view",
+            value=0.0),
+        _ev(100020, datetime(2024, 1, 14, 9, 1, 0), 9012, "view",
+            value=-2.5),
+        _ev(100021, datetime(2024, 1, 14, 9, 2, 0), 9012, "boundary_et",
+            value=1.0),
+    ]}
+
+
+def _sc_scd2_asof(c):
+    # purchase at EXACTLY the interval's valid_from instant
+    t0 = datetime(2024, 1, 14, 10, 0, 0)
+    return {"events": [_ev(100022, t0, 9010, "view"),
+                       _ev(100023, t0, 9010, "purchase")]}
+
+
+def _sc_time_weighted_avg(c):
+    # a user whose two samples share ONE timestamp: the only interval
+    # has dt == 0, so the span-sum is 0 and the _dt > 0 guard is the
+    # only thing between the oracle and a 0/0 row
+    t0 = datetime(2024, 1, 14, 11, 0, 0)
+    return {"events": [_ev(100024, t0, 9011, "view", value=2.0),
+                       _ev(100025, t0, 9011, "view", value=4.0)]}
+
+
+def _sc_dq_checks(c):
+    # an orphan lineitem (no matching order): the FK check's only food
+    return {"lineitem": [_li(c, c["max_orderkey"] + 50,
+                             c["first"]["lineitem"]["l_shipdate"])]}
+
+
 def _sc_ohlc_bars(c):
     # a day OUTSIDE the data's range: the injected pair IS the whole
     # (type, day) bar, so the same-microsecond id tie-break alone
@@ -357,6 +434,24 @@ SCENARIOS: list[tuple[str, str, object]] = [
     ("ohlc_bars",
      "two events at the IDENTICAL microsecond: id tie-break direction",
      _sc_ohlc_bars),
+    ("heavy_hitters",
+     "token at EXACTLY 1000 ppm (solved m/k injection)",
+     _sc_heavy_hitters),
+    ("interval_coverage",
+     "second interval starting at the instant the first ends",
+     _sc_interval_coverage),
+    ("benford_conformance",
+     "zero cents + negative cents + a digit-sparse new event type",
+     _sc_benford),
+    ("scd2_asof_lookup",
+     "purchase at exactly the dimension interval's valid_from",
+     _sc_scd2_asof),
+    ("time_weighted_avg",
+     "two samples at one timestamp: zero total span",
+     _sc_time_weighted_avg),
+    ("dq_checks",
+     "an orphan lineitem row (FK violation exists at last)",
+     _sc_dq_checks),
 ]
 
 # Survivor class b — algebraic equivalences NOT probed here, with the
@@ -392,6 +487,24 @@ CLASS_B: dict[str, str] = {
                        " spend distribution, not injectable with an"
                        " appended row; adjudicated boundary-absent,"
                        " not probed",
+    "anomaly_zscore": "floor(x+0.5)->floor(x-0.5) is a uniform -1 shift"
+                      " on every row's cents (the floors differ by"
+                      " exactly 1 for any real); z-scores are"
+                      " translation-invariant and the output carries"
+                      " raw value + z only. The var>0 -> >= flip:"
+                      " var==0 forces every deviation to 0, so"
+                      " z=0/0=NaN and |NaN|>2.5 is false either way",
+    "anomaly_mad": "same two proofs as anomaly_zscore: uniform cents"
+                   " shift is MAD-z invariant; _mad==0 forces rz=NaN,"
+                   " dropped by the |rz|>3.5 compare either way",
+    "ewma_exact": "slice(xs, 2, size-1) vs size+1: slice clamps at the"
+                  " array end, both take the entire tail from index 2",
+    "market_basket": "dropping the support>=2 filter only ADDS"
+                     " support-1 pairs, which can never displace the"
+                     " top-20 by n_cooccur desc while >=20 pairs of"
+                     " support>=2 exist (verified present at sf0.01);"
+                     " appends can only raise support — killable only"
+                     " by corpus reduction, not injection",
 }
 
 
@@ -413,12 +526,10 @@ def build_overlay(sf_dir: str, out_dir: str, mods: dict) -> None:
 def survivor_indices() -> dict[str, list[tuple[int, str]]]:
     """(index, op) of every 'survived' mutant per query, in the
     deterministic mutants_of order, from the at-rest MUTATION files."""
+    import glob
+
     out: dict[str, list[tuple[int, str]]] = {}
-    for fname in ("MUTATION.json", "MUTATION_batch2.json",
-                  "MUTATION_batch3.json"):
-        path = os.path.join(REPO, fname)
-        if not os.path.exists(path):
-            continue
+    for path in sorted(glob.glob(os.path.join(REPO, "MUTATION*.json"))):
         detail = json.load(open(path)).get("detail", {})
         for name, d in detail.items():
             idxs = [(i, m["op"]) for i, m in enumerate(d.get("mutants", []))
