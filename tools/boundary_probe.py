@@ -81,6 +81,16 @@ def _ctx(sf_dir: str) -> dict:
     )
     supp_pdf = t["supplier"].to_pandas()
     asia_supp = supp_pdf[supp_pdf.s_nationkey.isin(asia_keys)].iloc[0]
+    # per-arm user counts and max per-user spend for the ks_test tie
+    # construction (arms = user_id parity, spend = sum of event cents)
+    import math
+
+    evp = t["events"].to_pandas()
+    cents = evp["value"].map(lambda v: math.floor(v * 100 + 0.5))
+    totals = cents.groupby(evp["user_id"]).sum()
+    arm0 = int((totals.index % 2 == 0).sum())
+    arm1 = int((totals.index % 2 == 1).sum())
+    max_spend = int(totals.max())
     # exact corpus token count, replicating normalize_text +
     # whitespace_tokens (lower + \s+ split, empties dropped — .split()
     # with no args is the same fold on this ASCII corpus); feeds the
@@ -91,6 +101,7 @@ def _ctx(sf_dir: str) -> dict:
     )
     return {
         "total_tokens": int(total_tokens),
+        "arm0": arm0, "arm1": arm1, "max_spend": max_spend,
         "asia_suppkey": int(asia_supp["s_suppkey"]),
         "asia_nationkey": int(asia_supp["s_nationkey"]),
         "max_custkey": int(pc.max(t["customer"]["c_custkey"]).as_py()),
@@ -357,6 +368,37 @@ def _sc_time_weighted_avg(c):
                        _ev(100025, t0, 9011, "view", value=4.0)]}
 
 
+def _sc_ks_tie(c):
+    """Force a THREE-way tie in the KS argmax so min-vs-max over the
+    tie set differ. With old arm sizes A (even ids) and B (odd ids),
+    inject three spend blocks strictly above every old per-user total:
+
+        arm0: 5B-A users at v1   arm1: 3B users at v2   arm0: 3B at v3
+
+    Then n0' = 8B, n1' = 4B, and |c0_cum*n1' - c1_cum*n0'| equals
+    12B^2 at v1, v2 AND v3 (algebra in the three plateau segments),
+    while every old value is bounded by max(4B*A, 8B*B) = 8B^2 < 12B^2
+    — the global max is the tie set {v1, v2, v3}, so F.min('v') vs
+    F.max('v') pick different at_v. Requires 5B > A (holds for any
+    near-balanced split)."""
+    A, B, maxv = c["arm0"], c["arm1"], c["max_spend"]
+    assert 5 * B > A, (A, B)
+    blocks = [(0, 5 * B - A, maxv + 100), (1, 3 * B, maxv + 200),
+              (0, 3 * B, maxv + 300)]
+    rows, eid = [], 110000
+    uid_even, uid_odd = 20000, 20001
+    for arm, count, v in blocks:
+        for _ in range(count):
+            if arm == 0:
+                uid, uid_even = uid_even, uid_even + 2
+            else:
+                uid, uid_odd = uid_odd, uid_odd + 2
+            rows.append(_ev(eid, datetime(2024, 1, 15, 6, 0, 0), uid,
+                            "view", value=v / 100.0))
+            eid += 1
+    return {"events": rows}
+
+
 def _sc_dq_checks(c):
     # an orphan lineitem (no matching order): the FK check's only food
     return {"lineitem": [_li(c, c["max_orderkey"] + 50,
@@ -452,6 +494,9 @@ SCENARIOS: list[tuple[str, str, object]] = [
     ("dq_checks",
      "an orphan lineitem row (FK violation exists at last)",
      _sc_dq_checks),
+    ("ks_test_2sample",
+     "constructed 3-way tie in the KS argmax (12B^2 plateau)",
+     _sc_ks_tie),
 ]
 
 # Survivor class b — algebraic equivalences NOT probed here, with the
@@ -481,12 +526,6 @@ CLASS_B: dict[str, str] = {
                          " 2^16 (both multipliers odd), so equal x"
                          " forces equal key forces equal y — no pair"
                          " sits at the boundary, ever",
-    "ks_test_2sample": "min->max over the argmax-tie set: a tie in the"
-                       " GLOBAL max |c0_cum*n1 - c1_cum*n0| across two"
-                       " distinct values is a property of the whole"
-                       " spend distribution, not injectable with an"
-                       " appended row; adjudicated boundary-absent,"
-                       " not probed",
     "anomaly_zscore": "floor(x+0.5)->floor(x-0.5) is a uniform -1 shift"
                       " on every row's cents (the floors differ by"
                       " exactly 1 for any real); z-scores are"
