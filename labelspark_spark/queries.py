@@ -8419,16 +8419,28 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN quality: the exact brute-force top-10 sets (50 rows: 5
     queries x 10) vs the two-stage PQ pipeline; the ADC candidate cut
-    at rerank=100 of a 500-vector corpus must recover >= 70% of the true
-    neighbors (measured 86-88%; bound matches tests/test_approx_recall.py)."""
+    must recover >= 70% of the true neighbors (measured 86-88% at
+    sf0.01; bound matches tests/test_approx_recall.py).
+
+    The rerank depth SCALES with the corpus — max(100, n/5) — instead
+    of the original fixed 100: the r13 scale-robustness replay
+    (tools/replay_oracle.py at sf0.1) caught the fixed depth
+    under-recalling on the 5000-vector corpus (rerank=100 of 5000 is a
+    2% cut vs the 20% the bound was tuned on; recall fell below 0.7
+    and the query CONTRADICTED its own constant-TRUE oracle). n/5
+    reproduces the attested sf0.01 behavior bit-for-bit (500/5 = 100)
+    and embodies the §6 deployment rule that candidate depth grows
+    with the corpus. The corpus count() is a bounded one-row action,
+    same discipline as the PQ codebook train."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = sim.brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
     books = _pq_books(spark, sf_dir)
+    rerank = max(100, emb.count() // 5)
     approx = sim.pq_topk(
-        emb, queries, books, k=10, rerank=100, query_id_col="query_id"
+        emb, queries, books, k=10, rerank=rerank, query_id_col="query_id"
     ).select("query_id", "neighbor_id")
     keys = ["query_id", "neighbor_id"]
     hits = approx.join(exact, keys).agg(F.count(F.lit(1)).alias("_hits"))
@@ -17902,19 +17914,27 @@ FROM per WHERE n_pos > 0 AND n_neg > 0
 
 
 def q_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language OOV rate under a fixed top-100 corpus vocabulary —
+    """Per-language OOV rate under a fixed top-10 corpus vocabulary —
     the coverage check a tokenizer/vocab choice gets before training:
-    vocabulary = global top-100 tokens by (count desc, token asc)
+    vocabulary = global top-10 tokens by (count desc, token asc)
     (TakeOrderedAndProject, never a global window), broadcast back as
     the in-vocab flag; oov_ppm is an integer truncating div. Token
     traffic shuffles once for the census and once for the per-language
-    rollup — both map-side combinable."""
+    rollup — both map-side combinable.
+
+    The vocab is 10, NOT the conventional 100, for the same reason as
+    `token_ids` (r13): the synthetic corpus has ~31 distinct tokens,
+    so a top-100 vocab covered everything — n_oov was the constant 0,
+    the left join was inner-at-the-data, and both a join-type flip AND
+    the vocab sort-direction flip survived the r13 batch-5 mutation
+    audit. At top-10 every driver run exercises the OOV arm and both
+    mutants go red."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "lang", F.explode(T.whitespace_tokens(F.lower(F.col("text")))).alias("t")
     )
     counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
-    vocab = _global_topk(counts, 100, [F.col("n").desc(), F.col("t")], "rank").select(
+    vocab = _global_topk(counts, 10, [F.col("n").desc(), F.col("t")], "rank").select(
         "t", F.lit(1).alias("_in")
     )
     return (
@@ -17943,7 +17963,7 @@ WITH toks AS (
     SELECT t, COUNT(*) AS n,
            ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rnk
     FROM toks GROUP BY t
-  ) WHERE rnk <= 100
+  ) WHERE rnk <= 10
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
@@ -19372,7 +19392,12 @@ _R12_WINDOW: list[str] = [
 # head members.
 _R13_WINDOW: list[str] = [
     # changed code, r13 session (ADVICE fixes + mutation-audit
-    # strengthenings + perturbation-replay conf pin; derived, see above)
+    # strengthenings + perturbation-replay conf pin; derived, see
+    # above). Post-close additions, re-attesting before the driver
+    # runs: similarity_pq_recall (rerank now scales with the corpus —
+    # the sf0.1 scale-robustness replay caught the fixed depth) and
+    # tokenizer_oov_rate (vocab 100 -> 10, the token_ids disease found
+    # by mutation batch 5; both sf0.01 outputs re-proved green).
     "aqe_skew_join",
     "asof_join",
     "asof_tolerance",
@@ -19382,7 +19407,9 @@ _R13_WINDOW: list[str] = [
     "explode_outer_nulls",
     "funnel_steps",
     "join_left_outer",
+    "similarity_pq_recall",
     "token_ids",
+    "tokenizer_oov_rate",
     # freshness queue, oldest attestation first (r3 cohort remainder)
     "text_fingerprint",
     "text_langid",
@@ -19423,8 +19450,6 @@ _R13_WINDOW: list[str] = [
     "range_join",
     "scd2_history",
     "stratified_sample",
-    "string_funcs2",
-    "text_repetition",
 ]
 
 

@@ -74,7 +74,13 @@ R13_CHANGED = [
     "explode_outer_nulls",
     "funnel_steps",
     "join_left_outer",
+    # post-close additions (driver had not yet run): the sf0.1
+    # scale-robustness replay caught similarity_pq_recall's fixed
+    # rerank depth; mutation batch 5 caught tokenizer_oov_rate's
+    # all-covering top-100 vocab (the token_ids disease)
+    "similarity_pq_recall",
     "token_ids",
+    "tokenizer_oov_rate",
 ]
 R13_HEAD = R13_NEW + R13_CHANGED
 

@@ -399,6 +399,62 @@ def _sc_ks_tie(c):
     return {"events": rows}
 
 
+def _sc_cuped(c):
+    # covariate event at EXACTLY the pre/post cutover midnight
+    return {"events": [_ev(110900, datetime(2024, 1, 16, 0, 0, 0), 9013,
+                           "view", value=3.0),
+                       _ev(110901, datetime(2024, 1, 20, 0, 0, 0), 9013,
+                           "view", value=7.0)]}
+
+
+def _sc_diff_in_diff(c):
+    return {"events": [_ev(110902, datetime(2024, 1, 16, 0, 0, 0), 9014,
+                           "view", value=3.0),
+                       _ev(110903, datetime(2024, 1, 20, 0, 0, 0), 9014,
+                           "view", value=7.0)]}
+
+
+def _sc_log_odds(c):
+    # 40 leading-space non-English docs: the dropped token != ''
+    # filter admits 40 copies of the empty token concentrated in one
+    # class — an extreme log-odds keyword plus a shifted n2 total
+    return {"documents": [
+        _doc(c["max_docid"] + 20 + i, " zzfill", source="src1")
+        | {"lang": "fr"}
+        for i in range(40)
+    ]}
+
+
+def _sc_vocab_growth(c):
+    # a novel token whose first appearance IS the new max doc_id — it
+    # sits exactly on the 100% checkpoint cut (first_doc == mx)
+    return {"documents": [_doc(c["max_docid"] + 100, "zzgrowth token")]}
+
+
+def _sc_l_diversity(c):
+    # three fresh (lang, source) groups aimed at the three survivors:
+    # bsrc-a {100, 200}: the <200 -> <=200 flip merges short+medium
+    # bsrc-b {100, 600, 700}: the <600 -> <=600 flip splits long
+    # bsrc-c {100, 250, 700}: l_distinct exactly 3 (>=3 vs >3)
+    mk = lambda did, src, nc: {"doc_id": did, "text": "x", "lang": "xx",
+                               "source": src, "n_chars": nc}
+    d = c["max_docid"]
+    return {"documents": [
+        mk(d + 200, "bsrc-a", 100), mk(d + 201, "bsrc-a", 200),
+        mk(d + 202, "bsrc-b", 100), mk(d + 203, "bsrc-b", 600),
+        mk(d + 204, "bsrc-b", 700),
+        mk(d + 205, "bsrc-c", 100), mk(d + 206, "bsrc-c", 250),
+        mk(d + 207, "bsrc-c", 700),
+    ]}
+
+
+def _sc_winnowing_fp(c):
+    # a doc with EXACTLY 6 [a-z]+ tokens (the >= 6 guard boundary) and
+    # one with 3 (enters only when the guard is dropped)
+    return {"documents": [_doc(c["max_docid"] + 210, "aa bb cc dd ee ff"),
+                          _doc(c["max_docid"] + 211, "gg hh ii")]}
+
+
 def _sc_dq_checks(c):
     # an orphan lineitem (no matching order): the FK check's only food
     return {"lineitem": [_li(c, c["max_orderkey"] + 50,
@@ -497,6 +553,24 @@ SCENARIOS: list[tuple[str, str, object]] = [
     ("ks_test_2sample",
      "constructed 3-way tie in the KS argmax (12B^2 plateau)",
      _sc_ks_tie),
+    ("cuped_adjustment",
+     "covariate event at exactly the pre-period cutover midnight",
+     _sc_cuped),
+    ("diff_in_diff",
+     "event at exactly the post-period cutover midnight",
+     _sc_diff_in_diff),
+    ("log_odds_keywords",
+     "40 leading-space docs in one class: the empty token goes extreme",
+     _sc_log_odds),
+    ("vocab_growth",
+     "novel token first appearing exactly at the 100% checkpoint cut",
+     _sc_vocab_growth),
+    ("l_diversity_audit",
+     "three fresh groups hitting the 200/600 class edges and l==3",
+     _sc_l_diversity),
+    ("winnowing_fingerprints",
+     "docs with exactly 6 and with 3 alpha tokens (>=6 guard)",
+     _sc_winnowing_fp),
 ]
 
 # Survivor class b — algebraic equivalences NOT probed here, with the
@@ -544,6 +618,24 @@ CLASS_B: dict[str, str] = {
                      " support>=2 exist (verified present at sf0.01);"
                      " appends can only raise support — killable only"
                      " by corpus reduction, not injection",
+    "gini_by_nation": "floor(+0.5)->floor(-0.5) shifts each customer's"
+                      " revenue by exactly -n_orders cents (<~30 on"
+                      " ~1e7-cent totals, <3e-6 relative); under the"
+                      " ppm-floored Gini output the flip can only"
+                      " surface on an exact floor edge of the global"
+                      " rank-sum ratio — a measure-zero coincidence"
+                      " with no plateau algebra to force it (unlike"
+                      " the solved ks tie); quantization-shielded",
+    "rfm_segments": "arith-flip: same -n_orders-cents perturbation"
+                    " against equal-width monetary bins ~1e6 cents"
+                    " wide, and the bin EDGES drift with it (the"
+                    " extrema definers shift too) — a guaranteed"
+                    " straddle is another global coincidence equation;"
+                    " quantization-shielded. minmax-swap on the"
+                    " recency anchor: PROVABLE no-op — rec_days shifts"
+                    " by a constant and the equal-width bin of a"
+                    " translated value against translated extrema is"
+                    " identical; only bins are output",
 }
 
 

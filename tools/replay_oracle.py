@@ -21,6 +21,14 @@ every scale). Any exception is a failure. Exit 1 on any red.
 
 Same plain driver-parity session as the verify recipe (local[8],
 shuffle=8, UTC) — factory-only configs are themselves a bug class.
+
+Row cap (NOT silent): the compare materializes both engines' results
+in driver memory; a pair-level output that is modest at sf0.01 can be
+tens of millions of rows at sf0.1 (dedup_char_ngram's 10.5M candidate
+pairs killed the JVM on the first attempt). Queries whose output
+exceeds ROW_CAP at the replayed scale are reported as
+'skipped-too-large' with the observed count — they are NOT counted
+green, and the skip list is part of the output.
 """
 
 from __future__ import annotations
@@ -33,6 +41,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
+
+ROW_CAP = 2_000_000
 
 
 def main() -> None:
@@ -55,6 +65,12 @@ def main() -> None:
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false")
+             # capacity, not semantics: the 1g default driver heap dies
+             # executing the pair-heavy queries at sf0.1 (the sweep
+             # precedent runs them on the factory's 20g); every
+             # SQL-semantics conf stays at driver parity
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
              .getOrCreate())
     con = duckdb.connect()
     register_views(con, sf_dir)
@@ -64,6 +80,7 @@ def main() -> None:
     t0 = time.time()
     green = rows_only = 0
     failures: dict[str, str] = {}
+    skipped: dict[str, int] = {}
     for name in (names or list(REGISTRY)):
         fn, sql = REGISTRY[name]
         try:
@@ -73,7 +90,14 @@ def main() -> None:
                 rows_only += 1
                 status = f"rows-only ({n} rows)"
             else:
-                r = compare(fn(spark, sf_dir), con, sql)
+                df = fn(spark, sf_dir)
+                n = df.count()
+                if n > ROW_CAP:
+                    skipped[name] = n
+                    print(f"# {name}: skipped-too-large ({n} rows)",
+                          file=sys.stderr)
+                    continue
+                r = compare(df, con, sql)
                 if r["values_match"]:
                     green += 1
                     status = "green"
@@ -93,6 +117,8 @@ def main() -> None:
         "n_queries": len(names or REGISTRY),
         "n_green": green,
         "n_rows_only": rows_only,
+        "n_skipped_too_large": len(skipped),
+        "skipped_too_large": skipped,
         "n_failures": len(failures),
         "failures": failures,
         "elapsed_sec": round(time.time() - t0, 1),
@@ -102,7 +128,7 @@ def main() -> None:
             json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
                       ("sf_dir", "n_queries", "n_green", "n_rows_only",
-                       "n_failures", "elapsed_sec")}))
+                       "n_skipped_too_large", "n_failures", "elapsed_sec")}))
     if failures:
         sys.exit(1)
 
