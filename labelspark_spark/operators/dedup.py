@@ -616,8 +616,13 @@ def _simhash_staged(
     makes every SUM null, every CASE arm 0 -> _h = 0, matching the
     fold's empty-array result)."""
     from labelspark_spark.functions.text import whitespace_tokens
+    from labelspark_spark.sources.readers import spread_to_parallelism
 
-    tok = df.select(
+    # spread: tokenize + two md5 hashes per token + the 62-vote partial
+    # aggregation all evaluate in the SCAN stage, which is one task on
+    # the single-row-group sf parquet (r13 optimization round; measured
+    # ~0.8s off dedup_simhash at sf0.1).
+    tok = spread_to_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.explode_outer(whitespace_tokens(F.col(text_col))).alias("_t"),
     )
@@ -1049,17 +1054,75 @@ def embedding_dup_pairs_ivf(
     cent = F.broadcast(
         cents.select(F.col("centroid_id").alias("_cid"), F.col("centroid").alias("_cvec"))
     )
-    # ids-only through the cell self-join; vectors rejoin onto the much
-    # smaller candidate set for the verify
-    assigned = _assign_to_centroids(df, cent, id_col, vec_col, nprobe, "_id", dim).select(
-        "_id", "_cid"
+    # CELL-LOCAL scoring (r13 optimization round, guide §8): the old
+    # shape shipped ids through a cell self-join, then re-attached BOTH
+    # 64-dim vectors to every candidate pair for the Arrow verify — at
+    # nprobe=4/k=16 that was ~1.4M pairs x 2 vectors (~0.7 GB over two
+    # joins + the Python hop; measured 3.9s of the 5.1s at sf0.1).
+    # Every candidate pair lives inside a probed cell by construction,
+    # so score each cell's half-matrix IN the cell with one Arrow pass:
+    # each vector crosses the wire once per assigned cell (nprobe*n
+    # rows, ~2 MB here), pairs never carry payloads, and the threshold
+    # prunes inside the kernel so only qualifying pairs (not 1.4M
+    # candidates) ever hit the pair-distinct shuffle. This is the
+    # inverted-list scoring shape ANN systems use at scale; per-cell
+    # memory is the same bounded-cell-size contract as the k ∝ n rule
+    # (and the hierarchical fit's applyInPandas documents the identical
+    # caveat for degenerate corpora).
+    #
+    # Bit-parity with the old _verify_pairs_cosine: the kernel expands
+    # the pair index lists and evaluates the SAME einsum/np.sqrt/
+    # sign-aware HALF_UP chain on the same float64 values, so every cos
+    # is identical and multi-cell duplicates agree exactly — the
+    # dropDuplicates keeps one copy.
+    # NB (r13 optimization round): spreading df before the assignment
+    # UDF was tried and reverted — ~0.2s of per-task Arrow round-trip
+    # for tiny batches on a small vector table; the groupBy("_cid")
+    # below already shuffles to cell-parallel execution for the heavy
+    # scoring stage, which is where the time goes.
+    assigned = _assign_to_centroids(df, cent, id_col, vec_col, nprobe, "_id", dim)
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.array([], dtype="int64"),
+                "id_b": pd.array([], dtype="int64"),
+                "cos": pd.array([], dtype="float64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        m = np.vstack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+        qi, ci = np.triu_indices(n, k=1)
+        # chunk the pair-expanded einsum: a hot cell's half-matrix can
+        # be millions of pairs, and expanding m[qi]/m[ci] all at once
+        # allocates pairs x dim x 8 B x 2 of temporaries (GBs). Chunks
+        # keep peak memory ~128 MB; the per-pair einsum chain itself is
+        # untouched, so every cos bit matches the unchunked form.
+        outs = []
+        step = 1 << 18
+        for s in range(0, len(qi), step):
+            qs, cs = qi[s : s + step], ci[s : s + step]
+            m_a, m_b = m[qs], m[cs]
+            dots = np.einsum("ij,ij->i", m_a, m_b)
+            den = np.sqrt(np.einsum("ij,ij->i", m_a, m_a)) * np.sqrt(
+                np.einsum("ij,ij->i", m_b, m_b)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(den == 0, 0.0, dots / den)
+            cos = np.sign(out) * np.floor(np.abs(out) * 1e6 + 0.5) / 1e6
+            keep = cos >= threshold
+            outs.append(
+                pd.DataFrame(
+                    {"id_a": ids[qs[keep]], "id_b": ids[cs[keep]], "cos": cos[keep]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    scored = assigned.groupBy("_cid").applyInPandas(
+        _cell_pairs, "id_a bigint, id_b bigint, cos double"
     )
-    left = assigned.select(F.col("_id").alias("id_a"), "_cid")
-    right = assigned.select(F.col("_id").alias("id_b"), "_cid")
-    cand = (
-        left.join(right.hint("merge"), ["_cid"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return _verify_pairs_cosine(cand, df, vec_col, id_col, threshold)
+    return scored.dropDuplicates(["id_a", "id_b"])

@@ -227,6 +227,12 @@ def kmeans_fit(
     )
     centroids = [list(r.centroid) for r in init]
 
+    # NB (r13 optimization round): spreading src to defaultParallelism
+    # was tried and reverted — with a small vector table each of the 32
+    # per-iteration Arrow tasks pays ~0.2s of Python-worker round-trip
+    # for a ~60-row batch, so the fit got SLOWER (1.2s -> 1.9s at
+    # sf0.1). At scale the scan splits naturally and the fused partials
+    # already parallelize.
     src = df.select(F.col(vec_col).alias("_v"))
     for _ in range(max_iters):
         # one fused Arrow pass per iteration: assign AND partial-sum in
@@ -525,6 +531,11 @@ def ivf_build(
             F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")
         )
     )
+    # NB (r13 optimization round): the bucketed write below now
+    # repartitions to the bucket spec, so the write parallelizes
+    # regardless of the scan's split count; spreading the corpus before
+    # the assignment UDF was tried and reverted (per-task Arrow
+    # overhead outweighed the one-matmul stage on small inputs).
     assignment = _assign_to_centroids(
         corpus, cent, id_col, vec_col, assign, "vec_id", dim
     ).select(

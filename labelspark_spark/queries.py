@@ -50,6 +50,7 @@ from labelspark_spark.operators import uploads as up
 
 
 from labelspark_spark.sources.readers import read_table as _t  # noqa: E402
+from labelspark_spark.sources.readers import spread_to_parallelism as _spread  # noqa: E402
 
 
 def _drop_managed_table(spark: SparkSession, *tables: str) -> None:
@@ -4336,7 +4337,13 @@ def _stage_media(docs: DataFrame, encode_fn) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, content binary")
+    # _spread: the single-row-group documents scan is ONE task, which
+    # serialized every codec's encode AND the decode stage above it on
+    # one core (measured: gif_frames 2.4s in a 1-task stage; spread
+    # ~0.5s — r13 optimization round). Shared by all 19 media queries.
+    return _spread(docs.select("doc_id")).mapInPandas(
+        _gen, "doc_id bigint, content binary"
+    )
 
 
 def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7796,6 +7803,11 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair enumeration never self-joins the big fact table; the oracle
     runs the equivalent classic self-join. Item supports broadcast (one
     row per part); top-20 through the two-phase window guard."""
+    # NB (r13 optimization round): folding the .distinct() into the
+    # collect_set and re-deriving item supports from the basket table
+    # was tried and reverted — measured FLAT isolated (1.8s -> 2.0s)
+    # and worse in-session: baskets feeds three consumers, so dropping
+    # the cheap distinct made each re-derivation pay the collect_set.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("items")
@@ -10274,7 +10286,11 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.sparkSession.createDataFrame([(bits,)], "bits array<bigint>")
     )
 
-    probed = li.select("l_suppkey").crossJoin(bits_df)
+    # _spread: the 3-hash md5 probe over 600k fact rows ran inside the
+    # single-task lineitem scan stage (one row group -> one split);
+    # spreading the key column first runs the bit tests cluster-wide
+    # (r13 optimization round; the probe stage was ~2.2s of the 3.1s).
+    probed = _spread(li.select("l_suppkey")).crossJoin(bits_df)
     h0, h1, h2 = _hashes(F.col("l_suppkey"))
     # bit test: (bits[h div 64] >> (h mod 64)) & 1 == 1 — staged hash
     # columns + SQL expr because the shift amount is a column
@@ -12247,6 +12263,11 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as q8/q11. At 100 TB: tf/dl are one-pass partial aggs,
     the only joins are broadcasts, and nothing global materializes."""
     docs = _t(spark, sf_dir, "documents")
+    # NB (r13 optimization round): _spread before the tokenize was
+    # tried and reverted — it exchanges the full text payload
+    # (guide §2.3: heavy bytes) to parallelize a tokenize that the
+    # partial agg absorbs anyway; measured 0.84s -> 1.61s WORSE on
+    # bm25_retrieval.
     toks = docs.select(
         "doc_id",
         F.explode_outer(T.whitespace_tokens(T.normalize_text(F.col("text")))).alias("tok"),
@@ -13624,6 +13645,12 @@ def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe is hash-checked against the same from-scratch SQL oracle —
     index persistence provably loses nothing."""
     docs = _t(spark, sf_dir, "documents")
+    # NB (r13 optimization round): two rewrites tried and reverted —
+    # _spread before the tokenize (exchanges the text payload, costs
+    # more than the single-task tokenize it parallelizes) and
+    # dl = sum(tf) re-derivation (adds a shuffle of the LARGE per-term
+    # tf table; the second tokenize it saves is map-side-absorbed and
+    # cheap). Measured 1.9s -> 2.2s for the pair of them.
     toks = docs.select(
         "doc_id",
         F.explode_outer(T.whitespace_tokens(T.normalize_text(F.col("text")))).alias("tok"),
@@ -14024,8 +14051,15 @@ def q_sssp_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by fanout^depth = 2^8, independent of N."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n_nodes = docs.agg(F.count(F.lit(1)).alias("_n"))
+    # edges are consumed by EVERY one of the 8 frontier joins; without
+    # the eager checkpoint each round re-scans documents and re-derives
+    # the edge list (8 extra scan+build passes), and the join lineage
+    # re-embeds the derivation (r13 optimization round). The
+    # materialized frame is (src, dst) bigints — 2 rows per node,
+    # bounded; _spread parallelizes the joins over the one-row-group
+    # scan's otherwise single partition.
     edges = (
-        docs.crossJoin(F.broadcast(n_nodes))
+        _spread(docs).crossJoin(F.broadcast(n_nodes))
         .select(
             F.col("doc_id").alias("src"),
             F.explode(
@@ -14035,7 +14069,7 @@ def q_sssp_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("dst"),
         )
-    )
+    ).localCheckpoint(eager=True)
     visited = spark.range(1).select(
         F.lit(0).cast("bigint").alias("node"), F.lit(0).cast("bigint").alias("lvl")
     )
@@ -15772,8 +15806,14 @@ def q_er_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_size") % 10).cast("string"),
         ).alias("blk"),
     )
+    # The pair scoring (levenshtein x 2.5M blocked pairs) evaluates in
+    # the stage of the STREAMED join side. part.parquet is one
+    # row-group -> one scan split, so without the spread the whole
+    # blocked self-join ran on a single core (measured 3.9s; spread
+    # 0.65s at sf0.1 — r13 optimization round). The broadcast side
+    # stays the plain scan.
     pr = (
-        p.alias("a")
+        _spread(p).alias("a")
         .join(p.alias("b"), ["blk"])
         .filter(F.col("a.k") < F.col("b.k"))
         .select(
@@ -16537,6 +16577,10 @@ def q_item_cooccur_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = one item's candidate neighbors).  At 100 TB the only wide
     shuffle is the pair groupBy — bounded by basket sizes, the classic
     co-occurrence trade."""
+    # NB (r13 optimization round): folding the .distinct() into the
+    # collect_set was tried and reverted here exactly as in
+    # q_market_basket — flat isolated, worse in-session (multi-consumer
+    # re-derivation of the basket table).
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("items")
@@ -18039,6 +18083,10 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group's distinct-value histogram, built by a map-side
     combinable pre-aggregation so the window never sees raw rows —
     the same distinct-value-histogram discipline as winsorized_mean."""
+    # NB (r13 optimization round): _spread before the histogram agg was
+    # tried and reverted — the keyless exchange of 600k fact rows cost
+    # as much as the single-task partial agg it parallelized (measured
+    # 1.77s -> 1.85s isolated).
     li = _t(spark, sf_dir, "lineitem").select(
         "l_linestatus",
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),

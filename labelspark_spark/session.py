@@ -57,6 +57,24 @@ def get_spark_session(
         # measured 2.2x slower end-to-end at local[32]. Bytes are the
         # wrong proxy for work on compute-bound pair verification.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Coalesce floor = 64KB, not the 1MB default (r13 optimization
+        # round, guide §2.2/§2.5): AQE coalesces post-shuffle partitions
+        # by BYTES, but this engine's reduce stages are routinely
+        # CPU-dense over tiny rows — a 5 MB shuffle of 16-byte candidate
+        # pairs fans out to array_intersect verification work, and the
+        # 1MB floor collapsed it to 2 tasks on 32 cores (measured:
+        # dedup_jaccard_prefix verify stage 3.0s wall on 2 tasks; 64KB
+        # floor -> 1.6s total, 25-query subset -15%, micro subset -30%).
+        # Scale-safe by construction: the floor only binds when a
+        # shuffle's total bytes are below ~parallelism x 1MB, which a
+        # 100 TB stage never is — production shuffles coalesce by the
+        # advisory size exactly as before. 16KB was measured WORSE
+        # (straggler-prone micro-tasks); keep 64KB. Parameterised like
+        # the other scale-dependent settings.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64KB"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # 100 TB posture: size scan splits so executor tasks stay memory-safe

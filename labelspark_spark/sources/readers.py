@@ -64,6 +64,29 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def spread_to_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an UNDER-PARALLEL input to the cluster's
+    default parallelism — the optimization guide's 'unsplittable input
+    -> repartition immediately after the read' remedy (§2.5), applied
+    only where heavy per-row/per-pair work sits ABOVE the scan.
+
+    Gated on the actual partition count, so it is scale-adaptive by
+    construction: a 100 TB table scans as thousands of splits and passes
+    through untouched (identical plan, no extra exchange); only an input
+    that would underfill the cluster (here: the single-row-group sf
+    parquet files, which Spark cannot split below row-group granularity,
+    so every scan is ONE task regardless of core count) pays one cheap
+    round-robin exchange of the pre-explosion rows to buy full-width
+    execution of everything above it. Row-level results are unchanged
+    (sort-before-repartition keeps the row->partition assignment
+    deterministic; every caller is order-insensitive — the r13
+    perturbation-replay gate pins exactly this invariance)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table from a scale-factor directory."""
     # events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only

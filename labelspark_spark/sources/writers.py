@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 VALID_MODES = ("append", "overwrite")
 
@@ -75,7 +76,22 @@ def write_bucketed(
     partitions and skip the exchange entirely (the core 100 TB move for
     repeatedly-joined fact tables; see tests/test_plan_quality.py for
     the no-Exchange assertion)."""
-    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    # Align the write partitioning to the bucket spec (r13 optimization
+    # round): without it every input task writes its own file into EACH
+    # bucket it holds — n_tasks x num_buckets small files, and (worse)
+    # more than one file per bucket makes the scan drop the per-bucket
+    # sort property, forcing downstream SMJs to re-sort. One hash
+    # exchange on the bucket key yields exactly one task and one file
+    # per bucket (Spark's bucket hash and repartition hash agree by
+    # construction), parallelizes the write across buckets, and keeps
+    # the sorted-bucket metadata trustworthy. At scale the caller sizes
+    # num_buckets to the cluster, so the alignment is also the write
+    # parallelism.
+    writer = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)

@@ -574,3 +574,37 @@ def test_kmeans_twolevel_recall_query(spark):
     row = q_kmeans_twolevel_recall(spark, SF_SMOKE).collect()[0]
     assert row.exact_pairs == 25
     assert row.recall_ok is True
+
+
+def test_embedding_ivf_cell_local_cos_parity(spark):
+    # r13 optimization: pair scoring moved INTO the probed cell
+    # (applyInPandas half-matrix per cell) — the kernel must reproduce
+    # the exact einsum/sqrt/HALF_UP chain of the old rejoin-and-verify
+    # shape. Pin: every emitted cos equals an independent NumPy
+    # recomputation bit-for-bit, pairs are unique and ordered, and the
+    # threshold holds.
+    import numpy as np
+
+    emb = _emb(spark)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    rows = dedup.embedding_dup_pairs_ivf(
+        emb, "embedding", "vec_id", threshold=0.4, k=8, nprobe=2
+    ).collect()
+    assert rows, "no pairs emitted"
+    seen = set()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert (r.id_a, r.id_b) not in seen, "multi-cell duplicate survived"
+        seen.add((r.id_a, r.id_b))
+        va, vb = vecs[r.id_a], vecs[r.id_b]
+        dot = float(np.einsum("i,i->", va, vb))
+        den = float(np.sqrt(np.einsum("i,i->", va, va))) * float(
+            np.sqrt(np.einsum("i,i->", vb, vb))
+        )
+        cos = 0.0 if den == 0 else dot / den
+        cos = float(np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6)
+        assert r.cos == cos, (r.id_a, r.id_b, r.cos, cos)
+        assert r.cos >= 0.4

@@ -89,7 +89,64 @@ R13_HEAD = R13_NEW + R13_CHANGED
 # NEXT-round head candidate. Empty at round open; post-close fix
 # batches append here (with the full-replay-green evidence noted in
 # SURVEY) instead of silently growing the prose list.
-R13_CHANGED_NOT_IN_HEAD: dict[str, str] = {}
+_R13OPT_REASON = (
+    "r13 optimization-round change (post window close): performance "
+    "restructure or shared-helper touch; full-registry oracle replay "
+    "green at sf0.01 on the final optimized tree (352 hash-green + 12 "
+    "rows-only, 0 failures — OPTIMIZATION_r13.md); r14 head candidate"
+)
+R13_CHANGED_NOT_IN_HEAD: dict[str, str] = {
+    name: _R13OPT_REASON
+    for name in [
+        # shape-changed queries: spread_to_parallelism at the scan
+        # (er_score_pairs, bloom_prune, dedup_simhash, the 19
+        # multimodal media queries via _stage_media), the IVF
+        # cell-local scoring rewrite (dedup_embedding_ivf + recall),
+        # the sssp edge localCheckpoint, and the bucketed-write
+        # repartition alignment (bucketed_join_roundtrip + every
+        # query whose index build goes through write_bucketed)
+        "bloom_prune",
+        "bm25_index_probe",
+        "bm25_retrieval",
+        "bucketed_join_roundtrip",
+        "dedup_embedding_ivf",
+        "dedup_embedding_ivf_recall",
+        "dedup_simhash",
+        "er_score_pairs",
+        "item_cooccur_cosine",
+        "ivf_probe_twin_equality",
+        "kmeans_ivf_recall",
+        "kmeans_twolevel_recall",
+        "knn_ivf_agreement",
+        "knn_label_vote_ivf",
+        "market_basket",
+        "multimodal_audio_adpcm",
+        "multimodal_audio_features",
+        "multimodal_audio_g711",
+        "multimodal_audio_meta",
+        "multimodal_audio_native",
+        "multimodal_audio_resample",
+        "multimodal_audio_trim",
+        "multimodal_bmp_pixels",
+        "multimodal_exif",
+        "multimodal_frame_plan",
+        "multimodal_gif_frames",
+        "multimodal_image_tiles",
+        "multimodal_jpeg_pixels",
+        "multimodal_phash_dedup",
+        "multimodal_pixels",
+        "multimodal_resize",
+        "multimodal_tiff_meta",
+        "multimodal_video_meta",
+        "rank_fusion_rrf",
+        "similarity_ivf_probe",
+        "similarity_ivf_recall",
+        "similarity_kmeans_ivf",
+        "similarity_pq",
+        "sssp_levels",
+        "weighted_median",
+    ]
+}
 
 # the frozen declared-approximate set (VERDICT r10: 12 rows-only
 # entries, every one carrying a driver-green hash-checked companion)

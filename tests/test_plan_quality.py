@@ -339,8 +339,12 @@ def test_span_and_chunk_dedup_single_generate(spark):
 def test_bloom_prune_fact_side_never_shuffles(spark):
     """q_bloom_prune: the fact table must reach its bloom verdict via
     broadcasts only (the 8 KB bit words + the dim for the truth join);
-    the single Exchange in the plan is the final 4-row census
-    aggregation, never a fact-keyed repartition."""
+    the only HASH exchange in the plan is the final 4-row census
+    aggregation, never a fact-keyed repartition. The r13 spread adds
+    one ROUND-ROBIN exchange of the bare key column under the probe
+    (guide §2.5: single-row-group scan -> one task otherwise); that is
+    a deliberate parallelism exchange, not a fact-keyed shuffle, so the
+    pin distinguishes partitioning kinds instead of counting nodes."""
     from labelspark_spark.queries import q_bloom_prune
 
     df = q_bloom_prune(spark, SF_SMOKE)
@@ -348,9 +352,13 @@ def test_bloom_prune_fact_side_never_shuffles(spark):
 
     plan = explain.formatted_plan(df)
     assert len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M)) >= 2
-    # only the census agg exchanges (hashpartitioning on the outcome label)
     wide = re.findall(r"^\(\d+\) Exchange$", plan, re.M)
-    assert len(wide) == 1, plan[:800]
+    hash_ex = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    rr_ex = re.findall(r"RoundRobinPartitioning\(\d+", plan)
+    # exactly one hash exchange (the census agg's grouping expression),
+    # at most the one gated round-robin spread, nothing else
+    assert len(hash_ex) == 1, plan[:800]
+    assert len(wide) == len(hash_ex) + len(rr_ex) <= 2, plan[:800]
 
 
 def test_snapshot_diff_single_join_shuffle(spark):

@@ -140,3 +140,47 @@ def test_embedding_lsh_dedup_at_10x_scale(spark):
     # every within-copy pair appears per copy, plus cross-copy pairs of
     # identical-by-construction vectors; the within-copy floor is exact
     assert got >= 10 * base_pairs, (got, base_pairs)
+
+
+def test_spread_to_parallelism_gating(spark):
+    # r13 optimization: the spread is scale-adaptive by construction —
+    # an under-parallel input (the single-row-group sf parquet scans as
+    # ONE task) is round-robined to defaultParallelism with the row
+    # multiset unchanged; an input already at/above defaultParallelism
+    # passes through UNTOUCHED (same object, no extra exchange), which
+    # is the 100 TB no-op guarantee.
+    from labelspark_spark.sources.readers import spread_to_parallelism
+
+    par = spark.sparkContext.defaultParallelism
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    assert li.rdd.getNumPartitions() < par, "fixture no longer under-parallel"
+    spread = spread_to_parallelism(li)
+    assert spread.rdd.getNumPartitions() == par
+    assert sorted(map(tuple, spread.collect())) == sorted(map(tuple, li.collect()))
+
+    wide = li.repartition(par)
+    assert spread_to_parallelism(wide) is wide
+
+
+def test_write_bucketed_one_file_per_bucket(spark):
+    # r13 optimization: the pre-write repartition on the bucket key
+    # must yield exactly ONE data file per bucket (n_tasks x n_buckets
+    # small files before; >1 file/bucket also voids the per-bucket
+    # sort property downstream scans rely on).
+    import os
+
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(li, "li_onefile", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+    try:
+        loc = (
+            spark.sql("DESCRIBE FORMATTED li_onefile")
+            .filter("col_name = 'Location'")
+            .collect()[0][1]
+        )
+        path = loc.removeprefix("file:")
+        data_files = [
+            f for f in os.listdir(path) if not f.startswith(("_", "."))
+        ]
+        assert len(data_files) == 8, sorted(data_files)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_onefile")
