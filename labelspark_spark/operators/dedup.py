@@ -750,16 +750,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
+        # The change flag rides INSIDE the checkpointed frame (r13
+        # optimization round): label monotonicity makes "comp changed"
+        # equivalent to "a neighbor had a strictly smaller label", so
+        # the old nxt-vs-cur rejoin (one extra join + shuffle + full
+        # recompute per iteration, just to count changes) collapses to
+        # a cheap scan of the already-materialized checkpoint.
         nxt = (
             cur.join(best_neighbor.select(F.col("src").alias("id"), "ncomp"), "id", "left")
-            .select("id", F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"))
+            .select(
+                "id",
+                F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"),
+                F.coalesce(F.col("ncomp") < F.col("comp"), F.lit(False)).alias("_chg"),
+            )
         ).localCheckpoint(eager=True)
-        changed = (
-            nxt.join(cur.select("id", F.col("comp").alias("comp_old")), "id")
-            .filter(F.col("comp") != F.col("comp_old"))
-            .count()
-        )
-        cur = nxt
+        changed = nxt.filter(F.col("_chg")).count()
+        cur = nxt.drop("_chg")
         if changed == 0:
             break
     if changed != 0:

@@ -5255,9 +5255,42 @@ def q_bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     'centroids and scalar stats probes' doctrine class)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
-    seqs = docs.select(
-        "doc_id", F.posexplode(toks).alias("idx", "tok")
-    ).localCheckpoint()
+    # Partition by doc_id BEFORE the first checkpoint (r13 optimization
+    # round, guide §2.4 "share one exchange"): localCheckpoint preserves
+    # the physical plan's outputPartitioning in its LogicalRDD, and
+    # EVERY window in the loop body (two chains per iteration, all
+    # partitionBy("doc_id")) is satisfied by hashpartitioning(doc_id) —
+    # so the one exchange here replaces an Exchange per window chain per
+    # iteration (6+ exchanges of the full token table). The rewrite's
+    # own localCheckpoint re-captures the same partitioning, keeping
+    # iterations 2-3 exchange-free too. Repartitioning the DOCS (not
+    # the exploded tokens) also moves the tokenize+posexplode off the
+    # single-task parquet scan (one row group -> one split) and
+    # shuffles ~5k texts instead of ~500k token rows.
+    #
+    # AQE is scoped OFF for the loop (every job here runs during
+    # construction — the returned frame is a local relation): under
+    # AdaptiveSparkPlanExec the checkpoint captures
+    # UnknownPartitioning, re-inserting the per-window Exchange the
+    # repartition exists to eliminate (verified in-plan both ways).
+    # The loop's own shuffles are per-doc windows + a pair-count agg —
+    # fixed shuffle.partitions is the right physics for them at any
+    # scale, and the skew/coalesce services AQE provides don't apply
+    # to this loop shape (bounded doc sizes, keyed partial aggs).
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _bpe_train_iters_body(spark, docs, toks)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def _bpe_train_iters_body(spark: SparkSession, docs: DataFrame, toks) -> DataFrame:
+    seqs = (
+        docs.repartition("doc_id")
+        .select("doc_id", F.posexplode(toks).alias("idx", "tok"))
+        .localCheckpoint()
+    )
     stats: list[tuple] = []
     for it in (1, 2, 3):
         wdoc = Window.partitionBy("doc_id").orderBy("idx")
@@ -7808,6 +7841,14 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was tried and reverted — measured FLAT isolated (1.8s -> 2.0s)
     # and worse in-session: baskets feeds three consumers, so dropping
     # the cheap distinct made each re-derivation pay the collect_set.
+    # Also tried and reverted (r13 optimization round): repartition on
+    # l_orderkey alone before the distinct to merge the (ok, pk)
+    # distinct exchange into the basket groupBy's (guide §2.4). The
+    # plan did drop to one shared fact exchange, but it carries RAW
+    # rows (REPARTITION_BY_COL defeats the map-side partial
+    # collect_set/distinct that the ENSURE_REQUIREMENTS exchanges get)
+    # — measured 1.9s -> 2.8s isolated. Map-side partials beat
+    # exchange-sharing on this shape.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("items")
@@ -16580,7 +16621,10 @@ def q_item_cooccur_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NB (r13 optimization round): folding the .distinct() into the
     # collect_set was tried and reverted here exactly as in
     # q_market_basket — flat isolated, worse in-session (multi-consumer
-    # re-derivation of the basket table).
+    # re-derivation of the basket table). The orderkey-only repartition
+    # before the distinct (the §2.4 exchange-merge) was also tried and
+    # reverted here exactly as in q_market_basket: the shared exchange
+    # carries raw rows and loses the map-side partials (2.8s vs 1.9s).
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("items")
@@ -16666,7 +16710,16 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements the MinHash/SimHash family with the locality-
     guaranteed exact-overlap detector."""
     docs = _t(spark, sf_dir, "documents")
-    d = docs.where(
+    # _spread BEFORE the winnow-selection expression (r13 optimization
+    # round, guide §2.5): the selection (md5 per 3-gram + pairwise
+    # window mins) is the query's dominant pass and evaluated inside
+    # the single-task parquet scan, serializing it on one core — and
+    # the localCheckpoint below then materialized ONE partition, so
+    # both postings consumers stayed single-task too. Unlike the bm25
+    # tokenize (spread tried & reverted there — cheap work, heavy
+    # bytes), this trades one ~2 MB text exchange for cluster-wide
+    # execution of the heaviest stage in the query.
+    d = _spread(docs.select("doc_id", "text")).where(
         F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")) >= 6
     ).select("doc_id", F.expr(WINNOW_SEL_EXPR).alias("sel"))
     # materialize the postings ONCE: they feed the df census AND both
