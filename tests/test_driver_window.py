@@ -145,6 +145,17 @@ R13_CHANGED_NOT_IN_HEAD: dict[str, str] = {
         "similarity_pq",
         "sssp_levels",
         "weighted_median",
+        # second optimization batch (commit c226449): the BPE loop's
+        # doc_id pre-partition + scoped-AQE checkpoint, the connected-
+        # components in-frame change flag (dedup_canonicalize +
+        # dedup_clusters), and the winnowing spread — each touched
+        # query's oracle replay re-run green in that session before
+        # commit (label_propagation shares the CC helper but its AST
+        # closure is unchanged per tools/changed_head.py)
+        "bpe_train_iters",
+        "dedup_canonicalize",
+        "dedup_clusters",
+        "dedup_winnowing",
     ]
 }
 
