@@ -1105,11 +1105,20 @@ def embedding_dup_pairs_ivf(
         qi, ci = np.triu_indices(n, k=1)
         # chunk the pair-expanded einsum: a hot cell's half-matrix can
         # be millions of pairs, and expanding m[qi]/m[ci] all at once
-        # allocates pairs x dim x 8 B x 2 of temporaries (GBs). Chunks
-        # keep peak memory ~128 MB; the per-pair einsum chain itself is
-        # untouched, so every cos bit matches the unchunked form.
+        # allocates pairs x dim x 8 B x 2 of temporaries (GBs). The
+        # per-pair einsum chain itself is untouched, so every cos bit
+        # matches the unchunked form regardless of step. Step sizing:
+        # 2^13 pairs keeps each fancy-index temporary at 4 MB, UNDER
+        # the allocator's mmap threshold, so chunk buffers are reused
+        # from the arena; the original 2^18 (134 MB per side) made
+        # every chunk a fresh mmap/munmap — with ~16 of these kernels
+        # running concurrently the page-fault/TLB churn dominated the
+        # stage (measured in-bench-context at sf0.1: scored-stage 4.4-
+        # 13.8s at 2^18 -> 1.2s at 2^13; isolated runs hid it). The
+        # extra per-chunk numpy-call overhead is noise: ~5 einsum calls
+        # per 4 MB of flops.
         outs = []
-        step = 1 << 18
+        step = 1 << 13
         for s in range(0, len(qi), step):
             qs, cs = qi[s : s + step], ci[s : s + step]
             m_a, m_b = m[qs], m[cs]

@@ -3785,7 +3785,7 @@ def q_similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_recall_bound(
-    spark: SparkSession, sf_dir: str, approx: DataFrame
+    spark: SparkSession, sf_dir: str, approx: DataFrame, _exact: DataFrame | None = None
 ) -> DataFrame:
     """Shared scaffold for the k-means/IVF recall attestations: joins
     an approximate (query_id, neighbor_id) pair set against the exact
@@ -3794,12 +3794,15 @@ def _kmeans_recall_bound(
     integer math. Extracted (r11 code review) so the flat-path and
     hierarchical-path driver companions cannot diverge on the bound
     or the hits-dedup semantics; both reuse SQL_KMEANS_IVF_RECALL as
-    the closed-form oracle."""
+    the closed-form oracle. ``_exact`` lets a caller hand in an
+    already-materialized exact pair set — same rows, same joins
+    (currently unused: the §2.6 thread-overlap experiment that needed
+    it measured flat and was reverted, see q_kmeans_twolevel_recall)."""
     exact = (
         q_similarity_topk(spark, sf_dir)
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id")
-    )
+    ) if _exact is None else _exact
     hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
         F.count(F.lit(1)).alias("_hits")
     )
@@ -3858,6 +3861,13 @@ def q_kmeans_twolevel_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k=72 no longer crosses _FLAT_K_MAX: this attestation would "
         "silently exercise the flat path"
     )
+    # NB (r13 optimization round): overlapping the exact broadcast
+    # top-5 arm with the two-level fit on a driver thread (§2.6 — the
+    # arm is fit-independent) was tried and REVERTED: the exact arm's
+    # stages already overlap approx's inside the single final action
+    # via DAG-level scheduling, so the thread only added an eager
+    # localCheckpoint job; measured flat-to-noise (3.93 -> 3.78/3.63
+    # isolated at sf0.1, within the machine band).
     emb = _t(spark, sf_dir, "embeddings")
     centroids = sim.kmeans_fit(emb, k=72, dim=64, max_iters=3)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -4322,11 +4332,24 @@ SQL_EVENTS_STREAM_DEDUP_WATERMARK = SQL_EVENTS_STREAM_DEDUP
 # --------------------------------------------------------------------------
 
 
-def _stage_media(docs: DataFrame, encode_fn) -> DataFrame:
+def _stage_media(docs: DataFrame, encode_fn, spread: bool = False) -> DataFrame:
     """Stage deterministic binary fixtures for the media codecs: one
     content blob per doc_id via an Arrow-batched generator
     (``encode_fn: int -> bytes``) — shared by the pixel/audio/video
-    round-trip queries."""
+    round-trip queries.
+
+    ``spread`` gates the §2.5 under-parallel-scan repartition PER
+    CALLER (r13 optimization round, second pass): the single-row-group
+    documents scan is ONE task, which serialized every codec's encode
+    AND the decode stage above it on one core — but the full-registry
+    close bench showed the blanket spread only pays where the codec
+    work is actually heavy (gif LZW decode −1.4s, jpeg IDCT −0.7s,
+    ADPCM −0.3s at sf0.1) and TAXES every light header/meta consumer
+    with ~64 python-worker task launches per query (+0.3..0.6s each on
+    ten bench lines, family net +2.1s). Heavy decode callers pass
+    spread=True; header parsers keep the 1-task scan — cheap work,
+    zero scheduling tax. At scale the flag is moot: a many-split scan
+    passes through spread_to_parallelism untouched either way."""
 
     def _gen(batches: Iterator[pd.DataFrame]):
         for pdf in batches:
@@ -4337,13 +4360,10 @@ def _stage_media(docs: DataFrame, encode_fn) -> DataFrame:
                 }
             )
 
-    # _spread: the single-row-group documents scan is ONE task, which
-    # serialized every codec's encode AND the decode stage above it on
-    # one core (measured: gif_frames 2.4s in a 1-task stage; spread
-    # ~0.5s — r13 optimization round). Shared by all 19 media queries.
-    return _spread(docs.select("doc_id")).mapInPandas(
-        _gen, "doc_id bigint, content binary"
-    )
+    ids = docs.select("doc_id")
+    if spread:
+        ids = _spread(ids)
+    return ids.mapInPandas(_gen, "doc_id bigint, content binary")
 
 
 def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4405,7 +4425,7 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         )
 
-    staged = _stage_media(docs, _enc)
+    staged = _stage_media(docs, _enc, spread=True)
     out = mm.decode_gif_frames(staged, content_col="content", id_col="doc_id")
     return out.select(
         "doc_id",
@@ -4447,7 +4467,7 @@ def q_multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = bytes([v0]) * 8 + bytes([v1]) * 8
         return mm.jpeg_encode_gray(row * 8, 16, 8)
 
-    staged = _stage_media(docs, _enc)
+    staged = _stage_media(docs, _enc, spread=True)
     out = mm.decode_pixels(staged, content_col="content", id_col="doc_id")
     return out.select(
         "doc_id",
@@ -5946,6 +5966,13 @@ def q_knn_ivf_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = batch.persist()
     corpus = corpus.persist()
     try:
+        # NB (r13 optimization round): materializing the exact arm on a
+        # driver thread overlapped with the IVF fit/build (§2.6 — the
+        # arms are independent) was tried and REVERTED: the exact arm's
+        # stages already back-fill inside the single final action via
+        # DAG-level scheduling, so the thread only added an eager
+        # localCheckpoint job and a py4j thread handshake; measured
+        # WORSE isolated at sf0.1 (3.60 -> 3.94/4.00).
         exact = _knn_exact_predictions(spark, sf_dir, _batch=batch)
         approx = q_knn_label_vote_ivf(
             spark, sf_dir, _split=(batch, corpus)
@@ -6609,6 +6636,14 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", T.whitespace_tokens(T.normalize_text(F.col("text"))).alias("t")
     ).filter(F.size("t") >= 2)
+    # NB (r13 optimization round): localCheckpoint-ing the exploded
+    # bigram stream (it feeds three consumers with three different
+    # shuffle keys, so each re-derives the tokenize) was tried and
+    # REVERTED: the tokenize passes it saves cost ~what the 500k-row
+    # materialization adds (measured flat, 1.40 -> 1.47/1.38 isolated
+    # at sf0.1) — and at 100 TB materializing an exploded pair stream
+    # to executor disk is a liability where three scan-time tokenizes
+    # are not (the bm25 NB records the same trade).
     pairs = toks.select(
         "doc_id",
         F.explode(
@@ -12516,7 +12551,7 @@ def q_multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return mm.wav_encode_adpcm(blocks, samples_per_block=n1 + 1)
 
-    staged = _stage_media(_t(spark, sf_dir, "documents"), _enc)
+    staged = _stage_media(_t(spark, sf_dir, "documents"), _enc, spread=True)
     return mm.decode_audio_features_adpcm(staged, content_col="content", id_col="doc_id")
 
 
