@@ -756,6 +756,14 @@ def connected_components(
         # the old nxt-vs-cur rejoin (one extra join + shuffle + full
         # recompute per iteration, just to count changes) collapses to
         # a cheap scan of the already-materialized checkpoint.
+        # NB (second r13 optimization pass): replacing this count()
+        # with an `observe` metric on the checkpoint was tried and
+        # REVERTED — Observation.get waits on the ASYNC listener bus
+        # per iteration, and over this loop's many short iterations
+        # that latency exceeds the materialized-scan count it saves
+        # (dedup_canonicalize 2.5s -> 3.2-4.0s isolated at sf0.1; the
+        # same trick IS a win in bpe_train_iters, whose 3 iterations
+        # each replace a real 500k-row scan-agg job).
         nxt = (
             cur.join(best_neighbor.select(F.col("src").alias("id"), "ncomp"), "id", "left")
             .select(

@@ -5361,6 +5361,14 @@ def _bpe_train_iters_body(spark: SparkSession, docs: DataFrame, toks) -> DataFra
                 F.coalesce(F.lag("_sel").over(wdoc), F.lit(False)),
             )
         )
+        # the per-iteration merge/size stats ride an OBSERVED metric on
+        # the rewrite's checkpoint (second r13 optimization pass, the
+        # connected_components pattern): CollectMetrics aggregates them
+        # DURING the eager materialization, removing the separate
+        # one-row agg job each iteration previously paid.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         seqs = (
             m.filter(~F.col("_prev_sel"))
             .select(
@@ -5371,14 +5379,16 @@ def _bpe_train_iters_body(spark: SparkSession, docs: DataFrame, toks) -> DataFra
                 .alias("tok"),
                 F.col("_sel"),
             )
+            .observe(
+                obs,
+                F.sum(F.col("_sel").cast("long")).alias("_m"),
+                F.count(F.lit(1)).alias("_n"),
+            )
             .localCheckpoint()
         )
-        counts = seqs.agg(
-            F.sum(F.col("_sel").cast("long")).alias("_m"),
-            F.count(F.lit(1)).alias("_n"),
-        ).collect()[0]
+        counts = obs.get
         seqs = seqs.drop("_sel")
-        stats.append((it, f"{pa}+{pb}", c, int(counts["_m"]), int(counts["_n"])))
+        stats.append((it, f"{pa}+{pb}", c, int(counts["_m"] or 0), int(counts["_n"])))
     return spark.createDataFrame(
         stats,
         "iter int, merged_token string, n_pairs bigint, "

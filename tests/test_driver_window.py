@@ -156,6 +156,11 @@ R13_CHANGED_NOT_IN_HEAD: dict[str, str] = {
         "dedup_canonicalize",
         "dedup_clusters",
         "dedup_winnowing",
+        # third optimization batch: NB-comment-only touch (the reverted
+        # localCheckpoint experiment left a measured-negative-result
+        # note in the body; the tool flags any in-span hunk) — replay
+        # green in the same session's full driver-contract run
+        "ngram_lm_score",
     ]
 }
 
