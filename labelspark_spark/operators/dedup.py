@@ -745,11 +745,6 @@ def connected_components(
     ).localCheckpoint(eager=True)
     changed = 0
     for _ in range(max_iterations):
-        best_neighbor = (
-            und.join(cur.select(F.col("id").alias("dst"), "comp"), "dst")
-            .groupBy("src")
-            .agg(F.min("comp").alias("ncomp"))
-        )
         # The change flag rides INSIDE the checkpointed frame (r13
         # optimization round): label monotonicity makes "comp changed"
         # equivalent to "a neighbor had a strictly smaller label", so
@@ -764,12 +759,29 @@ def connected_components(
         # (dedup_canonicalize 2.5s -> 3.2-4.0s isolated at sf0.1; the
         # same trick IS a win in bpe_train_iters, whose 3 iterations
         # each replace a real 500k-row scan-agg job).
+        # Third r13 optimization pass: the neighbor-min aggregation and
+        # the own-label rejoin collapse into ONE aggregation — the own
+        # label rides the union as a flagged row, min over (self ∪
+        # neighbors) is the same monotone fold, and "changed" is
+        # "min over all < own label". One join + one shuffle-agg per
+        # iteration instead of join + agg + second join; the fixpoint
+        # (min reachable id) and the per-round labels are identical.
+        nbr = (
+            und.join(cur.select(F.col("id").alias("dst"), "comp"), "dst")
+            .select("src", "comp", F.lit(False).alias("_own"))
+        )
         nxt = (
-            cur.join(best_neighbor.select(F.col("src").alias("id"), "ncomp"), "id", "left")
+            cur.select(F.col("id").alias("src"), "comp", F.lit(True).alias("_own"))
+            .unionByName(nbr)
+            .groupBy("src")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("_own"), F.col("comp"))).alias("_oc"),
+            )
             .select(
-                "id",
-                F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"),
-                F.coalesce(F.col("ncomp") < F.col("comp"), F.lit(False)).alias("_chg"),
+                F.col("src").alias("id"),
+                "comp",
+                (F.col("comp") < F.col("_oc")).alias("_chg"),
             )
         ).localCheckpoint(eager=True)
         changed = nxt.filter(F.col("_chg")).count()

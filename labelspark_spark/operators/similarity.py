@@ -218,8 +218,26 @@ def kmeans_fit(
             df, k, dim, max_iters, vec_col, id_col, seed
         )
     spark = df.sparkSession
+    src_iv = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # Single-partition inputs (every single-row-group sf scan — the same
+    # unsplittable-input class spread_to_parallelism gates on) run the
+    # WHOLE fit as one Arrow task: the distributed loop degenerates to
+    # `1 init job + max_iters serial one-task jobs` there, each paying
+    # the ~0.2s Python-stage launch floor for work a single kernel does
+    # in milliseconds (r13 optimization round, guide §2.5/§4.5 — job
+    # COUNT is the only remaining lever on these serial fits). The
+    # fused kernel replays the loop path's arithmetic per batch in the
+    # same order, so the centroids are bit-identical
+    # (tests/test_approx_recall.py::test_kmeans_fit_fused_matches_loop).
+    # A many-split 100 TB scan takes the distributed loop unchanged.
+    if _FUSE_SINGLE_PARTITION and src_iv.rdd.getNumPartitions() == 1:
+        centroids = _kmeans_fit_fused_one_partition(src_iv, k, max_iters, seed)
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(centroids)],
+            "centroid_id int, centroid array<double>",
+        )
     init = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        src_iv
         .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
         .limit(k)
         .select(F.col("_v").cast("array<double>").alias("centroid"))
@@ -289,6 +307,91 @@ def kmeans_fit(
         "centroid_id int, centroid array<double>",
     )
 
+
+def _kmeans_fit_fused_one_partition(
+    src_iv: DataFrame, k: int, max_iters: int, seed: int
+) -> list:
+    """Flat Lloyd's fit fused into ONE Arrow task for a single-partition
+    input — returns the centroid list the caller materializes.
+
+    Bit-identity with the distributed loop on the same (one-partition)
+    input is the contract, and every float op mirrors it exactly:
+
+    - init: the k rows with the smallest ``(xxhash64(id, seed), id)`` —
+      the hash is computed by the SAME JVM expression (shipped in as a
+      column); the kernel only sorts and slices, and float32 vectors
+      widen via ``astype(float64)`` exactly as the loop path's JVM
+      ``cast("array<double>")``;
+    - per iteration: the same per-BATCH ``np.add.at`` partial sums in
+      the same batch order as ``_partials`` (never one concatenated
+      matmul — BLAS blocking may differ by matrix shape), the same
+      quantized stable-argmax assignment, the same Python-float
+      round-trip of each new centroid, the same empty-cluster keep and
+      list-equality early break. The loop path's driver merge adds the
+      single partial onto zeros, which is the identity — so skipping
+      it changes nothing.
+    """
+    with_h = src_iv.select(
+        F.xxhash64(F.col("_id"), F.lit(seed)).alias("_h"), "_id", "_v"
+    )
+
+    def _fit(batches):
+        hs, ids, mats = [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hs.append(pdf["_h"].to_numpy())
+            ids.append(pdf["_id"].to_numpy())
+            mats.append(np.vstack(pdf["_v"].to_numpy()).astype(np.float64))
+        if not mats:
+            return
+        h = np.concatenate(hs)
+        idv = np.concatenate(ids)
+        # total order (hash asc, id asc) == the loop path's
+        # orderBy(xxhash64, _id).limit(k); Python tuple sort keeps it
+        # exact for any orderable id type
+        order = sorted(range(len(h)), key=lambda i: (h[i], idv[i]))[:k]
+        offs = np.cumsum([0] + [len(m) for m in mats])
+        X_at = lambda i: mats[np.searchsorted(offs, i, side="right") - 1][  # noqa: E731
+            i - offs[np.searchsorted(offs, i, side="right") - 1]
+        ]
+        centroids = [[float(x) for x in X_at(i)] for i in order]
+        for _ in range(max_iters):
+            cents_m = np.array(centroids, dtype=np.float64)
+            cnorm = np.sqrt(np.einsum("ij,ij->i", cents_m, cents_m))
+            cnt_tot = np.zeros(len(cents_m), dtype=np.int64)
+            sum_tot = np.zeros_like(cents_m)
+            for m in mats:
+                den = np.sqrt(np.einsum("ij,ij->i", m, m))[:, None] * cnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(den == 0, 0.0, (m @ cents_m.T) / den)
+                cid = np.argsort(-np.round(cos, 9), axis=1, kind="stable")[:, 0]
+                np.add.at(cnt_tot, cid, 1)
+                np.add.at(sum_tot, cid, m)
+            new_centroids = list(centroids)
+            for i in range(len(cents_m)):
+                if cnt_tot[i] > 0:  # empty clusters keep their previous centroid
+                    new_centroids[i] = [float(x) for x in sum_tot[i] / cnt_tot[i]]
+            if new_centroids == centroids:
+                break
+            centroids = new_centroids
+        yield pd.DataFrame(
+            {
+                "centroid_id": np.arange(len(centroids), dtype=np.int32),
+                "centroid": centroids,
+            }
+        )
+
+    rows = with_h.mapInPandas(
+        _fit, "centroid_id int, centroid array<double>"
+    ).collect()
+    return [list(r.centroid) for r in sorted(rows, key=lambda r: r.centroid_id)]
+
+
+# Escape hatch for the single-partition fused fit (parity tests flip it
+# to force the distributed loop on the same input and assert the two
+# paths return bit-identical centroids).
+_FUSE_SINGLE_PARTITION = True
 
 # k above which kmeans_fit switches to the two-level strategy. Every
 # registry query pins k <= 64 (flat path, attested plans unchanged);
@@ -928,8 +1031,8 @@ def pq_train(
             "quietly degrade with no error"
         )
     dsub = dim // num_subspaces
-    books = []
-    for m in range(num_subspaces):
+
+    def _one_subspace(m: int) -> list:
         sub = df.select(
             F.col(id_col).alias("_sid"),
             F.slice(F.col(vec_col).cast("array<double>"), m * dsub + 1, dsub).alias("_sv"),
@@ -938,7 +1041,19 @@ def pq_train(
             sub, k=ksub, dim=dsub, max_iters=max_iters,
             vec_col="_sv", id_col="_sid", seed=seed + m,
         )
-        books.append([r.centroid for r in cb.orderBy("centroid_id").collect()])
+        return [r.centroid for r in cb.orderBy("centroid_id").collect()]
+
+    # The M subspace fits are fully independent (disjoint slices, own
+    # seeds), but each is a chain of small driver-blocking actions, and
+    # each subspace's DISTINCT slice plan pays its own analysis/codegen
+    # on the driver — run them from a small thread pool so compile and
+    # execution overlap instead of serializing (guide §2.6; measured
+    # ~18s -> ~6s cold at sf0.1). pool.map preserves subspace order, so
+    # the stacked array is bit-identical to the sequential build.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, num_subspaces)) as pool:
+        books = list(pool.map(_one_subspace, range(num_subspaces)))
     return np.asarray(books, dtype=np.float64)
 
 

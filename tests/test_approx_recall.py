@@ -243,6 +243,29 @@ def test_embedding_ivf_dedup_recall_and_precision(spark):
     assert approx <= exact
 
 
+def test_kmeans_fit_fused_matches_loop(spark):
+    # r13 optimization round: single-partition inputs run the whole flat
+    # fit as ONE Arrow task (_kmeans_fit_fused_one_partition). The
+    # contract is BIT-identity with the distributed per-iteration loop
+    # on the same input — init selection, per-batch partial sums,
+    # quantized argmax, empty-cluster keep and early break all replay
+    # the loop path's arithmetic. Exercise several (k, iters) shapes
+    # including max_iters=0 (init only) and a k>n row-deficit.
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    assert emb.rdd.getNumPartitions() == 1, "fixture must be single-partition"
+    key = lambda r: r.centroid_id  # noqa: E731
+    for k, iters in ((4, 3), (16, 3), (8, 0), (9, 5)):
+        fused = similarity.kmeans_fit(emb, k=k, dim=64, max_iters=iters).collect()
+        try:
+            similarity._FUSE_SINGLE_PARTITION = False
+            loop = similarity.kmeans_fit(emb, k=k, dim=64, max_iters=iters).collect()
+        finally:
+            similarity._FUSE_SINGLE_PARTITION = True
+        assert [(r.centroid_id, tuple(r.centroid)) for r in sorted(fused, key=key)] == [
+            (r.centroid_id, tuple(r.centroid)) for r in sorted(loop, key=key)
+        ], f"fused/loop centroid divergence at k={k} iters={iters}"
+
+
 def test_kmeans_fit_hierarchical_contract(spark):
     # k > _FLAT_K_MAX routes to the two-level (coarse -> per-cell
     # applyInPandas) fit — the O(n*sqrt(k)) path the k ∝ n deployment
