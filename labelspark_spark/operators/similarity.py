@@ -456,6 +456,18 @@ def _kmeans_fit_hierarchical(
     import hashlib
 
     k1 = max(2, int(np.ceil(np.sqrt(k))))
+    # Single-partition inputs run coarse fit + assignment + every local
+    # fit as ONE Arrow task (r13 optimization round — the same gate and
+    # rationale as the flat path's fused kernel: on a one-task scan the
+    # staged form is 2 serial Python-stage jobs at the measured ~0.2s
+    # launch floor each, plus an exchange that buys nothing). Arithmetic
+    # is replayed op-for-op — bit-identity with the staged path is
+    # pinned by test_kmeans_fit_fused_matches_loop's hierarchical leg.
+    src_iv = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if _FUSE_SINGLE_PARTITION and src_iv.rdd.getNumPartitions() == 1:
+        return _kmeans_fit_hierarchical_fused(
+            src_iv, k, k1, max_iters, seed
+        )
     coarse = kmeans_fit(
         df, k=k1, dim=dim, max_iters=max_iters,
         vec_col=vec_col, id_col=id_col, seed=seed,
@@ -520,6 +532,143 @@ def _kmeans_fit_hierarchical(
         locals_df.collect(), key=lambda r: (r._ccid, r._lidx)
     )
     return df.sparkSession.createDataFrame(
+        [(i, list(r.centroid)) for i, r in enumerate(rows)],
+        "centroid_id int, centroid array<double>",
+    )
+
+
+def _kmeans_fit_hierarchical_fused(
+    src_iv: DataFrame, k: int, k1: int, max_iters: int, seed: int
+) -> DataFrame:
+    """Two-level fit fused into ONE Arrow task for a single-partition
+    input: coarse Lloyd's, nearest-cell assignment, and every per-cell
+    local fit run inside a single kernel instead of two serial
+    Python-stage jobs with an exchange between them.
+
+    Every float op replays the staged path op-for-op (the kernel bodies
+    are kept self-contained by repo convention — executors must not
+    need the package importable — so the Lloyd's block is duplicated
+    from `_kmeans_fit_fused_one_partition`; the hierarchical leg of
+    test_kmeans_fit_fused_matches_loop pins the two paths bit-equal):
+
+    - coarse: identical init selection and per-batch partial-sum loop
+      as the flat fused kernel;
+    - assignment: the same per-batch matmul + round(9) stable argmax as
+      `_nearest_cells_udf` (row-local, so batch boundaries are moot);
+    - locals: `_local`'s exact body per cell — md5 re-order, first-kk
+      init, quantized argmax, per-cluster mean, array_equal break —
+      iterated in ascending cell order (cell row ORDER is neutralized
+      by the md5 re-sort, so scan order vs shuffle order is immaterial);
+    - driver: the same sort by (_ccid, _lidx) + enumerate.
+    """
+    import hashlib
+
+    with_h = src_iv.select(
+        F.xxhash64(F.col("_id"), F.lit(seed)).alias("_h"), "_id", "_v"
+    )
+    base, extra = k // k1, k % k1
+
+    def _fit_all(batches):
+        hs, ids, mats = [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hs.append(pdf["_h"].to_numpy())
+            ids.append(pdf["_id"].to_numpy())
+            mats.append(np.vstack(pdf["_v"].to_numpy()).astype(np.float64))
+        if not mats:
+            return
+        h = np.concatenate(hs)
+        idv = np.concatenate(ids)
+        # ---- coarse Lloyd's: same block as the flat fused kernel ----
+        order = sorted(range(len(h)), key=lambda i: (h[i], idv[i]))[:k1]
+        offs = np.cumsum([0] + [len(m) for m in mats])
+        X_at = lambda i: mats[np.searchsorted(offs, i, side="right") - 1][  # noqa: E731
+            i - offs[np.searchsorted(offs, i, side="right") - 1]
+        ]
+        centroids = [[float(x) for x in X_at(i)] for i in order]
+        for _ in range(max_iters):
+            cents_m = np.array(centroids, dtype=np.float64)
+            cnorm = np.sqrt(np.einsum("ij,ij->i", cents_m, cents_m))
+            cnt_tot = np.zeros(len(cents_m), dtype=np.int64)
+            sum_tot = np.zeros_like(cents_m)
+            for m in mats:
+                den = np.sqrt(np.einsum("ij,ij->i", m, m))[:, None] * cnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(den == 0, 0.0, (m @ cents_m.T) / den)
+                cid = np.argsort(-np.round(cos, 9), axis=1, kind="stable")[:, 0]
+                np.add.at(cnt_tot, cid, 1)
+                np.add.at(sum_tot, cid, m)
+            new_centroids = list(centroids)
+            for i in range(len(cents_m)):
+                if cnt_tot[i] > 0:
+                    new_centroids[i] = [float(x) for x in sum_tot[i] / cnt_tot[i]]
+            if new_centroids == centroids:
+                break
+            centroids = new_centroids
+        # ---- assignment: _nearest_cells_udf(n=1, decimals=9) ----
+        cents_s = np.array(centroids, dtype=np.float64)
+        cids_s = np.arange(len(centroids), dtype=np.int64)
+        cnorm = np.sqrt(np.einsum("ij,ij->i", cents_s, cents_s))
+        cid_parts = []
+        for m in mats:
+            den = np.sqrt(np.einsum("ij,ij->i", m, m))[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0, 0.0, (m @ cents_s.T) / den)
+            idx = np.argsort(-np.round(cos, 9), axis=1, kind="stable")[:, :1]
+            cid_parts.append(cids_s[idx][:, 0].astype(np.int32))
+        allcid = np.concatenate(cid_parts)
+        X = np.concatenate(mats)
+        id_series = pd.Series(idv)
+        # ---- per-cell local fits: _local's body, ascending cell id ----
+        out_ccid, out_lidx, out_cent = [], [], []
+        for c in sorted(set(allcid.tolist())):
+            sel_cell = allcid == c
+            cell_ids = id_series[sel_cell]
+            keys = np.array(
+                [
+                    hashlib.md5(f"{v}#s{seed}".encode()).hexdigest()
+                    for v in cell_ids.astype(str).to_numpy()
+                ]
+            )
+            order = np.argsort(keys, kind="stable")
+            mat = np.vstack(list(X[sel_cell])).astype(np.float64)[order]
+            budget = base + (1 if c < extra else 0)
+            kk = min(budget, len(mat))
+            cents = mat[:kk].copy()
+            vnorm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            for _ in range(max_iters):
+                cn = np.sqrt(np.einsum("ij,ij->i", cents, cents))
+                den = vnorm[:, None] * cn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(den == 0, 0.0, (mat @ cents.T) / den)
+                cid = np.argsort(-np.round(cos, 9), axis=1, kind="stable")[:, 0]
+                new = cents.copy()
+                for i in range(kk):
+                    sel = cid == i
+                    if sel.any():
+                        new[i] = mat[sel].mean(axis=0)
+                if np.array_equal(new, cents):
+                    break
+                cents = new
+            out_ccid.extend([int(c)] * kk)
+            out_lidx.extend(range(kk))
+            out_cent.extend(list(cents))
+        yield pd.DataFrame(
+            {
+                "_ccid": np.array(out_ccid, dtype=np.int64),
+                "_lidx": np.array(out_lidx, dtype=np.int32),
+                "centroid": out_cent,
+            }
+        )
+
+    rows = sorted(
+        with_h.mapInPandas(
+            _fit_all, "_ccid bigint, _lidx int, centroid array<double>"
+        ).collect(),
+        key=lambda r: (r._ccid, r._lidx),
+    )
+    return src_iv.sparkSession.createDataFrame(
         [(i, list(r.centroid)) for i, r in enumerate(rows)],
         "centroid_id int, centroid array<double>",
     )

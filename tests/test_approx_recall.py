@@ -254,7 +254,10 @@ def test_kmeans_fit_fused_matches_loop(spark):
     emb = read_table(spark, SF_CORRECT, "embeddings")
     assert emb.rdd.getNumPartitions() == 1, "fixture must be single-partition"
     key = lambda r: r.centroid_id  # noqa: E731
-    for k, iters in ((4, 3), (16, 3), (8, 0), (9, 5)):
+    # k <= 64: flat fused vs flat loop; k > 64: fully-fused two-level
+    # vs the staged coarse+assign+locals path (flag off disables BOTH
+    # fused gates, so the staged leg also exercises the loop coarse fit)
+    for k, iters in ((4, 3), (16, 3), (8, 0), (9, 5), (72, 3), (81, 2)):
         fused = similarity.kmeans_fit(emb, k=k, dim=64, max_iters=iters).collect()
         try:
             similarity._FUSE_SINGLE_PARTITION = False
