@@ -8348,7 +8348,14 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     d = tempfile.mkdtemp(prefix="jsonl_rt_")
-    o.write.mode("overwrite").option("compression", "gzip").json(d)
+    # _spread before the sink (r13 optimization round, guide §2.5/§6):
+    # the single-row-group scan made the gzip ndjson ENCODE one task,
+    # and — worse — gzip is unsplittable, so the read-back DECODE+parse
+    # of the whole dump was one task too. Spreading the write yields
+    # one .gz part per core: parallel encode AND a parallel read-back
+    # scan (one split per file). Aggregate is row-order-insensitive;
+    # a many-split 100 TB input passes through untouched.
+    _spread(o).write.mode("overwrite").option("compression", "gzip").json(d)
     back = spark.read.schema(o.schema).json(d)
     price_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     return back.groupBy("o_orderpriority").agg(
