@@ -161,6 +161,13 @@ R13_CHANGED_NOT_IN_HEAD: dict[str, str] = {
         # note in the body; the tool flags any in-span hunk) — replay
         # green in the same session's full driver-contract run
         "ngram_lm_score",
+        # continuation-session batch (fused single-partition k-means /
+        # two-level fit, threaded pq_train, one-join CC iterations —
+        # all operator-level, already covered by the entries above) —
+        # plus the one newly-touched query body: the jsonl sink spread
+        # (gated round-robin before the gzip ndjson write; aggregate
+        # unchanged, oracle replay green at sf0.01 in the same session)
+        "jsonl_roundtrip",
     ]
 }
 
