@@ -550,6 +550,13 @@ def main() -> None:
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar_name)
     with open(sidecar, "w") as f:
         json.dump(full, f, indent=1)
+    # CPU-suffixed copy (VERDICT r13 item 9): the 8-core scaling run used
+    # to clobber the 32-core run's full sidecar — now every run ALSO
+    # writes BENCH_FULL[_driver]_c{N}.json so both survive a scaling round.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    suffixed = sidecar[: -len(".json")] + f"_c{cpus}.json"
+    with open(suffixed, "w") as f:
+        json.dump(full, f, indent=1)
     print("# full per-query timings: " + json.dumps(timings), file=sys.stderr)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
